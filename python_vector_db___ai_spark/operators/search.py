@@ -1,0 +1,145 @@
+"""Similarity search operators (SURVEY.md §2.4 J1, §2.7 T1-T4).
+
+Spark-first design for the reference's query lifecycle
+(``day_9/database/vector_ops.py:133-198``: embed → metadata filter →
+distance → ORDER BY LIMIT k):
+
+* the query set is small (the reference batches 100 queries,
+  ``day_6/day6_complete.py:86-99``) → **broadcast nested-loop join**, so
+  the 100-TB corpus side never shuffles; each corpus partition scores
+  its rows against the broadcast queries and emits only local top-k
+  candidates before the final per-query selection.
+* metadata filters go into a plain ``filter`` *before* the join so
+  Catalyst pushes them to the parquet scan.
+* per-query top-k = ``row_number() OVER (PARTITION BY query ORDER BY
+  score)`` with a deterministic ``id`` tie-break — at scale AQE handles
+  the (tiny: n_queries x k candidates) final shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.functions.vector import (
+    DESCENDING_METRICS,
+    METRICS,
+    cosine_similarity,
+)
+
+
+def apply_metadata_filter(df: DataFrame, metadata_filter: Mapping[str, str] | None,
+                          metadata_col: str = "metadata") -> DataFrame:
+    """ANDed equality filter on a map column (P3/P4,
+    day_8/database.py:49-54, day_9/database/vector_ops.py:165-174).
+
+    Values are compared as strings, matching the reference's own
+    coercion (day_9/database/vector_ops.py:171).
+    """
+    if not metadata_filter:
+        return df
+    for k, v in metadata_filter.items():
+        df = df.filter(F.element_at(F.col(metadata_col), k) == str(v))
+    return df
+
+
+def score_column(metric: str, qcol: Column, ccol: Column) -> tuple[Column, bool]:
+    """(score expression, descending?) for a named metric
+    (day_9/models/schemas.py:6-13 DistanceMetric enum)."""
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(METRICS)}")
+    return METRICS[metric](qcol, ccol), metric in DESCENDING_METRICS
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             metric: str = "cosine",
+             query_id: str = "query_id", query_vec: str = "query_vec",
+             corpus_id: str = "id", corpus_vec: str = "embedding",
+             keep_corpus_cols: Sequence[str] = (),
+             round_to: int | None = 6) -> DataFrame:
+    """Exact per-query top-k: every query scored against every corpus row
+    (J1: day_4/day4_complete.py:58-79, day_6/day6_complete.py:86-99 flat
+    search; T2 ORDER BY LIMIT day_9/database/vector_ops.py:176).
+
+    Returns ``(query_id, corpus_id, score, rank)`` + ``keep_corpus_cols``.
+    ``round_to`` rounds the score *before* ranking (with an ascending
+    corpus-id tie-break) so the ordering is reproducible across engines
+    regardless of last-bit float differences.
+    """
+    score, desc = score_column(metric, F.col(query_vec), F.col(corpus_vec))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    joined = (
+        F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
+        .crossJoin(corpus)
+        .withColumn("score", score)
+    )
+    order = [F.col("score").desc() if desc else F.col("score").asc(),
+             F.col(corpus_id).asc()]
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        joined
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank", *keep_corpus_cols)
+    )
+
+
+def search(corpus: DataFrame, query_vec_lit, k: int = 10, metric: str = "cosine",
+           metadata_filter: Mapping[str, str] | None = None,
+           corpus_id: str = "id", corpus_vec: str = "embedding",
+           metadata_col: str = "metadata") -> DataFrame:
+    """Single-query search — the ``POST /search`` lifecycle (SURVEY §3.1):
+    filter (pushed down) → score → TakeOrderedAndProject.
+
+    ``query_vec_lit`` is a Python list; it becomes an ``array`` literal so
+    the whole plan is one codegen'd scan + top-k, no join at all.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec_lit])
+    score, desc = score_column(metric, qcol, F.col(corpus_vec))
+    filtered = apply_metadata_filter(corpus, metadata_filter, metadata_col)
+    scored = filtered.withColumn("score", score)
+    order = [F.col("score").desc() if desc else F.col("score").asc(),
+             F.col(corpus_id).asc()]
+    return scored.orderBy(*order).limit(k)
+
+
+def topk_pairs(vectors: DataFrame, k: int = 5, metric: str = "cosine",
+               id_col: str = "id", vec_col: str = "embedding",
+               threshold: float | None = None) -> DataFrame:
+    """Top-k most similar (i, j) pairs with i < j (T3,
+    day_5/day5_complete.py:122-146 upper-triangle scan).
+
+    Self-join on the id inequality; for the small corpora this mirrors
+    the reference exactly — at 100 TB the LSH/IVF paths in
+    ``operators.dedup`` / ``operators.ivf`` replace the O(n^2) join.
+    """
+    a = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    score, desc = score_column(metric, F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("score", score)
+        .select("i", "j", "score")
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("score") >= threshold if desc
+                             else F.col("score") <= threshold)
+    order = [F.col("score").desc() if desc else F.col("score").asc(),
+             F.col("i").asc(), F.col("j").asc()]
+    return pairs.orderBy(*order).limit(k)
+
+
+def similarity_matrix(vectors: DataFrame, id_col: str = "id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine matrix in long form (V6,
+    day_2/noramalization.py:176-185) — every (i, j) including the
+    diagonal; symmetric by construction.  Small-n diagnostic only."""
+    a = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .select("i", "j", cosine_similarity(F.col("va"), F.col("vb")).alias("sim"))
+    )
