@@ -58,7 +58,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
              query_id: str = "query_id", query_vec: str = "query_vec",
              corpus_id: str = "id", corpus_vec: str = "embedding",
              keep_corpus_cols: Sequence[str] = (),
-             round_to: int | None = 6) -> DataFrame:
+             round_to: int | None = 6,
+             exclude_self: bool = False) -> DataFrame:
     """Exact per-query top-k: every query scored against every corpus row
     (J1: day_4/day4_complete.py:58-79, day_6/day6_complete.py:86-99 flat
     search; T2 ORDER BY LIMIT day_9/database/vector_ops.py:176).
@@ -74,8 +75,12 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     joined = (
         F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
         .crossJoin(corpus)
-        .withColumn("score", score)
     )
+    if exclude_self:
+        # P8 exclude-self anti-predicate (day_9/main.py:373-376) — only
+        # meaningful when query ids live in the corpus id domain.
+        joined = joined.filter(F.col(query_id) != F.col(corpus_id))
+    joined = joined.withColumn("score", score)
     order = [F.col("score").desc() if desc else F.col("score").asc(),
              F.col(corpus_id).asc()]
     w = Window.partitionBy(query_id).orderBy(*order)
