@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each chosen for a different scale/precision trade-off:
+
+* **exact** — md5 content hash, one groupBy.  O(n), the 100-TB default.
+* **n-gram Jaccard** — shingle explode → equi-join on shingle → count
+  aggregation.  Shuffles on the shingle key (never a crossJoin), so it
+  scales as sum of postings-list sizes; ``max_df`` drops ubiquitous
+  shingles to kill join skew, the standard stop-shingle trick.
+* **MinHash + LSH banding** — per-doc signature of ``num_hashes``
+  md5-derived min-hashes, grouped into bands; docs sharing any band
+  bucket become candidates (equi-join on the bucket key), then true
+  Jaccard verifies.  Candidate generation is O(n · bands) — the scale
+  path for near-dup at 100 TB.
+* **SimHash** — 16/32-bit sign-of-sums fingerprint; near-dups =
+  fingerprint pairs within ``max_hamming`` (bit_count(xor)).
+* **embedding cosine** — semantic near-dup over the embedding column;
+  exact pairwise here, IVF/LSH-pruned in ``operators.ivf`` at scale.
+
+All hashing goes through ``functions.hashing.stable_hash64`` (md5-based)
+so the DuckDB oracle reproduces every bucket and signature bit-for-bit.
+No UDFs anywhere — every operator is whole-stage-codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.functions.hashing import md5_hex, stable_hash64
+from python_vector_db___ai_spark.functions.vector import cosine_similarity
+
+
+def words_col(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empty strings dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    ``n=1`` degenerates to the distinct word set.  Built from
+    ``sequence`` + ``slice`` + ``concat_ws`` — pure expressions.
+    """
+    ws = words_col(text)
+    if n == 1:
+        return F.array_distinct(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    # Spark sequence(1, x) counts DOWN when x < 1 — guard short texts.
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup_flags(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: every row annotated with its group
+    hash, group size, and whether it is the canonical (min-id) member.
+
+    Keep ``is_canonical`` rows to dedup; one hash-shuffle total.
+    """
+    hashed = df.select(F.col(id_col), md5_hex(F.col(text_col)).alias("content_hash"))
+    groups = (hashed.groupBy("content_hash")
+              .agg(F.count("*").cast("long").alias("group_size"),
+                   F.min(id_col).alias("_keep")))
+    return (hashed.join(groups, "content_hash")
+            .select(id_col, "content_hash", "group_size",
+                    (F.col(id_col) == F.col("_keep")).alias("is_canonical")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_df: int | None = None) -> DataFrame:
+    """All (i < j) pairs sharing >= 1 shingle, with exact Jaccard over
+    distinct n-gram shingle sets.  Returns ``(i, j, jaccard)``.
+
+    ``max_df`` drops shingles occurring in more than that many docs
+    before the join — at scale this bounds the quadratic blowup of hot
+    shingles (and AQE's skew-join handles the rest).
+    """
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    if max_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        sh = (sh.join(dfreq.filter(F.col("_df") <= max_df), "sh")
+              .select("_id", "sh"))
+    sizes = sh.groupBy("_id").agg(F.count("*").cast("long").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "sh")
+             .filter(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
+             .agg(F.count("*").cast("long").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("_id").alias("i"), F.col("sz").alias("sza")), "i")
+            .join(sizes.select(F.col("_id").alias("j"), F.col("sz").alias("szb")), "j")
+            .select("i", "j",
+                    (F.col("inter").cast("double")
+                     / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("jaccard")))
+
+
+def minhash_signature(df: DataFrame, num_hashes: int = 16,
+                      shingle_n: int = 1, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: ``sig[s] = min over shingles of
+    stable_hash64(shingle, seed=s)``.  Adds ``sig`` (array<long>) and
+    keeps the shingle set for later verification."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+
+    def _hasher(s: int):
+        # NB: a default-arg lambda won't do — PySpark passes the array
+        # index to any second lambda parameter.
+        return lambda w: stable_hash64(w, seed=s)
+
+    sig = F.array(*[
+        F.array_min(F.transform(sh, _hasher(s))) for s in range(num_hashes)
+    ])
+    return df.select(F.col(id_col).alias("_id"), sh.alias("shingles"),
+                     sig.alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 1, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      verify_threshold: float | None = None) -> DataFrame:
+    """LSH-banded candidate pairs with estimated and true Jaccard.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    band bucket = md5 of the band's hash values; candidates = distinct
+    (i < j) sharing any bucket.  Returns
+    ``(i, j, est_jaccard, jaccard)``, optionally filtered to
+    ``jaccard >= verify_threshold``.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, num_hashes, shingle_n, text_col, id_col)
+    band_cols = []
+    for b in range(bands):
+        band_slice = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            md5_hex(F.concat_ws("_", *[band_slice[i] for i in range(rows_per_band)]))
+            .alias("bucket")))
+    banded = (sigs.select("_id",
+                          F.explode(F.array(*band_cols)).alias("bb"))
+              .select("_id", "bb.band", "bb.bucket"))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"), ["band", "bucket"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
+            .distinct())
+    left = sigs.select(F.col("_id").alias("i"), F.col("shingles").alias("sha"),
+                       F.col("sig").alias("siga"))
+    right = sigs.select(F.col("_id").alias("j"), F.col("shingles").alias("shb"),
+                        F.col("sig").alias("sigb"))
+    est = (F.size(F.filter(F.zip_with(F.col("siga"), F.col("sigb"),
+                                      lambda x, y: x == y), lambda m: m))
+           .cast("double") / num_hashes)
+    true_j = (F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("double")
+              / F.size(F.array_union(F.col("sha"), F.col("shb"))))
+    out = (cand.join(left, "i").join(right, "j")
+           .select("i", "j", est.alias("est_jaccard"), true_j.alias("jaccard")))
+    if verify_threshold is not None:
+        out = out.filter(F.col("jaccard") >= verify_threshold)
+    return out
+
+
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint of the word multiset — inline expression form
+    (sign of per-bit +-1 sums over word hashes).  For the aggregated
+    (explode + groupBy) form that scales to long documents, see
+    :func:`simhash_fingerprints`."""
+    ws = words_col(text)
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            ws, F.lit(0),
+            lambda acc, w: acc + F.when(
+                stable_hash64(w).bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1))
+    return sum(
+        (F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
+        F.lit(0),
+    ).cast("long")
+
+
+def simhash_fingerprints(df: DataFrame, bits: int = 16,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash via explode + groupBy — one shuffle, arbitrary
+    document length.  Returns ``(id_col, simhash)``."""
+    ws = df.select(F.col(id_col),
+                   F.explode(words_col(F.col(text_col))).alias("w"))
+    ws = ws.withColumn("h", stable_hash64(F.col("w")))
+    aggs = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, 1)
+              .otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = ws.groupBy(id_col).agg(*aggs)
+    fp = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+         for j in range(bits)),
+        F.lit(0),
+    ).cast("long")
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(i < j) fingerprint pairs within ``max_hamming`` bits.
+
+    Pairwise here; at scale, block on fingerprint chunks (pigeonhole:
+    any pair within h bits shares one of h+1 chunks) and equi-join on
+    the chunk — same banding idea as MinHash-LSH.
+    """
+    fps = simhash_fingerprints(df, bits, text_col, id_col)
+    a = fps.select(F.col(id_col).alias("i"), F.col("simhash").alias("fa"))
+    b = fps.select(F.col(id_col).alias("j"), F.col("simhash").alias("fb"))
+    return (a.join(b, F.col("i") < F.col("j"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("i", "j", "hamming"))
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(i < j) pairs with cosine >= threshold — semantic near-dup.
+
+    Exact O(n^2) form for correctness; the IVF/LSH paths prune this at
+    scale (route candidates through cluster or band buckets first).
+    """
+    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("i") < F.col("j"))
+            .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("i", "j", "cosine"))

@@ -1,0 +1,235 @@
+"""Deduplication queries over the ``documents`` / ``embeddings`` tables.
+
+Every hash the Spark side computes is md5-derived
+(functions/hashing.py), so the DuckDB oracles below rebuild the exact
+same signatures, buckets, and fingerprints in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.functions.hashing import stable_hash_sql
+from python_vector_db___ai_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_flags,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from python_vector_db___ai_spark.plans.q_vector import _cos_sql
+from python_vector_db___ai_spark.plans.queries import register
+from python_vector_db___ai_spark.session import load_table
+
+# DuckDB: lowercased whitespace tokens, empties dropped (= dedup.words_col)
+_WORDS = ("list_filter(regexp_split_to_array(lower({t}), '\\s+'), "
+          "w -> w <> '')")
+
+
+def _shingles_sql(t: str, n: int) -> str:
+    ws = _WORDS.format(t=t)
+    if n == 1:
+        return f"list_distinct({ws})"
+    return (f"CASE WHEN len({ws}) >= {n} THEN list_distinct("
+            f"list_transform(range(1, len({ws}) - {n - 1} + 1), "
+            f"i -> array_to_string(({ws})[i:i+{n - 1}], ' '))) "
+            f"ELSE [] END")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+), g AS (
+  SELECT content_hash, count(*)::BIGINT AS group_size,
+         min(doc_id) AS keep_id
+  FROM h GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.group_size,
+       h.doc_id = g.keep_id AS is_canonical
+FROM h JOIN g USING (content_hash)
+""",
+    doc="exact dedup via content hash: canonical-member flags (hash groupBy)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_flags(docs)
+
+
+_NGRAM_N = 3
+_NGRAM_DOCS = 150
+_NGRAM_TOPK = 25
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_shingles_sql('text', _NGRAM_N)} AS sh
+  FROM documents WHERE doc_id < {_NGRAM_DOCS}
+), pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               6) AS jaccard
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) >= 1
+)
+SELECT i, j, jaccard FROM pairs
+ORDER BY jaccard DESC, i ASC, j ASC LIMIT {_NGRAM_TOPK}
+""",
+    doc="n-gram Jaccard near-dup: top pairs by trigram-shingle similarity "
+        "(shingle equi-join, no crossJoin)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _NGRAM_DOCS))
+    pairs = ngram_jaccard_pairs(docs, n=_NGRAM_N)
+    return (pairs.select("i", "j", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy(F.col("jaccard").desc(), F.col("i").asc(), F.col("j").asc())
+            .limit(_NGRAM_TOPK))
+
+
+_MH_HASHES = 16
+_MH_BANDS = 4
+_MH_DOCS = 150
+_MH_VERIFY = 0.9
+
+
+def _minhash_oracle() -> str:
+    rows = _MH_HASHES // _MH_BANDS
+    ws = _WORDS.format(t="text")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, w -> {stable_hash_sql('w', seed=s)})) AS s{s}"
+        for s in range(_MH_HASHES))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws('_', {', '.join(f's{b * rows + i}' for i in range(rows))})) "
+        f"AS bucket FROM sig"
+        for b in range(_MH_BANDS))
+    est = " + ".join(f"CASE WHEN a.s{s} = b.s{s} THEN 1 ELSE 0 END"
+                     for s in range(_MH_HASHES))
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({ws}) AS sh
+  FROM documents WHERE doc_id < {_MH_DOCS}
+), sig AS (
+  SELECT doc_id, sh, {sig_exprs} FROM d
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.i, c.j,
+       round(({est}) / {_MH_HASHES}.0, 6) AS est_jaccard,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM cand c
+JOIN sig a ON a.doc_id = c.i
+JOIN sig b ON b.doc_id = c.j
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {_MH_VERIFY}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16) + LSH(4 bands) candidate pairs, Jaccard-verified >= 0.9",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _MH_DOCS))
+    out = minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+                            shingle_n=1, verify_threshold=_MH_VERIFY)
+    return out.select("i", "j",
+                      F.round("est_jaccard", 6).alias("est_jaccard"),
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+_SH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    ws = _WORDS.format(t="text")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << j}) > 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_SH_BITS))
+    fp = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
+                    for j in range(_SH_BITS))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({ws}) AS word FROM documents
+), h AS (
+  SELECT doc_id, {stable_hash_sql('word')} AS h FROM w
+), sums AS (
+  SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=_simhash_sql(),
+    doc="per-doc 16-bit SimHash fingerprint (explode + groupBy, one shuffle)",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, bits=_SH_BITS)
+
+
+_SH_MAXHAM = 3
+_SH_DOCS = 200
+
+
+def _simhash_pairs_sql() -> str:
+    base = _simhash_sql().replace("FROM documents",
+                                  f"FROM documents WHERE doc_id < {_SH_DOCS}")
+    return f"""
+WITH fp AS ({base})
+SELECT a.doc_id AS i, b.doc_id AS j,
+       bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {_SH_MAXHAM}
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_sql(),
+    doc=f"SimHash near-dup pairs within hamming {_SH_MAXHAM} of 16 bits",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _SH_DOCS))
+    return simhash_pairs(docs, bits=_SH_BITS, max_hamming=_SH_MAXHAM)
+
+
+_COS_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS i, b.vec_id AS j,
+       round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {_COS_THRESHOLD}
+""",
+    doc="embedding-cosine near-dup pairs >= 0.4 (exact; IVF/LSH prunes at scale)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.0)
+    return (pairs.withColumn("cosine", F.round("cosine", 6))
+            .filter(F.col("cosine") >= _COS_THRESHOLD)
+            .select("i", "j", "cosine"))

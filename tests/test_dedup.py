@@ -1,0 +1,76 @@
+"""Dedup operator tests on hand-built corpora with known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_flags,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),      # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "spark engines about completely different content"),   # same word set as 4
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    rows = {r.doc_id: r for r in exact_dedup_flags(docs).collect()}
+    assert rows[1].group_size == 2 and rows[2].group_size == 2
+    assert rows[1].is_canonical and not rows[2].is_canonical
+    assert rows[3].group_size == 1 and rows[3].is_canonical
+    assert rows[1].content_hash == rows[2].content_hash
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.i, r.j): r.jaccard
+             for r in ngram_jaccard_pairs(docs, n=3).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)          # identical
+    assert 0.3 < pairs[(1, 3)] < 1.0                    # one word changed
+    assert (1, 4) not in pairs                          # nothing shared
+
+
+def test_minhash_lsh_finds_dups(docs):
+    got = {(r.i, r.j): r for r in
+           minhash_lsh_pairs(docs, verify_threshold=0.9).collect()}
+    assert (1, 2) in got and got[(1, 2)].jaccard == pytest.approx(1.0)
+    assert got[(1, 2)].est_jaccard == pytest.approx(1.0)
+    # word-set-identical docs 4/5 must also collide (shingle_n=1)
+    assert (4, 5) in got
+
+
+def test_simhash_near_pairs(docs):
+    got = {(r.i, r.j): r.hamming
+           for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert got[(1, 2)] == 0            # identical text, identical fingerprint
+    assert got[(4, 5)] == 0            # same word multiset
+    assert got[(1, 3)] <= 6            # near dup: small hamming distance
+    assert got[(1, 4)] > got[(1, 2)]   # unrelated docs further apart
+
+
+def test_embedding_neardup(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"])
+    got = embedding_neardup_pairs(vecs, threshold=0.95).collect()
+    assert [(r.i, r.j) for r in got] == [(1, 2)]
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    row = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0]
+    assert row.sh == []   # shorter than n -> empty, not a down-counting sequence
