@@ -1,0 +1,188 @@
+"""Text-analysis queries over the ``documents`` table: language ID,
+quality scoring, token counting, winnowing fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.functions.hashing import stable_hash_sql, stable_hash64
+from python_vector_db___ai_spark.functions.text import (
+    MIN_STOPWORD_HITS,
+    STOPWORDS,
+    detect_language,
+    lang_scores,
+    quality_metrics,
+    quality_score,
+    token_counts,
+)
+from python_vector_db___ai_spark.plans.queries import register
+from python_vector_db___ai_spark.session import load_table
+
+_WORDS_D = ("list_distinct(list_filter(regexp_split_to_array(lower(text), "
+            "'\\s+'), w -> w <> ''))")
+_WORDS_ALL = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+              "w -> w <> '')")
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ", ".join(
+        "len(list_intersect(words, ["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"]))::BIGINT AS c_{lang}"
+        for lang in sorted(STOPWORDS))
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in sorted(STOPWORDS)) + ")"
+    cascade = "CASE " + " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+    ) + " END"
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS_D} AS words FROM documents
+), s AS (
+  SELECT doc_id, lang, {score_cols} FROM w
+), b AS (
+  SELECT *, {best} AS best FROM s
+)
+SELECT doc_id, lang,
+       CASE WHEN best >= {MIN_STOPWORD_HITS} THEN {cascade}
+            ELSE 'unknown' END AS pred_lang,
+       best AS stopword_hits,
+       (CASE WHEN best >= {MIN_STOPWORD_HITS} THEN {cascade}
+             ELSE 'unknown' END) = lang AS is_match
+FROM b
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle=_lang_id_oracle(),
+    doc="F7 stopword-heuristic language ID vs the labeled lang column",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    pred = detect_language(F.col("text"))
+    return docs.select(
+        "doc_id", "lang",
+        pred.alias("pred_lang"),
+        F.greatest(*scores.values()).alias("stopword_hits"),
+        (pred == F.col("lang")).alias("is_match"))
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len({_WORDS_ALL})::DOUBLE AS n_words,
+         list_sum(list_transform({_WORDS_ALL}, w -> len(w)))::DOUBLE AS word_chars,
+         (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE AS punct,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits,
+         len(list_filter({_WORDS_ALL},
+             w -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS['en'])}], w)))::DOUBLE AS n_stop,
+         len(list_distinct({_WORDS_ALL}))::DOUBLE AS n_uniq
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+         CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END AS avg_word_len,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_words > 0 THEN n_uniq / n_words ELSE 0.0 END AS unique_word_ratio
+  FROM m
+)
+SELECT doc_id, n_chars, n_words,
+       round(avg_word_len, 6) AS avg_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(unique_word_ratio, 6) AS unique_word_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.25
+             + unique_word_ratio * 0.25
+             + least(stopword_ratio * 4, 1.0) * 0.25
+             + greatest(0.0, 1.0 - punct_ratio * 5 - digit_ratio * 5) * 0.25,
+             6) AS quality
+FROM r
+""",
+    doc="per-doc quality metrics + composite [0,1] score (training-data gate)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id", m["n_chars"].alias("n_chars"), m["n_words"].alias("n_words"),
+        F.round(m["avg_word_len"], 6).alias("avg_word_len"),
+        F.round(m["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(m["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(m["unique_word_ratio"], 6).alias("unique_word_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len({_WORDS_ALL})::BIGINT AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS regex_tokens,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+  FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(ws_tokens)::BIGINT AS total_ws_tokens,
+       sum(regex_tokens)::BIGINT AS total_regex_tokens,
+       round(avg(approx_bpe_tokens), 6) AS avg_approx_bpe_tokens
+FROM t GROUP BY lang
+""",
+    doc="token counting (whitespace + BPE-ish regex + chars/4) aggregated by lang",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_counts(F.col("text"))
+    per_doc = docs.select("lang", tc["ws_tokens"].alias("ws_tokens"),
+                          tc["regex_tokens"].alias("regex_tokens"),
+                          tc["approx_bpe_tokens"].alias("approx_bpe_tokens"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+                 F.sum("regex_tokens").cast("long").alias("total_regex_tokens"),
+                 F.round(F.avg("approx_bpe_tokens"), 6)
+                 .alias("avg_approx_bpe_tokens")))
+
+
+_GRAM = 5
+_MOD = 16
+
+
+@register(
+    "text_fingerprint_winnow",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - {_GRAM} + 2),
+                               i -> substr(text, i, {_GRAM}))) AS gram
+  FROM documents WHERE length(text) >= {_GRAM}
+), h AS (
+  SELECT DISTINCT doc_id, {stable_hash_sql('gram')} AS gram_hash FROM g
+)
+SELECT doc_id, gram_hash FROM h WHERE gram_hash % {_MOD} = 0
+""",
+    doc="document fingerprinting: mod-sampled char-5-gram hash sketch "
+        "(winnowing-style, rolling window)",
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.length("text") >= _GRAM))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("text") - _GRAM + 1),
+            lambda i: F.col("text").substr(i, F.lit(_GRAM)),
+        )).alias("gram"))
+    hashed = grams.select("doc_id",
+                          stable_hash64(F.col("gram")).alias("gram_hash")).distinct()
+    return hashed.filter(F.col("gram_hash") % _MOD == 0)

@@ -43,6 +43,7 @@ def all_queries() -> dict[str, Query]:
     from python_vector_db___ai_spark.plans import (  # noqa: F401
         q_dedup,
         q_metrics,
+        q_text,
         q_vector,
     )
     return dict(_REGISTRY)

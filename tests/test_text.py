@@ -1,0 +1,74 @@
+"""Unit tests for functions/text.py on hand-built strings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.functions.text import (
+    clean_text,
+    detect_language,
+    nfkc_normalize,
+    quality_metrics,
+    quality_score,
+    text_metadata,
+    token_counts,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_clean_text_chain(spark):
+    out = _one(spark, "Hello  â€™world !!   How ,are you\n\n\n\nOk",
+               clean_text(F.col("text")))
+    assert "â€™" not in out
+    assert "  " not in out
+    assert "!!" not in out
+    assert "\n\n\n" not in out
+
+
+def test_text_metadata(spark):
+    md = text_metadata(F.col("text"))
+    text = "# Title\n\npara one\n\n- item\n\n```code```\nlast line"
+    got = {k: _one(spark, text, v) for k, v in md.items()}
+    assert got["has_headers"] and got["has_lists"] and got["has_code"]
+    assert got["paragraph_count"] == 4
+    assert got["word_count"] == 9
+
+
+def test_detect_language(spark):
+    col = detect_language(F.col("text"))
+    assert _one(spark, "the cat is on the mat and it is happy", col) == "en"
+    assert _one(spark, "el perro es grande y la casa es de madera", col) == "es"
+    assert _one(spark, "der hund ist groß und die katze ist klein", col) == "de"
+    assert _one(spark, "le chien est dans la maison pour le dîner", col) == "fr"
+    assert _one(spark, "xyzzy plugh quux", col) == "unknown"
+
+
+def test_quality_score_ordering(spark):
+    col = quality_score(F.col("text"))
+    good = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the green field with a happy bark in the warm morning sun")
+    noisy = "!!! ??? ,,, 123 456 789 !!! ??? ... 000 111 222"
+    assert _one(spark, good, col) > _one(spark, noisy, col)
+    score = _one(spark, good, col)
+    assert 0.0 <= score <= 1.0
+
+
+def test_token_counts(spark):
+    tc = token_counts(F.col("text"))
+    text = "hello world, it's 42 degrees"
+    got = {k: _one(spark, text, v) for k, v in tc.items()}
+    assert got["ws_tokens"] == 5
+    # hello/world/,/it/'/s/4/2/degrees
+    assert got["regex_tokens"] == 9
+    assert got["approx_bpe_tokens"] == 7
+
+
+def test_nfkc_normalize(spark):
+    # ﬁ ligature (U+FB01) -> 'fi' under NFKC
+    out = _one(spark, "ﬁle", nfkc_normalize(F.col("text")))
+    assert out == "file"
