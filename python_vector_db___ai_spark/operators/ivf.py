@@ -1,0 +1,158 @@
+"""IVF (inverted-file) approximate nearest-neighbor search + recall
+harness (SURVEY §2.9 X2/X5/X6/X7).
+
+The reference's ``IndexIVFFlat`` (day_6/day6_complete.py:102-130:
+KMeans quantizer, nlist clusters, search probes nprobe=10) maps to
+Spark as a **table-layout choice, not an index structure**:
+
+* centroids = per-cluster mean vectors — one posexplode + two hash
+  aggregations (distributed; never collects vectors to the driver);
+* at query time, score each query against the (tiny, broadcast)
+  centroid table, keep the top ``nprobe`` clusters, then equi-join the
+  corpus on ``cluster_id`` — when the corpus is written partitioned or
+  bucketed by ``cluster_id``, Catalyst turns that join into partition
+  pruning, so a 1000-executor scan reads only nprobe/nlist of the data;
+* the exact scan (operators/search.knn_join) is the recall oracle
+  (X6, day_6/day6_complete.py:249-263).
+
+Cluster assignments come either from an existing column (the test
+tables ship a ``label``) or from MLlib KMeans (:func:`kmeans_assign`,
+mirroring the FAISS quantizer training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.search import score_column
+
+
+def build_centroids(corpus: DataFrame, cluster_col: str = "label",
+                    vec_col: str = "embedding",
+                    round_to: int | None = 6) -> DataFrame:
+    """Per-cluster mean vector -> ``(cluster_col, centroid array<double>)``.
+
+    ``round_to`` rounds each component so downstream probe scores are
+    reproducible across engines and run-to-run partial-sum orderings.
+    """
+    pos = corpus.select(
+        F.col(cluster_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"))
+    cp = (pos.groupBy(cluster_col, "pos")
+          .agg(F.avg("val").alias("c")))
+    if round_to is not None:
+        cp = cp.withColumn("c", F.round("c", round_to))
+    return (cp.groupBy(cluster_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(F.col(cluster_col),
+                    F.transform("pc", lambda s: s["c"]).alias("centroid")))
+
+
+def probe_clusters(queries: DataFrame, centroids: DataFrame, nprobe: int = 3,
+                   metric: str = "cosine", query_id: str = "query_id",
+                   query_vec: str = "query_vec",
+                   cluster_col: str = "label",
+                   round_to: int | None = 6) -> DataFrame:
+    """Top-``nprobe`` clusters per query (the IVF coarse quantizer step).
+    Returns ``(query_id, query_vec, cluster_col)`` — tiny, broadcastable."""
+    score, desc = score_column(metric, F.col(query_vec), F.col("centroid"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    w = Window.partitionBy(query_id).orderBy(
+        score.desc() if desc else score.asc(), F.col(cluster_col).asc())
+    return (queries.crossJoin(F.broadcast(centroids))
+            .withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= nprobe)
+            .select(query_id, query_vec, cluster_col))
+
+
+def ivf_search(queries: DataFrame, corpus: DataFrame,
+               centroids: DataFrame | None = None, nprobe: int = 3,
+               k: int = 10, metric: str = "cosine",
+               query_id: str = "query_id", query_vec: str = "query_vec",
+               corpus_id: str = "id", corpus_vec: str = "embedding",
+               cluster_col: str = "label",
+               round_to: int | None = 6) -> DataFrame:
+    """IVF search: probe -> prune (equi-join on cluster) -> exact score
+    within the probed clusters -> per-query top-k.
+
+    Scans ~``nprobe/nlist`` of the corpus; with the corpus partitioned
+    by ``cluster_col`` the pruning happens at the scan.
+    """
+    if centroids is None:
+        centroids = build_centroids(corpus, cluster_col, corpus_vec, round_to)
+    probes = probe_clusters(queries, centroids, nprobe, metric,
+                            query_id, query_vec, cluster_col, round_to)
+    cand = corpus.join(F.broadcast(probes), cluster_col)
+    score, desc = score_column(metric, F.col(query_vec), F.col(corpus_vec))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc() if desc else F.col("score").asc(),
+        F.col(corpus_id).asc())
+    return (cand.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "score", "rank"))
+
+
+def recall_against_exact(approx: DataFrame, exact: DataFrame,
+                         query_id: str = "query_id",
+                         corpus_id: str = "id") -> DataFrame:
+    """Recall@k of an approximate result vs the exact scan (X6) —
+    ``|approx ∩ exact| / |exact|`` per query via a semi-join (J2)."""
+    hits = (approx.select(query_id, corpus_id)
+            .join(exact.select(query_id, corpus_id), [query_id, corpus_id],
+                  "left_semi")
+            .groupBy(query_id).agg(F.count("*").cast("long").alias("n_hits")))
+    totals = (exact.groupBy(query_id)
+              .agg(F.count("*").cast("long").alias("n_exact")))
+    return (totals.join(hits, query_id, "left")
+            .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+            .select(query_id, "n_exact", "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_exact"), 6)
+                    .alias("recall")))
+
+
+def kmeans_assign(corpus: DataFrame, nlist: int = 10, seed: int = 42,
+                  vec_col: str = "embedding",
+                  out_col: str = "cluster_id") -> DataFrame:
+    """MLlib KMeans cluster assignment (the FAISS IVF quantizer analog,
+    day_6/day6_complete.py:105-115; k choice mirrors
+    ``nlist=min(100, n/10)``).  Adds ``out_col`` to the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn("_features",
+                              array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=nlist, seed=seed, featuresCol="_features",
+                   predictionCol=out_col).fit(feats)
+    return model.transform(feats).drop("_features") \
+        .withColumn(out_col, F.col(out_col).cast("int"))
+
+
+def kmeans_silhouette_sweep(corpus: DataFrame, k_values=range(2, 8),
+                            seed: int = 42,
+                            vec_col: str = "embedding") -> DataFrame:
+    """X7: KMeans k sweep scored by silhouette
+    (day_5/day5_complete.py:165-207 KMeans + silhouette_score)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn("_features",
+                              array_to_vector(F.col(vec_col).cast("array<double>"))) \
+                  .cache()
+    rows = []
+    evaluator = ClusteringEvaluator(featuresCol="_features",
+                                    predictionCol="_p", metricName="silhouette")
+    for k in k_values:
+        model = KMeans(k=k, seed=seed, featuresCol="_features",
+                       predictionCol="_p").fit(feats)
+        pred = model.transform(feats)
+        rows.append((int(k), float(evaluator.evaluate(pred)),
+                     float(model.summary.trainingCost)))
+    feats.unpersist()
+    spark = corpus.sparkSession
+    return spark.createDataFrame(rows, "k int, silhouette double, inertia double")

@@ -1,0 +1,175 @@
+"""ANN queries: IVF centroid build, pruned search, recall-vs-exact
+harness, and the MLlib KMeans/LSH variants (rows-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.ivf import (
+    build_centroids,
+    ivf_search,
+    kmeans_assign,
+    kmeans_silhouette_sweep,
+    recall_against_exact,
+)
+from python_vector_db___ai_spark.operators.lsh import brp_lsh_knn
+from python_vector_db___ai_spark.operators.search import knn_join
+from python_vector_db___ai_spark.plans.q_vector import N_QUERIES, _cos_sql
+from python_vector_db___ai_spark.plans.queries import register
+from python_vector_db___ai_spark.session import load_table
+
+K = 10
+NPROBE = 3
+
+# Shared oracle CTEs: rounded per-label centroids (long + array form),
+# probe ranking, pruned candidate scan — mirrors operators/ivf.py.
+_IVF_CTE = f"""
+WITH cl AS (
+  SELECT label, pos, round(avg(v), 6) AS c FROM (
+    SELECT label, unnest(embedding::DOUBLE[]) AS v,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings
+  ) GROUP BY label, pos
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cl GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), probe AS (
+  SELECT query_id, qv, label FROM (
+    SELECT q.query_id, q.qv, cent.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('q.qv', 'cent.centroid')}, 6) DESC,
+                      cent.label ASC) AS cr
+    FROM q CROSS JOIN cent
+  ) WHERE cr <= {NPROBE}
+), cand AS (
+  SELECT p.query_id, e.vec_id,
+         round({_cos_sql('p.qv', 'e.embedding::DOUBLE[]')}, 6) AS score
+  FROM probe p JOIN embeddings e ON e.label = p.label
+), ivf AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM cand
+)
+"""
+
+
+@register(
+    "ivf_centroids",
+    oracle="""
+SELECT label, pos, round(avg(v), 6) AS centroid_val FROM (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+) GROUP BY label, pos
+""",
+    doc="X2 IVF centroid build: per-cluster mean vectors, long form",
+)
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = build_centroids(emb, cluster_col="label", vec_col="embedding")
+    return (cents.select("label", F.posexplode("centroid").alias("pos", "centroid_val"))
+            .select("label", F.col("pos").cast("long").alias("pos"),
+                    "centroid_val"))
+
+
+@register(
+    "ivf_search_cosine",
+    oracle=_IVF_CTE + f"""
+SELECT query_id, vec_id, score, rank FROM ivf WHERE rank <= {K}
+""",
+    doc=f"X2/X5 IVF pruned search: probe top-{NPROBE} of 10 clusters, "
+        "equi-join prune, exact within candidates",
+)
+def ivf_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return ivf_search(queries, emb, nprobe=NPROBE, k=K, metric="cosine",
+                      corpus_id="vec_id", cluster_col="label")
+
+
+@register(
+    "ann_recall_ivf",
+    oracle=_IVF_CTE + f""", exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('q.qv', 'e.embedding::DOUBLE[]')}, 6) DESC,
+                      e.vec_id ASC) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {K}
+), hits AS (
+  SELECT i.query_id, count(*)::BIGINT AS n_hits
+  FROM (SELECT query_id, vec_id FROM ivf WHERE rank <= {K}) i
+  JOIN exact x ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+  GROUP BY i.query_id
+)
+SELECT e.query_id, count(*)::BIGINT AS n_exact,
+       coalesce(any_value(h.n_hits), 0)::BIGINT AS n_hits,
+       round(coalesce(any_value(h.n_hits), 0) * 1.0 / count(*), 6) AS recall
+FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+GROUP BY e.query_id
+""",
+    doc="X6 recall@10 of IVF vs the exact scan (day_6 oracle method)",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = ivf_search(queries, emb, nprobe=NPROBE, k=K, metric="cosine",
+                        corpus_id="vec_id", cluster_col="label")
+    exact = knn_join(queries, emb, k=K, metric="cosine", corpus_id="vec_id")
+    return recall_against_exact(approx, exact, corpus_id="vec_id")
+
+
+@register(
+    "ivf_kmeans_recall",
+    oracle=None,   # MLlib KMeans centroids are engine-internal
+    doc="X2 with MLlib KMeans quantizer (nlist=10, seed=42): recall@10 "
+        "vs exact — the day-6 IVF benchmark shape",
+)
+def ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    clustered = kmeans_assign(emb, nlist=10, seed=42).cache()
+    queries = (clustered.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = ivf_search(queries, clustered, nprobe=NPROBE, k=K,
+                        metric="cosine", corpus_id="vec_id",
+                        cluster_col="cluster_id")
+    exact = knn_join(queries, emb, k=K, metric="cosine", corpus_id="vec_id")
+    return recall_against_exact(approx, exact, corpus_id="vec_id")
+
+
+@register(
+    "lsh_l2_recall",
+    oracle=None,   # MLlib LSH hyperplanes are engine-internal
+    doc="X3/X4 substitute: BucketedRandomProjectionLSH kNN recall@10 vs "
+        "exact (the HNSW slot, SURVEY §7)",
+)
+def lsh_l2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = brp_lsh_knn(queries, emb, k=K)
+    exact = knn_join(queries, emb, k=K, metric="l2", corpus_id="vec_id")
+    return recall_against_exact(approx, exact, corpus_id="vec_id")
+
+
+@register(
+    "kmeans_silhouette",
+    oracle=None,   # iterative MLlib algorithm
+    doc="X7 KMeans k-sweep with silhouette (day_5/day5_complete.py:165-207)",
+)
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_silhouette_sweep(emb, k_values=range(2, 8))

@@ -41,6 +41,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that register queries.
     from python_vector_db___ai_spark.plans import (  # noqa: F401
+        q_ann,
         q_dedup,
         q_metrics,
         q_text,

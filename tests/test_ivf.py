@@ -1,0 +1,64 @@
+"""IVF / recall-harness tests (the day-6 exact-oracle pattern)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.ivf import (
+    build_centroids,
+    ivf_search,
+    recall_against_exact,
+)
+from python_vector_db___ai_spark.operators.search import knn_join
+from python_vector_db___ai_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (emb.filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def test_centroids_simple(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (0, [3.0, 5.0]), (1, [10.0, 10.0])],
+        ["label", "embedding"])
+    got = {r.label: r.centroid for r in build_centroids(df).collect()}
+    assert got[0] == [2.0, 4.0]
+    assert got[1] == [10.0, 10.0]
+
+
+def test_recall_of_exact_vs_itself_is_one(emb, queries):
+    exact = knn_join(queries, emb, k=10, corpus_id="vec_id")
+    rec = recall_against_exact(exact, exact, corpus_id="vec_id").collect()
+    assert len(rec) == 10
+    assert all(r.recall == 1.0 and r.n_exact == 10 for r in rec)
+
+
+def test_ivf_full_probe_equals_exact(emb, queries):
+    # probing ALL clusters makes IVF exact: recall must be 1.0
+    approx = ivf_search(queries, emb, nprobe=10, k=10,
+                        corpus_id="vec_id", cluster_col="label")
+    exact = knn_join(queries, emb, k=10, corpus_id="vec_id")
+    rec = recall_against_exact(approx, exact, corpus_id="vec_id").collect()
+    assert all(r.recall == 1.0 for r in rec)
+
+
+def test_ivf_pruned_recall_reasonable(emb, queries):
+    approx = ivf_search(queries, emb, nprobe=3, k=10,
+                        corpus_id="vec_id", cluster_col="label")
+    exact = knn_join(queries, emb, k=10, corpus_id="vec_id")
+    rec = recall_against_exact(approx, exact, corpus_id="vec_id")
+    mean = rec.agg(F.avg("recall")).collect()[0][0]
+    assert 0.2 <= mean <= 1.0   # reported, not assumed (SURVEY §7)
+    # every query still returns k results
+    counts = approx.groupBy("query_id").count().collect()
+    assert all(c["count"] == 10 for c in counts)
