@@ -1,0 +1,74 @@
+"""Document CRUD operators (SURVEY §2.1 S9-S11, §2.4 J5/J6, §2.5 A1-A3/A6).
+
+The reference's mutation surface (Chroma add/delete, pgvector upsert,
+day_8/database.py + day_9/database/vector_ops.py) re-expressed as
+DataFrame transforms over immutable tables:
+
+* **upsert** = union + per-key ``row_number`` keeping the newest row —
+  the plain-parquet emulation of ``MERGE INTO`` (Delta would make this
+  a real merge; the call-site API is identical).
+* **delete** = ``left_anti`` join.
+* The write side is append/overwrite of the resulting DataFrame; at
+  scale, partition the table by a stable key range so upserts rewrite
+  only touched partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(base: DataFrame, updates: DataFrame,
+           key: str = "doc_id") -> DataFrame:
+    """S10/J6: rows from ``updates`` win over ``base`` on key conflict
+    (INSERT ... ON CONFLICT DO UPDATE,
+    day_9/database/vector_ops.py:103-131).  Ties within ``updates``
+    keep an arbitrary-but-deterministic single row."""
+    tagged = (base.withColumn("_prio", F.lit(0))
+              .unionByName(updates.withColumn("_prio", F.lit(1))))
+    w = Window.partitionBy(key).orderBy(F.col("_prio").desc())
+    return (tagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_prio", "_rn"))
+
+
+def delete_ids(df: DataFrame, ids: DataFrame | Sequence,
+               key: str = "doc_id") -> DataFrame:
+    """S11/J5: anti-join delete (day_8/database.py:86-92)."""
+    if not isinstance(ids, DataFrame):
+        ids = df.sparkSession.createDataFrame([(i,) for i in ids], [key])
+    return df.join(F.broadcast(ids.select(key)), key, "left_anti")
+
+
+def get_by_ids(df: DataFrame, ids: Sequence, key: str = "doc_id") -> DataFrame:
+    """P7 point lookup (day_8/database.py:66-84) — an IN filter that
+    Catalyst pushes to the parquet scan."""
+    return df.filter(F.col(key).isin(list(ids)))
+
+
+def insert_tally(updates: DataFrame, text_col: str = "text",
+                 key: str = "doc_id") -> DataFrame:
+    """A6 batch-insert success/fail tally
+    (day_9/database/vector_ops.py:276-298): a row 'fails' when its key
+    is null or its content empty."""
+    ok = F.col(key).isNotNull() & F.col(text_col).isNotNull() \
+        & (F.length(text_col) > 0)
+    return updates.agg(
+        F.count("*").cast("long").alias("total"),
+        F.sum(ok.cast("int")).cast("long").alias("successful"),
+        F.sum((~ok).cast("int")).cast("long").alias("failed"))
+
+
+def collection_stats(df: DataFrame, text_col: str = "text",
+                     key: str = "doc_id") -> DataFrame:
+    """A1-A3 collection statistics (day_9/database/vector_ops.py:251-258
+    + the stats view 01_init_db.sql:114-121)."""
+    return df.agg(
+        F.count("*").cast("long").alias("total_documents"),
+        F.countDistinct(key).cast("long").alias("unique_ids"),
+        F.round(F.avg(F.length(text_col)), 6).alias("avg_content_length"),
+        F.min(F.length(text_col)).cast("long").alias("min_content_length"),
+        F.max(F.length(text_col)).cast("long").alias("max_content_length"))

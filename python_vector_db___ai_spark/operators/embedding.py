@@ -1,0 +1,133 @@
+"""Embedding pipeline (SURVEY §2.3 V7, §2.1 S12, §2.4 J3).
+
+The reference embeds with SentenceTransformer in batches of 32 with an
+md5-keyed cache (day_10/embedders/embedding_pipeline.py:76-148,238-314)
+and swaps in a deterministic mock when the model is unavailable
+(day_10:460-492, day_14/src/main.py:3-18).  Spark mapping:
+
+* **mock embedder** — md5-derived pseudo-embedding as a pure Column
+  expression: deterministic, hermetic, DuckDB-reproducible.  This is
+  the default in this container (no model weights available).
+* **real embedder** — SCALAR_ITER pandas UDF that loads the model once
+  per executor and encodes Arrow batches (the Spark analog of
+  batch_size=32); gated behind an import so the engine works without
+  torch installed.
+* **cache** — a Delta/parquet table keyed ``(model, md5(text))``; the
+  pipeline left-joins the cache, embeds only misses (J3), and unions
+  the two sides — embedding compute scales with *new* data only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_vector_db___ai_spark.functions.hashing import md5_hex, stable_hash64
+from python_vector_db___ai_spark.functions.vector import l2_normalize
+
+MOCK_DIM = 8
+
+
+def mock_embedding(text: Column, dim: int = MOCK_DIM,
+                   normalize: bool = True) -> Column:
+    """Deterministic pseudo-embedding: component ``i`` =
+    ``stable_hash64(text + ':' + i) % 2000 / 1000 - 1`` in [-1, 1).
+    Same text -> same vector, in Spark and in the DuckDB oracle."""
+    comps = F.array(*[
+        ((stable_hash64(F.concat(text, F.lit(f":{i}"))) % 2000)
+         / F.lit(1000.0) - 1.0)
+        for i in range(dim)
+    ])
+    return l2_normalize(comps) if normalize else comps
+
+
+def mock_embedding_sql(expr: str, dim: int = MOCK_DIM,
+                       normalize: bool = True) -> str:
+    """DuckDB rendering of :func:`mock_embedding` for oracles."""
+    from python_vector_db___ai_spark.functions.hashing import stable_hash_sql
+
+    parts = []
+    for i in range(dim):
+        inner = "concat({e}, ':{i}')".format(e=expr, i=i)
+        parts.append(f"({stable_hash_sql(inner)} % 2000) / 1000.0 - 1.0")
+    comps = ", ".join(parts)
+    arr = f"[{comps}]"
+    if not normalize:
+        return arr
+    return (f"list_transform({arr}, "
+            f"x -> x / sqrt(list_dot_product({arr}, {arr})))")
+
+
+def sentence_transformer_udf(model_name: str = "all-MiniLM-L6-v2"):
+    """V7 real-model embedder: SCALAR_ITER pandas UDF with a
+    once-per-executor model load.  Raises ImportError at *call* time if
+    sentence-transformers is absent (hermetic environments use
+    :func:`mock_embedding`)."""
+    import importlib.util
+
+    if importlib.util.find_spec("sentence_transformers") is None:
+        raise ImportError(
+            "sentence-transformers not installed; use mock_embedding "
+            "(the reference's mock switch, day_14/src/main.py:3-18)")
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)   # once per worker
+        for batch in batches:
+            vecs = model.encode(batch.fillna("").tolist(), batch_size=32)
+            yield pd.Series(list(vecs))
+
+    return embed
+
+
+def cache_key(text: Column, model: str = "mock") -> Column:
+    """S12 cache key: md5 of the text, namespaced by model
+    (day_10/embedders/embedding_pipeline.py:238-250)."""
+    return md5_hex(F.concat(F.lit(model + ":"), text))
+
+
+def embed_with_cache(docs: DataFrame, cache: DataFrame,
+                     text_col: str = "text", model: str = "mock",
+                     dim: int = MOCK_DIM) -> DataFrame:
+    """J3 cache-hit join: docs left-join cache on the content key;
+    misses get fresh embeddings, hits reuse cached vectors.
+
+    ``cache`` schema: ``(key string, embedding array<double>)``.
+    Returns docs + ``embedding`` + ``cache_hit`` flag.  Union-free: a
+    single projection with a coalesce keeps the plan narrow.
+    """
+    keyed = docs.withColumn("_key", cache_key(F.col(text_col), model))
+    joined = keyed.join(
+        F.broadcast(cache.select(F.col("key").alias("_key"),
+                                 F.col("embedding").alias("_cached"))),
+        "_key", "left")
+    return (joined
+            .withColumn("cache_hit", F.col("_cached").isNotNull())
+            .withColumn("embedding",
+                        F.coalesce(F.col("_cached"),
+                                   mock_embedding(F.col(text_col), dim)))
+            .drop("_key", "_cached"))
+
+
+def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """V8: summary statistics of vector norms and components
+    (day_10/embedders/embedding_pipeline.py:427-458)."""
+    from python_vector_db___ai_spark.functions.vector import vec_norm
+
+    with_norm = df.select(vec_norm(F.col(vec_col)).alias("nrm"),
+                          F.col(vec_col))
+    return with_norm.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg(F.aggregate(F.col(vec_col), F.lit(0.0),
+                                  lambda a, x: a + x.cast("double"))
+                      / F.size(vec_col)), 6).alias("avg_component_mean"))

@@ -42,8 +42,10 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules that register queries.
     from python_vector_db___ai_spark.plans import (  # noqa: F401
         q_ann,
+        q_crud,
         q_dedup,
         q_metrics,
+        q_pipeline,
         q_text,
         q_vector,
     )
