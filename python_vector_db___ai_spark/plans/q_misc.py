@@ -1,0 +1,216 @@
+"""Streaming, multimodal, sessionization, and classic relational
+queries (operator-coverage complements: aggregations, joins, windows,
+event-time processing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.multimodal import (
+    decode_features,
+    modality_stats,
+    to_multimodal,
+)
+from python_vector_db___ai_spark.plans.queries import register
+from python_vector_db___ai_spark.session import load_table
+from python_vector_db___ai_spark.streaming.ingest import (
+    hourly_event_counts,
+    ingest_foreachbatch,
+    read_events_stream,
+    run_stream_to_completion,
+)
+
+
+@register(
+    "events_hourly_stream",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2
+""",
+    doc="§2.10 streaming: tumbling 1h event-time windows drained with "
+        "Trigger.availableNow — must equal the batch answer",
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_completion(hourly_event_counts(stream),
+                                    query_name="hourly_events")
+
+
+@register(
+    "stream_ingest_foreachbatch",
+    oracle=None,   # side-effecting micro-batch tally
+    doc="S9 streaming ingest via foreachBatch + mock embedding per batch",
+)
+def stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest_foreachbatch(spark, sf_dir)
+
+
+@register(
+    "multimodal_modality_stats",
+    oracle="""
+WITH mm AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT modality, count(*)::BIGINT AS n_items,
+       sum(nb)::BIGINT AS total_bytes,
+       round(avg(nb), 6) AS avg_bytes,
+       min(nb)::BIGINT AS min_bytes,
+       max(nb)::BIGINT AS max_bytes
+FROM mm GROUP BY modality
+""",
+    doc="multimodal binary-column metadata pass (no decode)",
+)
+def multimodal_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return modality_stats(to_multimodal(docs))
+
+
+def _md5_byte(expr: str, i: int) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), {2 * i + 1}, 2)) AS INT)"
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle=f"""
+WITH mm AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         text
+  FROM documents
+)
+SELECT doc_id, modality,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       16 + {_md5_byte('text', 0)} % 240 AS width,
+       16 + {_md5_byte('text', 1)} % 240 AS height,
+       [round({_md5_byte('text', 2)} / 255.0, 6),
+        round({_md5_byte('text', 3)} / 255.0, 6),
+        round({_md5_byte('text', 4)} / 255.0, 6),
+        round({_md5_byte('text', 5)} / 255.0, 6)] AS features
+FROM mm
+""",
+    doc="multimodal decode/feature-extract via mapInPandas (md5-seeded "
+        "stub kernels, real Arrow batch plumbing)",
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_features(to_multimodal(docs))
+    return feats.select(
+        "doc_id", "modality", "n_bytes", "width", "height",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"))
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="classic pricing-summary aggregation (filter pushdown + partial agg)",
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 6)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").cast("long").alias("count_order")))
+
+
+@register(
+    "tpch_q3_topk",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       o.o_orderdate AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+""",
+    doc="three-way join + agg + top-k (broadcast dims, shuffle on orderkey)",
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (li.filter(F.col("l_shipdate") > cutoff)
+            .join(orders.filter(F.col("o_orderdate") < cutoff),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("l_orderkey").alias("orderkey"),
+                     F.col("o_orderdate").alias("orderdate"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 6).alias("revenue"))
+            .select("orderkey", "revenue", "orderdate")
+            .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+            .limit(10))
+
+
+_GAP_MIN = 30
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_GAP_MIN} MINUTE THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       sum(new_session)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events,
+       round(count(*) * 1.0 / sum(new_session), 6) AS avg_events_per_session
+FROM marked GROUP BY user_id
+""",
+    doc="gap-based sessionization: lag + cumulative flags (lead/lag window "
+        "coverage; session_window at streaming scale)",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"))
+              > _GAP_MIN * 60, 1)
+        .otherwise(0))
+    return (marked.groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+                 F.count("*").cast("long").alias("n_events"),
+                 F.round(F.count("*") / F.sum("new_session"), 6)
+                 .alias("avg_events_per_session")))

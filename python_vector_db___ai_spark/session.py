@@ -51,8 +51,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-generated parquet table (see TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver-generated parquet table (see TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects — read it as long nanos and convert to a microsecond
+    timestamp column.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict:

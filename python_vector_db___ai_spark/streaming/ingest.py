@@ -1,0 +1,104 @@
+"""Structured Streaming ingest (SURVEY §2.10).
+
+The reference's only streaming surface is incremental single-row REST
+inserts (day_8/endpoints.py:13-49); the Spark-native shape is a
+micro-batched stream: ``readStream -> transform -> foreachBatch(upsert)``
+with event-time windows for ingest-rate stats.  ``Trigger.availableNow``
+drains a static source through the *streaming* engine, which is how the
+driver-checkable queries below stay deterministic: the same windowed
+aggregation, executed by the micro-batch planner, must equal the batch
+answer.
+
+At scale this is the continuous-ingest path: watermarks bound state,
+``foreachBatch`` writes through the CRUD upsert (Delta MERGE in a real
+deployment), and the windowed stats stream feeds monitoring.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema pinned from the
+    batch read — streaming sources cannot infer).  The TIMESTAMP(NANOS)
+    column arrives as long nanos (see session.load_table) and is
+    converted to a microsecond timestamp here."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (spark.readStream
+              .schema(batch.schema)
+              .format("parquet")
+              .option("pathGlobFilter", "events.parquet")
+              .load(sf_dir))
+    return stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def hourly_event_counts(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type: count +
+    value sum.  Works on both batch and streaming DataFrames (the
+    streaming side adds the watermark to bound state)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("value_sum"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "value_sum"))
+
+
+def run_stream_to_completion(streaming_df: DataFrame,
+                             query_name: str | None = None) -> DataFrame:
+    """Drain a streaming aggregation with availableNow into a memory
+    sink and return the final result as a batch DataFrame."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (streaming_df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return streaming_df.sparkSession.table(name)
+
+
+def ingest_foreachbatch(spark: SparkSession, sf_dir: str,
+                        embed_dim: int = 8) -> DataFrame:
+    """S9/S10 streaming ingest demo: drain the events stream through
+    ``foreachBatch``, embedding each micro-batch's ``props`` payload
+    with the mock embedder and tallying per-batch row counts — the
+    reference's insert-endpoint analog with Spark semantics.
+
+    Returns one row per micro-batch: (batch_id, n_rows, n_embedded).
+    """
+    from python_vector_db___ai_spark.operators.embedding import mock_embedding
+
+    results: list[tuple[int, int, int]] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        embedded = batch_df.withColumn(
+            "embedding", mock_embedding(F.col("props"), dim=embed_dim))
+        n = embedded.count()
+        n_emb = embedded.filter(F.size("embedding") == embed_dim).count()
+        results.append((int(batch_id), int(n), int(n_emb)))
+
+    stream = read_events_stream(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (stream.writeStream
+         .foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.createDataFrame(
+        results or [(0, 0, 0)], "batch_id long, n_rows long, n_embedded long")
