@@ -25,12 +25,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from python_vector_db___ai_spark.plans.queries import all_queries  # noqa: E402
 from python_vector_db___ai_spark.session import get_spark  # noqa: E402
 
-# Headline set: one per operator family; grows as families land.
+# Headline set: one per operator family (SURVEY §2 coverage).
 HEADLINE = [
-    "knn_exact_cosine",
-    "knn_exact_l2",
-    "topk_similar_pairs",
-    "vector_norm_stats",
+    "knn_exact_cosine",        # J1/T2 exact batch kNN (BLAS local top-k)
+    "knn_exact_l2",            # exact kNN, L2
+    "ivf_search_cosine",       # X2 IVF pruned ANN search
+    "ann_recall_ivf",          # X6 recall harness (approx + exact)
+    "topk_similar_pairs",      # T3 all-pairs top-k
+    "ir_metrics_per_query",    # W1-W6 ranking metrics
+    "dedup_exact",             # exact dedup hash groupBy
+    "dedup_minhash_lsh",       # MinHash+LSH banding
+    "dedup_simhash_fingerprints",  # SimHash fingerprints
+    "text_lang_id",            # language ID heuristic
+    "text_quality",            # quality scoring
+    "chunk_chars_fixed",       # char chunker (pure expressions)
+    "mock_embed_docs",         # embedding pipeline (mock model)
+    "rag_context_build",       # RAG context assembly
+    "events_sessionization",   # gap sessionization window
+    "tpch_q1_pricing",         # relational aggregation
+    "tpch_q3_topk",            # 3-way join + top-k
 ]
 
 

@@ -49,11 +49,12 @@ def chunk_chars_fixed(df: DataFrame, size: int = 1000, overlap: int = 200,
     ).cast("int")
     starts = F.transform(F.sequence(F.lit(0), n_chunks - 1),
                          lambda i: i * stride)
-    out = df.select(
-        F.col(id_col),
+    # posexplode carries the text column along — no join, no shuffle:
+    # the whole chunker is one narrow codegen'd stage.
+    exploded = df.select(
+        F.col(id_col), F.col(text_col),
         F.posexplode(starts).alias("chunk_id", "start_char"))
-    return (out
-            .join(df.select(id_col, text_col), id_col)
+    return (exploded
             .select(
                 id_col,
                 F.col("chunk_id").cast("long").alias("chunk_id"),

@@ -1,0 +1,50 @@
+"""Physical-plan inspection helpers.
+
+The scale claims in this repo (pushdown, pruning, broadcast, no stray
+shuffles) are asserted in tests via these helpers rather than trusted —
+``.explain("formatted")`` as a unit-testable API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema clauses of every file scan — column-pruning witness."""
+    return [line.split("ReadSchema:", 1)[1].strip()
+            for line in formatted_plan(df).splitlines()
+            if "ReadSchema:" in line]
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters clauses of every file scan — pushdown witness."""
+    return [line.split("PushedFilters:", 1)[1].strip()
+            for line in formatted_plan(df).splitlines()
+            if "PushedFilters:" in line]
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan."""
+    plan = formatted_plan(df)
+    return sum(1 for line in plan.splitlines()
+               if "Exchange" in line and "Reused" not in line
+               and "BroadcastExchange" not in line)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return ("BroadcastHashJoin" in formatted_plan(df)
+            or "BroadcastNestedLoopJoin" in formatted_plan(df))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("WholeStageCodegen")

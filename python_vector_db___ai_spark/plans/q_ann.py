@@ -14,7 +14,7 @@ from python_vector_db___ai_spark.operators.ivf import (
     recall_against_exact,
 )
 from python_vector_db___ai_spark.operators.lsh import brp_lsh_knn
-from python_vector_db___ai_spark.operators.search import knn_join
+from python_vector_db___ai_spark.operators.search import knn_join_blas
 from python_vector_db___ai_spark.plans.q_vector import N_QUERIES, _cos_sql
 from python_vector_db___ai_spark.plans.queries import register
 from python_vector_db___ai_spark.session import load_table
@@ -126,7 +126,8 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("query_vec")))
     approx = ivf_search(queries, emb, nprobe=NPROBE, k=K, metric="cosine",
                         corpus_id="vec_id", cluster_col="label")
-    exact = knn_join(queries, emb, k=K, metric="cosine", corpus_id="vec_id")
+    exact = knn_join_blas(queries, emb, k=K, metric="cosine",
+                          corpus_id="vec_id")
     return recall_against_exact(approx, exact, corpus_id="vec_id")
 
 
@@ -145,7 +146,8 @@ def ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_search(queries, clustered, nprobe=NPROBE, k=K,
                         metric="cosine", corpus_id="vec_id",
                         cluster_col="cluster_id")
-    exact = knn_join(queries, emb, k=K, metric="cosine", corpus_id="vec_id")
+    exact = knn_join_blas(queries, emb, k=K, metric="cosine",
+                          corpus_id="vec_id")
     return recall_against_exact(approx, exact, corpus_id="vec_id")
 
 
@@ -161,7 +163,8 @@ def lsh_l2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     approx = brp_lsh_knn(queries, emb, k=K)
-    exact = knn_join(queries, emb, k=K, metric="l2", corpus_id="vec_id")
+    exact = knn_join_blas(queries, emb, k=K, metric="l2",
+                          corpus_id="vec_id")
     return recall_against_exact(approx, exact, corpus_id="vec_id")
 
 

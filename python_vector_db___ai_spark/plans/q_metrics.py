@@ -16,7 +16,7 @@ from python_vector_db___ai_spark.operators.metrics import (
     mean_metrics,
     ranking_metrics,
 )
-from python_vector_db___ai_spark.operators.search import knn_join
+from python_vector_db___ai_spark.operators.search import knn_join_blas
 from python_vector_db___ai_spark.plans.q_vector import N_QUERIES, _cos_sql
 from python_vector_db___ai_spark.plans.queries import register
 from python_vector_db___ai_spark.session import load_table
@@ -92,9 +92,9 @@ def _results_and_truth(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec"),
                        F.col("label").alias("qlabel")))
-    results = knn_join(queries.select("query_id", "query_vec"), emb, k=K,
-                       metric="cosine", corpus_id="vec_id",
-                       exclude_self=True)
+    results = knn_join_blas(queries.select("query_id", "query_vec"), emb, k=K,
+                            metric="cosine", corpus_id="vec_id",
+                            exclude_self=True)
     truth = (queries.select("query_id", "qlabel")
              .join(emb.select(F.col("vec_id"), F.col("label")),
                    F.col("label") == F.col("qlabel"))

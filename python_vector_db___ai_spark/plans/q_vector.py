@@ -15,7 +15,11 @@ from python_vector_db___ai_spark.functions.vector import (
     l2_normalize,
     vec_norm,
 )
-from python_vector_db___ai_spark.operators.search import knn_join, topk_pairs
+from python_vector_db___ai_spark.operators.search import (
+    knn_join,
+    knn_join_blas,
+    topk_pairs,
+)
 from python_vector_db___ai_spark.plans.queries import register
 from python_vector_db___ai_spark.session import load_table
 
@@ -63,8 +67,8 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {K}
 )
 def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join(_queries_df(spark, sf_dir), emb, k=K, metric="cosine",
-                    corpus_id="vec_id")
+    return knn_join_blas(_queries_df(spark, sf_dir), emb, k=K,
+                         metric="cosine", corpus_id="vec_id")
 
 
 @register(
@@ -88,8 +92,8 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {K}
 )
 def knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join(_queries_df(spark, sf_dir), emb, k=K, metric="l2",
-                    corpus_id="vec_id")
+    return knn_join_blas(_queries_df(spark, sf_dir), emb, k=K, metric="l2",
+                         corpus_id="vec_id")
 
 
 @register(

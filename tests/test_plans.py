@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the scale properties this repo claims
+(pushdown, pruning, broadcast, shuffle counts) are tested, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.chunking import chunk_chars_fixed
+from python_vector_db___ai_spark.operators.crud import get_by_ids
+from python_vector_db___ai_spark.operators.search import knn_join, knn_join_blas
+from python_vector_db___ai_spark.plans.explain import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schemas,
+)
+from python_vector_db___ai_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # Other test modules may have cached this table; a cache hit would
+    # replace the parquet scan with InMemoryTableScan and hide the
+    # pruning/pushdown behavior these tests assert.
+    spark.catalog.clearCache()
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_point_lookup_pushes_filter(docs):
+    plan_filters = pushed_filters(get_by_ids(docs, [3, 17]))
+    assert any("doc_id" in f and ("In(" in f or "EqualTo" in f)
+               for f in plan_filters), plan_filters
+
+
+def test_knn_blas_prunes_corpus_scan(emb, spark):
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = knn_join_blas(q, emb, k=5, corpus_id="vec_id")
+    schemas = scan_read_schemas(out)
+    # the corpus-side scan must not read the unused `label` column
+    assert any("embedding" in s and "label" not in s for s in schemas), schemas
+
+
+def test_knn_expr_broadcasts_queries(emb):
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = knn_join(q, emb, k=5, corpus_id="vec_id")
+    assert has_broadcast_join(out)
+
+
+def test_chunker_has_no_shuffle(docs):
+    out = chunk_chars_fixed(docs, size=200, overlap=50)
+    assert count_exchanges(out) == 0, formatted_plan(out)
+
+
+def test_metadata_filter_pushdown(docs):
+    filtered = docs.filter(F.col("lang") == "en").select("doc_id")
+    plan_filters = pushed_filters(filtered)
+    assert any("lang" in f for f in plan_filters), plan_filters
