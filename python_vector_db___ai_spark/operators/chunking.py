@@ -157,6 +157,162 @@ def chunk_chars_boundary(df: DataFrame, size: int = 1000, overlap: int = 200,
                     F.col("c.end_char"), F.col("c.chunk_text")))
 
 
+def chunk_tokens_fixed(df: DataFrame, max_tokens: int = 1000,
+                       overlap: int = 100, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """F11 token-window chunking (day_10/chunkers/token_chunker.py:60-176
+    defaults: 1000 tokens, 100 overlap), whitespace tokens, pure
+    expressions.  Chunk text is the tokens re-joined with single spaces
+    (original inter-token whitespace is not preserved — the reference
+    reconstructs from tokens too)."""
+    stride = max_tokens - overlap
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    with_ws = df.select(F.col(id_col), ws.alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= max_tokens, F.lit(1)) \
+        .otherwise(F.ceil((n - max_tokens).cast("double") / stride) + 1) \
+        .cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    exploded = (with_ws.filter(n > 0)
+                .select(id_col, "toks", n_chunks.alias("_nc"),
+                        F.posexplode(idx).alias("chunk_id", "_i")))
+    toks = F.slice(F.col("toks"), F.col("_i") * stride + 1, max_tokens)
+    return (exploded.filter(F.col("chunk_id") < F.col("_nc"))
+            .select(id_col,
+                    F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.concat_ws(" ", toks).alias("chunk_text"),
+                    F.size(toks).cast("long").alias("token_count"),
+                    (F.col("_i") * stride).cast("long").alias("start_token")))
+
+
+def chunk_paragraphs(df: DataFrame, max_paragraphs: int = 3,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     min_paragraph_chars: int = 50) -> DataFrame:
+    """F13 paragraph chunking (day_10/chunkers/sentence_chunker.py:364-433):
+    split on blank lines, drop short paragraphs (P9), group
+    ``max_paragraphs`` per chunk (no overlap)."""
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n\n+"), lambda p: F.trim(p)),
+        lambda p: F.length(p) >= min_paragraph_chars)
+    with_p = df.select(F.col(id_col), paras.alias("paras"))
+    n = F.size("paras")
+    n_chunks = F.ceil(n.cast("double") / max_paragraphs).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    exploded = (with_p.filter(n > 0)
+                .select(id_col, "paras", n_chunks.alias("_nc"),
+                        F.posexplode(idx).alias("chunk_id", "_i")))
+    chunk_paras = F.slice(F.col("paras"),
+                          F.col("_i") * max_paragraphs + 1, max_paragraphs)
+    return (exploded.filter(F.col("chunk_id") < F.col("_nc"))
+            .select(id_col,
+                    F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.concat_ws("\n\n", chunk_paras).alias("chunk_text"),
+                    F.size(chunk_paras).cast("long").alias("paragraph_count")))
+
+
+def detect_content_type(text) -> "Column":
+    """F8 content-type detection (day_10/chunkers/hybrid_chunker.py:27-90):
+    regex-bank cascade -> code / table / list / header / prose."""
+    return (F.when(text.contains("```")
+                   | text.rlike(r"(?m)^(def |class |import |from \w+ import)"),
+                   "code")
+            .when(text.rlike(r"(?m)^\|.*\|"), "table")
+            .when(text.rlike(r"(?m)^\s*[-*+] "), "list")
+            .when(text.rlike(r"(?m)^#{1,6} "), "header")
+            .otherwise("prose"))
+
+
+def chunk_hybrid(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", **kwargs) -> DataFrame:
+    """F15 hybrid dispatch (day_10/chunkers/hybrid_chunker.py:136-199):
+    detect content type, route code/tables to paragraph-preserving
+    chunking and prose to sentence windows; output records the
+    strategy.  Union of two filtered branches — each branch stays a
+    narrow pipeline, so the dispatch costs one extra scan, not a
+    shuffle."""
+    typed = df.withColumn("_ct", detect_content_type(F.col(text_col)))
+    structured = typed.filter(F.col("_ct").isin("code", "table"))
+    prose = typed.filter(~F.col("_ct").isin("code", "table"))
+    a = (chunk_paragraphs(structured, text_col=text_col, id_col=id_col,
+                          min_paragraph_chars=1)
+         .withColumn("strategy", F.lit("paragraph"))
+         .select(id_col, "chunk_id", "chunk_text", "strategy"))
+    b = (chunk_sentences_fixed(prose, text_col=text_col, id_col=id_col,
+                               **kwargs)
+         .withColumn("strategy", F.lit("sentence"))
+         .select(id_col, "chunk_id", "chunk_text", "strategy"))
+    return a.unionByName(b)
+
+
+_SEM_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("chunk_id", T.LongType()),
+    T.StructField("chunk_text", T.StringType()),
+    T.StructField("n_sentences", T.LongType()),
+]))
+
+
+def chunk_semantic(df: DataFrame, threshold: float = 0.7,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   dim: int = 8) -> DataFrame:
+    """F14 semantic sentence grouping
+    (day_10/chunkers/sentence_chunker.py:257-362): greedy seed-and-grow
+    clustering of sentences by embedding cosine >= threshold.
+
+    Greedy and stateful => sequential per document (SURVEY §7 hard
+    parts), so it runs inside a pandas UDF with the deterministic mock
+    embedder; parallelism is across documents.
+    """
+    import numpy as np
+
+    from python_vector_db___ai_spark.operators.embedding import MOCK_DIM  # noqa: F401
+
+    def _mock_vec(s: str) -> "np.ndarray":
+        import hashlib
+
+        comps = []
+        for i in range(dim):
+            # same keying as operators.embedding.mock_embedding
+            h = hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:15]
+            comps.append((int(h, 16) % 2000) / 1000.0 - 1.0)
+        v = np.array(comps)
+        n = np.linalg.norm(v)
+        return v / n if n > 1e-12 else v
+
+    def _group(text: str) -> list[tuple[int, str, int]]:
+        import re
+
+        sents = [s.strip() for s in re.split(r"[.!?]\s+", text or "")
+                 if len(s.strip()) >= 10]
+        if not sents:
+            return []
+        vecs = np.array([_mock_vec(s) for s in sents])
+        used = [False] * len(sents)
+        chunks = []
+        cid = 0
+        for i in range(len(sents)):
+            if used[i]:
+                continue
+            group = [i]
+            used[i] = True
+            for j in range(i + 1, len(sents)):
+                if not used[j] and float(vecs[i] @ vecs[j]) >= threshold:
+                    group.append(j)
+                    used[j] = True
+            chunks.append((cid, " ".join(sents[g] for g in group), len(group)))
+            cid += 1
+        return chunks
+
+    @F.pandas_udf(_SEM_SCHEMA)
+    def grouper(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            yield batch.map(_group)
+
+    return (df.select(F.col(id_col),
+                      F.explode(grouper(F.col(text_col))).alias("c"))
+            .select(id_col, F.col("c.chunk_id"), F.col("c.chunk_text"),
+                    F.col("c.n_sentences")))
+
+
 def chunk_stats(chunks: DataFrame, id_col: str = "doc_id",
                 text_col: str = "chunk_text") -> DataFrame:
     """A4 chunk statistics (day_10/chunkers/token_chunker.py:178-194):

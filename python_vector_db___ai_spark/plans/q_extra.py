@@ -1,0 +1,230 @@
+"""Coverage-completing queries: token/paragraph/hybrid/semantic
+chunkers, the filtered-search lifecycle (SURVEY §3.1), day-5 euclidean
+similarity with its global-max normalizer (A10), and chunk word
+coverage (A8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.chunking import (
+    chunk_chars_fixed,
+    chunk_hybrid,
+    chunk_paragraphs,
+    chunk_semantic,
+    chunk_tokens_fixed,
+)
+from python_vector_db___ai_spark.operators.search import (
+    apply_metadata_filter,
+    search,
+)
+from python_vector_db___ai_spark.plans.q_vector import _cos_sql
+from python_vector_db___ai_spark.plans.queries import register
+from python_vector_db___ai_spark.session import load_table
+
+_MT, _TOVL = 40, 10          # small enough that the word-soup docs multi-chunk
+_TSTRIDE = _MT - _TOVL
+
+
+@register(
+    "chunk_tokens_fixed",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         CASE WHEN len(toks) <= 0 THEN 0
+              WHEN len(toks) <= {_MT} THEN 1
+              ELSE CAST(ceil((len(toks) - {_MT}) * 1.0 / {_TSTRIDE}) AS INT) + 1
+         END AS n_chunks
+  FROM t WHERE len(toks) > 0
+), e AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       array_to_string(toks[chunk_id * {_TSTRIDE} + 1
+                             : chunk_id * {_TSTRIDE} + {_MT}], ' ') AS chunk_text,
+       len(toks[chunk_id * {_TSTRIDE} + 1
+                 : chunk_id * {_TSTRIDE} + {_MT}])::BIGINT AS token_count,
+       (chunk_id * {_TSTRIDE})::BIGINT AS start_token
+FROM e
+""",
+    doc="F11 token-window chunking (max 40 tokens, overlap 10) — pure "
+        "expressions, whitespace tokens",
+)
+def q_chunk_tokens_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens_fixed(docs, max_tokens=_MT, overlap=_TOVL)
+
+
+@register(
+    "chunk_paragraphs",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '\\n\\n+'),
+                                    x -> trim(x)),
+                     x -> length(x) >= 50) AS paras
+  FROM documents
+), n AS (
+  SELECT doc_id, paras,
+         CAST(ceil(len(paras) * 1.0 / 3) AS INT) AS n_chunks
+  FROM p WHERE len(paras) > 0
+), e AS (
+  SELECT doc_id, paras, unnest(range(0, n_chunks)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       array_to_string(paras[chunk_id * 3 + 1 : chunk_id * 3 + 3],
+                       chr(10) || chr(10)) AS chunk_text,
+       len(paras[chunk_id * 3 + 1 : chunk_id * 3 + 3])::BIGINT AS paragraph_count
+FROM e
+""",
+    doc="F13 paragraph chunking (blank-line split, max 3, min 50 chars)",
+)
+def q_chunk_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_paragraphs(docs, max_paragraphs=3)
+
+
+@register(
+    "chunk_hybrid",
+    oracle=None,   # two-branch dispatch; branches covered by their own oracles
+    doc="F8/F15 hybrid dispatch: content-type detection routes code/table "
+        "to paragraph chunking, prose to sentence windows",
+)
+def q_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_hybrid(docs)
+
+
+@register(
+    "chunk_semantic",
+    oracle=None,   # greedy stateful per-document algorithm (pandas UDF)
+    doc="F14 greedy semantic sentence grouping (cosine >= 0.7, mock "
+        "embeddings, sequential per doc / parallel across docs)",
+)
+def q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_semantic(docs, threshold=0.7)
+
+
+@register(
+    "search_filtered",
+    oracle=f"""
+WITH corpus AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, d.lang, d.source
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT c.vec_id, c.lang,
+       round({_cos_sql('q.qv', 'c.cv')}, 6) AS score
+FROM corpus c CROSS JOIN q
+WHERE c.lang = 'en'
+ORDER BY score DESC, c.vec_id ASC
+LIMIT 10
+""",
+    doc="§3.1 search lifecycle: metadata map filter (P3) -> cosine -> "
+        "TakeOrderedAndProject; filter pushes below the scoring",
+)
+def q_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (emb.join(docs.select(F.col("doc_id").alias("vec_id"),
+                                   "lang", "source"), "vec_id")
+              .withColumn("metadata",
+                          F.create_map(F.lit("lang"), F.col("lang"),
+                                       F.lit("source"), F.col("source"))))
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    filtered = apply_metadata_filter(corpus, {"lang": "en"})
+    hits = search(filtered, qvec, k=10, metric="cosine", corpus_id="vec_id")
+    return hits.select("vec_id", "lang", F.round("score", 6).alias("score"))
+
+
+_EPAIR_N = 100
+
+
+@register(
+    "pairs_euclidean_similarity",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev
+  FROM embeddings WHERE vec_id < {_EPAIR_N}
+), d AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         list_distance(a.ev, b.ev) AS dist
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), m AS (SELECT max(dist) AS max_d FROM d)
+SELECT i, j,
+       round(1.0 - dist / max_d, 6) AS similarity
+FROM d, m
+ORDER BY similarity DESC, i ASC, j ASC
+LIMIT 20
+""",
+    doc="V4 day_5 variant: 1 - d/max(d) similarity with the global-max "
+        "aggregation broadcast back (A10)",
+)
+def q_pairs_euclidean_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.functions.vector import l2_distance
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < _EPAIR_N))
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    d = (a.join(b, F.col("i") < F.col("j"))
+         .select("i", "j", l2_distance(F.col("va"), F.col("vb")).alias("dist")))
+    max_d = d.agg(F.max("dist").alias("max_d"))
+    return (d.crossJoin(F.broadcast(max_d))
+            .select("i", "j",
+                    F.round(1.0 - F.col("dist") / F.col("max_d"), 6)
+                    .alias("similarity"))
+            .orderBy(F.col("similarity").desc(), F.col("i").asc(),
+                     F.col("j").asc())
+            .limit(20))
+
+
+@register(
+    "chunk_word_coverage",
+    oracle="""
+WITH chunks AS (
+  SELECT doc_id,
+         CAST(floor((i - 1) / 150) AS BIGINT) AS chunk_id,
+         substr(text, i, 200) AS chunk_text, text
+  FROM documents,
+       unnest(list_transform(
+         range(0, CASE WHEN length(text) <= 200 THEN 1
+                       ELSE CAST(ceil((length(text) - 200) / 150.0) AS INT) + 1
+                  END),
+         k -> k * 150 + 1)) AS u(i)
+), cov AS (
+  SELECT doc_id, chunk_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(chunk_text),
+                                                         '\\s+'),
+                                   w -> w <> '')) AS cw,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   w -> w <> '')) AS dw
+  FROM chunks
+)
+SELECT doc_id, chunk_id,
+       round(len(list_intersect(cw, dw)) * 1.0 / len(dw), 6) AS word_coverage
+FROM cov WHERE len(dw) > 0
+""",
+    doc="A8 chunk-vs-source word coverage ratio "
+        "(day_10/utils/evaluation.py:152-160)",
+)
+def q_chunk_word_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_chars_fixed(docs, size=200, overlap=50)
+    joined = chunks.join(docs.select("doc_id", "text"), "doc_id")
+    def wordset(c):
+        return F.array_distinct(
+            F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != ""))
+    cw, dw = wordset(F.col("chunk_text")), wordset(F.col("text"))
+    return (joined
+            .select("doc_id", "chunk_id",
+                    F.round(F.size(F.array_intersect(cw, dw))
+                            / F.size(dw), 6).alias("word_coverage"))
+            .filter(F.size(dw) > 0))

@@ -44,6 +44,7 @@ def all_queries() -> dict[str, Query]:
         q_ann,
         q_crud,
         q_dedup,
+        q_extra,
         q_metrics,
         q_misc,
         q_pipeline,

@@ -1,0 +1,84 @@
+"""Reader/writer round-trip tests (S1-S8, S13, S14, X8)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.sources.readers import (
+    fetch_urls,
+    load_embeddings,
+    read_documents_dir,
+    read_wide_vector_csv,
+)
+from python_vector_db___ai_spark.sources.writers import (
+    append_query_log,
+    estimate_index_memory_bytes,
+    export_embeddings,
+)
+
+
+def test_wide_vector_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "vec.csv"
+    p.write_text(
+        "vector_id,category,dim_0,dim_1,dim_2\n"
+        "v1,A,1.0,2.0,3.0\n"
+        "v2,B,4.0,,6.0\n"          # null component -> dropped (P2)
+        "v3,A,7.0,8.0,9.0\n")
+    df = read_wide_vector_csv(spark, str(p))
+    rows = {r.vector_id: r.vector for r in df.collect()}
+    assert set(rows) == {"v1", "v3"}
+    assert rows["v1"] == [1.0, 2.0, 3.0]
+
+
+def test_documents_dir_wholetext(spark, tmp_path):
+    sub = tmp_path / "docs" / "nested"
+    sub.mkdir(parents=True)
+    (tmp_path / "docs" / "a.txt").write_text("alpha doc\nwith two lines")
+    (sub / "b.txt").write_text("beta doc")
+    (sub / "c.md").write_text("ignored")
+    df = read_documents_dir(spark, str(tmp_path / "docs"))
+    got = {os.path.basename(r.path): r.text for r in df.collect()}
+    assert got == {"a.txt": "alpha doc\nwith two lines", "b.txt": "beta doc"}
+
+
+def test_export_import_embeddings(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])], ["vec_id", "embedding"])
+    pq = str(tmp_path / "emb_parquet")
+    export_embeddings(df, pq, "parquet")
+    back = load_embeddings(spark, pq, "parquet")
+    assert back.count() == 2
+
+    cv = str(tmp_path / "emb_csv")
+    export_embeddings(df, cv, "csv")
+    back_csv = load_embeddings(spark, cv, "csv")
+    rows = {r.vec_id: r.embedding for r in back_csv.collect()}
+    assert rows[1] == pytest.approx([0.1, 0.2])
+
+
+def test_append_query_log(spark, tmp_path):
+    log = str(tmp_path / "qlog")
+    df = spark.createDataFrame([("q1", "hello")], ["query_id", "answer"])
+    append_query_log(df, log)
+    append_query_log(df, log)
+    back = spark.read.parquet(log)
+    assert back.count() == 2
+    assert "logged_at" in back.columns
+
+
+def test_fetch_urls_with_fake_fetcher(spark):
+    urls = [f"http://x/{i}" for i in range(5)]
+    out = fetch_urls(spark, urls, fetch_fn=lambda u: f"body-of-{u[-1]}")
+    got = {r.url: r.body for r in out.collect()}
+    assert got["http://x/3"] == "body-of-3"
+    assert len(got) == 5
+
+
+def test_memory_estimation():
+    # X8 formula: flat = n*dim*4; hnsw adds n*32*4
+    assert estimate_index_memory_bytes(50000, 384, "flat") == 50000 * 384 * 4
+    assert (estimate_index_memory_bytes(50000, 384, "hnsw")
+            == 50000 * 384 * 4 + 50000 * 32 * 4)
