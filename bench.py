@@ -65,15 +65,81 @@ def main() -> None:
         qs[name].spark_fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    ann = ann_benchmark(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "ann": ann,
         "sf": sf,
     }))
     spark.stop()
+
+
+def ann_benchmark(spark, sf_dir: str) -> dict:
+    """The day-6 benchmark shape (BASELINE.md): a 100-query batch kNN
+    at k=10, exact vs IVF vs LSH, with recall@10 measured against the
+    exact scan."""
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.ivf import (
+        ivf_search,
+        recall_against_exact,
+    )
+    from python_vector_db___ai_spark.operators.lsh import brp_lsh_knn
+    from python_vector_db___ai_spark.operators.search import knn_join_blas
+    from python_vector_db___ai_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    queries = (emb.filter(F.col("vec_id") < 100)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+
+    out: dict = {"n_queries": 100, "k": 10}
+
+    t0 = time.perf_counter()
+    exact = knn_join_blas(queries, emb, k=10, metric="cosine",
+                          corpus_id="vec_id")
+    exact_rows = exact.collect()
+    out["exact_sec"] = round(time.perf_counter() - t0, 4)
+    exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
+
+    # Index build (centroids) reported separately, like the reference's
+    # build-vs-search split (day6_performance_summary.csv).
+    from python_vector_db___ai_spark.operators.ivf import build_centroids
+
+    t0 = time.perf_counter()
+    centroids = build_centroids(emb, cluster_col="label",
+                                vec_col="embedding").cache()
+    centroids.count()
+    out["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    ivf = ivf_search(queries, emb, centroids=centroids, nprobe=3, k=10,
+                     metric="cosine", corpus_id="vec_id", cluster_col="label")
+    ivf_rows = ivf.collect()
+    out["ivf_sec"] = round(time.perf_counter() - t0, 4)
+    ivf_cached = spark.createDataFrame(ivf_rows, ivf.schema)
+    out["ivf_recall"] = round(
+        recall_against_exact(ivf_cached, exact_cached, corpus_id="vec_id")
+        .agg(F.avg("recall")).collect()[0][0], 4)
+
+    t0 = time.perf_counter()
+    exact_l2 = knn_join_blas(queries, emb, k=10, metric="l2",
+                             corpus_id="vec_id")
+    lsh = brp_lsh_knn(queries, emb, k=10)
+    lsh_rows = lsh.collect()
+    out["lsh_sec"] = round(time.perf_counter() - t0, 4)
+    lsh_cached = spark.createDataFrame(lsh_rows, lsh.schema)
+    out["lsh_recall"] = round(
+        recall_against_exact(lsh_cached, exact_l2, corpus_id="vec_id")
+        .agg(F.avg("recall")).collect()[0][0], 4)
+    emb.unpersist()
+    return out
 
 
 if __name__ == "__main__":

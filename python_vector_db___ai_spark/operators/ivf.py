@@ -73,28 +73,84 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
                query_id: str = "query_id", query_vec: str = "query_vec",
                corpus_id: str = "id", corpus_vec: str = "embedding",
                cluster_col: str = "label",
-               round_to: int | None = 6) -> DataFrame:
+               round_to: int | None = 6,
+               impl: str = "blas") -> DataFrame:
     """IVF search: probe -> prune (equi-join on cluster) -> exact score
     within the probed clusters -> per-query top-k.
 
     Scans ~``nprobe/nlist`` of the corpus; with the corpus partitioned
-    by ``cluster_col`` the pruning happens at the scan.
+    by ``cluster_col`` the pruning happens at the scan.  ``impl="blas"``
+    scores the pruned candidate pairs with a vectorized NumPy kernel
+    and keeps local top-k before the final merge (same trick as
+    ``search.knn_join_blas``, identical results); ``impl="expr"`` stays
+    pure-expression.
     """
     if centroids is None:
         centroids = build_centroids(corpus, cluster_col, corpus_vec, round_to)
     probes = probe_clusters(queries, centroids, nprobe, metric,
                             query_id, query_vec, cluster_col, round_to)
     cand = corpus.join(F.broadcast(probes), cluster_col)
-    score, desc = score_column(metric, F.col(query_vec), F.col(corpus_vec))
-    if round_to is not None:
-        score = F.round(score, round_to)
+    desc_order = metric in ("cosine", "inner_product", "euclidean_similarity")
     w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc() if desc else F.col("score").asc(),
+        F.col("score").desc() if desc_order else F.col("score").asc(),
         F.col(corpus_id).asc())
-    return (cand.withColumn("score", score)
+
+    if impl == "blas":
+        scored = _score_pairs_blas(
+            cand.select(query_id, corpus_id, query_vec, corpus_vec),
+            k, metric, query_id, query_vec, corpus_id, corpus_vec,
+            round_to or 6, desc_order)
+    else:
+        score, _ = score_column(metric, F.col(query_vec), F.col(corpus_vec))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = cand.withColumn("score", score)
+    return (scored
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "score", "rank"))
+
+
+def _score_pairs_blas(pairs: DataFrame, k: int, metric: str, query_id: str,
+                      query_vec: str, corpus_id: str, corpus_vec: str,
+                      round_to: int, desc: bool) -> DataFrame:
+    """Vectorized (query, candidate) pair scoring + per-batch local
+    top-k — the Arrow-side half of the pruned IVF scan."""
+    import numpy as np
+
+    if metric not in ("cosine", "l2", "inner_product", "neg_inner_product"):
+        raise ValueError(f"metric {metric!r} not supported by the BLAS path")
+
+    def op(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf[query_vec].tolist(), dtype=np.float64)
+            C = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            dot = np.einsum("ij,ij->i", Q, C)
+            if metric == "cosine":
+                qn = np.linalg.norm(Q, axis=1)
+                cn = np.linalg.norm(C, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = dot / (qn * cn)
+                s[(qn <= 1e-12) | (cn <= 1e-12)] = 0.0
+            elif metric == "l2":
+                s = np.sqrt(np.clip(
+                    np.einsum("ij,ij->i", Q, Q)
+                    + np.einsum("ij,ij->i", C, C) - 2.0 * dot, 0.0, None))
+            elif metric == "neg_inner_product":
+                s = -dot
+            else:
+                s = dot
+            out = pdf[[query_id, corpus_id]].copy()
+            out["score"] = np.round(s, round_to)
+            out = out.sort_values(
+                [query_id, "score", corpus_id],
+                ascending=[True, not desc, True])
+            yield out.groupby(query_id, sort=False).head(k)
+
+    return pairs.mapInPandas(
+        op, schema=f"{query_id} long, {corpus_id} long, score double")
 
 
 def recall_against_exact(approx: DataFrame, exact: DataFrame,
