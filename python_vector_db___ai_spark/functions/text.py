@@ -200,6 +200,80 @@ def quality_score(c: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Gated real-library kernels (import-try; hermetic fallbacks above)
+
+
+def tiktoken_count_udf(encoding: str = "cl100k_base"):
+    """F10: exact BPE token counts via tiktoken
+    (day_10/chunkers/token_chunker.py:56-58).  Raises ImportError when
+    the library is absent — ``token_counts`` is the hermetic fallback."""
+    import importlib.util
+
+    if importlib.util.find_spec("tiktoken") is None:
+        raise ImportError("tiktoken not installed; use token_counts()")
+
+    from typing import Iterator
+
+    @F.pandas_udf(T.LongType())
+    def count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import tiktoken
+
+        enc = tiktoken.get_encoding(encoding)   # once per worker
+        for batch in batches:
+            yield batch.map(lambda t: len(enc.encode(t or "")))
+
+    return count
+
+
+def nltk_sentences_udf():
+    """F9: NLTK ``sent_tokenize``
+    (day_10/chunkers/sentence_chunker.py:57-127).  Raises ImportError
+    when absent — the ``[.!?]\\s+`` regex split in
+    ``operators.chunking`` is the fallback path."""
+    import importlib.util
+
+    if importlib.util.find_spec("nltk") is None:
+        raise ImportError("nltk not installed; use the regex sentence split")
+
+    from typing import Iterator
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def split(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from nltk.tokenize import sent_tokenize
+
+        for batch in batches:
+            yield batch.map(lambda t: sent_tokenize(t or ""))
+
+    return split
+
+
+def pdf_extract_udf():
+    """S7: per-page PDF text extraction over binaryFile content
+    (day_15/main.py:69-79, day_10/utils/text_processor.py:290-309).
+    Raises ImportError when PyPDF2 is absent."""
+    import importlib.util
+
+    if importlib.util.find_spec("PyPDF2") is None:
+        raise ImportError("PyPDF2 not installed; PDF extraction unavailable")
+
+    import io
+    from typing import Iterator
+
+    @F.pandas_udf(T.StringType())
+    def extract(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import PyPDF2
+
+        def one(data: bytes) -> str:
+            reader = PyPDF2.PdfReader(io.BytesIO(data))
+            return "\n".join(page.extract_text() or "" for page in reader.pages)
+
+        for batch in batches:
+            yield batch.map(one)
+
+    return extract
+
+
+# --------------------------------------------------------------------------
 # Token counting
 
 _BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"

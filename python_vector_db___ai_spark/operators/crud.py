@@ -62,6 +62,40 @@ def insert_tally(updates: DataFrame, text_col: str = "text",
         F.sum((~ok).cast("int")).cast("long").alias("failed"))
 
 
+def format_results(df: DataFrame, include_content: bool = True,
+                   include_scores: bool = True,
+                   preview_chars: int | None = 200,
+                   text_col: str = "text",
+                   score_col: str = "score") -> DataFrame:
+    """P10/P11 response shaping (day_12/src/main.py:99,
+    day_9/models/schemas.py:50): optional content preview truncation and
+    conditional include flags — projection-level, so Catalyst prunes the
+    dropped columns out of the scan."""
+    out = df
+    if include_content:
+        if preview_chars is not None and text_col in df.columns:
+            out = out.withColumn(
+                "content_preview", F.substring(F.col(text_col), 1, preview_chars)
+            ).drop(text_col)
+    elif text_col in df.columns:
+        out = out.drop(text_col)
+    if not include_scores and score_col in out.columns:
+        out = out.drop(score_col)
+    return out
+
+
+def query_history_stats(log: DataFrame,
+                        time_col: str = "retrieval_time") -> DataFrame:
+    """A12 pipeline timing stats over the S13 audit log
+    (day_12/src/main.py:455-477, day_13/src/main.py:310-319):
+    avg/total processing time and queries-per-second."""
+    return log.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg(time_col), 6).alias("avg_time_sec"),
+        F.round(F.sum(time_col), 6).alias("total_time_sec"),
+        F.round(F.count("*") / F.sum(time_col), 6).alias("qps"))
+
+
 def collection_stats(df: DataFrame, text_col: str = "text",
                      key: str = "doc_id") -> DataFrame:
     """A1-A3 collection statistics (day_9/database/vector_ops.py:251-258
