@@ -54,8 +54,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # Warm-up: JVM + parquet footer reads don't belong to any query.
-    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    # Warm-up: JVM codegen, Python worker pool, and parquet footers
+    # don't belong to any query — prime each execution path once.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb.count()
+    emb.limit(64).mapInPandas(lambda it: it, schema=emb.schema).count()
+    (emb.limit(64)
+     .withColumn("_r", F.row_number().over(Window.orderBy("vec_id")))
+     .count())
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

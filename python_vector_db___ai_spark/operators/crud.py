@@ -62,6 +62,39 @@ def insert_tally(updates: DataFrame, text_col: str = "text",
         F.sum((~ok).cast("int")).cast("long").alias("failed"))
 
 
+def salted_agg(df: DataFrame, key: str, aggs: dict[str, str],
+               n_salts: int = 16) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys (SURVEY §7: 'skewed
+    keys -> salting').
+
+    Phase 1 aggregates on ``(key, salt)`` — the hot key's rows spread
+    over ``n_salts`` reducers — phase 2 merges the partials on ``key``.
+    ``aggs`` maps column -> 'sum'|'count'|'min'|'max' (the decomposable
+    aggregates; avg = sum/count at the call site).  AQE's skew handling
+    covers joins; this covers aggregations.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    phase1_aggs, phase2_aggs = [], []
+    for col, how in aggs.items():
+        partial = f"_p_{col}"
+        if how == "count":
+            phase1_aggs.append(F.count(col).alias(partial))
+            phase2_aggs.append(F.sum(partial).cast("long").alias(f"count_{col}"))
+        elif how == "sum":
+            phase1_aggs.append(F.sum(col).alias(partial))
+            phase2_aggs.append(F.sum(partial).alias(f"sum_{col}"))
+        elif how == "min":
+            phase1_aggs.append(F.min(col).alias(partial))
+            phase2_aggs.append(F.min(partial).alias(f"min_{col}"))
+        elif how == "max":
+            phase1_aggs.append(F.max(col).alias(partial))
+            phase2_aggs.append(F.max(partial).alias(f"max_{col}"))
+        else:
+            raise ValueError(f"non-decomposable aggregate {how!r}")
+    return (salted.groupBy(key, "_salt").agg(*phase1_aggs)
+            .groupBy(key).agg(*phase2_aggs))
+
+
 def format_results(df: DataFrame, include_content: bool = True,
                    include_scores: bool = True,
                    preview_chars: int | None = 200,

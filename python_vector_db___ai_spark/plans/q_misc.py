@@ -49,6 +49,27 @@ def stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events GROUP BY user_id
+""",
+    doc="custom stateful streaming operator (applyInPandasWithState): "
+        "per-user running totals, final state must equal the batch agg",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.streaming.stateful import (
+        run_stateful_to_completion,
+        running_user_totals,
+    )
+    from python_vector_db___ai_spark.streaming.ingest import read_events_stream
+
+    return run_stateful_to_completion(
+        running_user_totals(read_events_stream(spark, sf_dir)))
+
+
+@register(
     "multimodal_modality_stats",
     oracle="""
 WITH mm AS (
