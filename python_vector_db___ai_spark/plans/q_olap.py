@@ -1,0 +1,99 @@
+"""OLAP-surface queries beyond the reference's own operators: rollup,
+JSON extraction, range-frame moving averages, distinct counts — the
+aggregation vocabulary a training-data pipeline's reporting layer needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.plans.queries import register
+from python_vector_db___ai_spark.session import load_table
+
+
+@register(
+    "events_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events
+GROUP BY ROLLUP(event_type, CAST(extract(hour FROM ts) AS INT))
+""",
+    doc="ROLLUP aggregation: (type, hour) -> (type) -> grand total in one pass",
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.withColumn("hour_of_day", F.hour("ts").cast("int"))
+            .rollup("event_type", "hour_of_day")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("value_sum")))
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY event_type
+""",
+    doc="P4-style JSON payload extraction (get_json_object) + aggregation",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.min("k").cast("long").alias("min_k"),
+                 F.max("k").cast("long").alias("max_k")))
+
+
+@register(
+    "events_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6)
+         AS value_ma_1h
+FROM events
+WHERE user_id < 20
+""",
+    doc="RANGE-frame window: per-user 1-hour trailing moving average",
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, 0))
+    return ev.select("event_id", "user_id",
+                     F.round(F.avg("value").over(w), 6).alias("value_ma_1h"))
+
+
+@register(
+    "doc_source_distinct",
+    oracle="""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       count(DISTINCT md5(text))::BIGINT AS n_unique_contents
+FROM documents GROUP BY lang
+""",
+    doc="A3 distinct-count statistics per metadata key "
+        "(approx_count_distinct swaps in at scale)",
+)
+def doc_source_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.functions.hashing import md5_hex
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("source").cast("long").alias("n_sources"),
+                 F.countDistinct(md5_hex(F.col("text"))).cast("long")
+                 .alias("n_unique_contents")))

@@ -47,6 +47,7 @@ def all_queries() -> dict[str, Query]:
         q_extra,
         q_metrics,
         q_misc,
+        q_olap,
         q_pipeline,
         q_text,
         q_vector,
