@@ -134,9 +134,9 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_discount), 6) AS avg_disc,
        count(*)::BIGINT AS count_order
@@ -150,10 +150,13 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 # sums of ~1e9 magnitude: 6-decimal rounding exceeds
+                 # double precision and breaks under partial-sum
+                 # reordering — 2 decimals is the stable choice
                  F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 6)
+                               * (1 - F.col("l_discount"))), 2)
                  .alias("sum_disc_price"),
                  F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
