@@ -133,7 +133,11 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     ``jaccard >= verify_threshold``.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, num_hashes, shingle_n, text_col, id_col)
+    # The signature frame feeds banding AND both sides of the verify
+    # join — cache it so the 16 md5 min-hashes run once per doc.  (At
+    # cluster scale this would be a checkpoint/table write instead.)
+    sigs = minhash_signature(df, num_hashes, shingle_n, text_col, id_col) \
+        .cache()
     band_cols = []
     for b in range(bands):
         band_slice = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
