@@ -64,6 +64,7 @@ def ranking_metrics(results: DataFrame, relevant: DataFrame, k: int = 10,
         flagged.groupBy(query_col)
         .agg(
             F.sum(F.when(at_k, F.col("rel")).otherwise(0)).alias("rel_at_k"),
+            F.sum(F.when(at_k, 1).otherwise(0)).alias("n_at_k"),
             F.sum(F.when(F.col("rel") == 1,
                          F.col("cum_rel") / F.col(rank_col))).alias("ap_num"),
             F.max(F.when(F.col("rel") == 1,
@@ -82,7 +83,12 @@ def ranking_metrics(results: DataFrame, relevant: DataFrame, k: int = 10,
         F.lit(0.0),
         lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
     )
-    p = F.col("rel_at_k").cast("double") / k
+    # The reference divides by len(top_k_docs) = min(k, n_retrieved),
+    # not by k (day_13/src/main.py:143) — required to reproduce its
+    # committed P@10 = 0.35 over 5-doc result lists.
+    p = F.when(F.col("n_at_k") > 0,
+               F.col("rel_at_k").cast("double") / F.col("n_at_k")) \
+         .otherwise(F.lit(0.0))
     r = F.when(F.col("n_relevant") > 0,
                F.col("rel_at_k").cast("double") / F.col("n_relevant")) \
          .otherwise(F.lit(0.0))

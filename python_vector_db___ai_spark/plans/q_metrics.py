@@ -52,6 +52,7 @@ WITH q AS (
 ), perq_raw AS (
   SELECT r.query_id, n.n_relevant,
          sum(rel)::BIGINT AS rel_at_k,
+         count(*)::BIGINT AS n_at_k,
          coalesce(sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rank END), 0.0) AS ap_num,
          coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0) AS rr,
          coalesce(sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) END), 0.0) AS dcg,

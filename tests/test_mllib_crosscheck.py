@@ -52,10 +52,22 @@ def test_ndcg_matches_mllib(spark, ours):
     assert ours.mean_ndcg_at_k == pytest.approx(rm.ndcgAt(K), abs=1e-6)
 
 
-def test_precision_at_k_matches_mllib(spark, ours):
+def test_precision_at_k_matches_mllib(spark):
+    # MLlib divides P@k by k; the reference divides by
+    # min(k, n_retrieved) (day_13/src/main.py:143).  The conventions
+    # coincide when every result list has >= k entries — compare there.
     from pyspark.mllib.evaluation import RankingMetrics
 
+    k = 3   # all RETRIEVED lists have >= 3 entries
+    res = spark.createDataFrame(
+        [(q, d, i + 1) for q, ds in RETRIEVED.items()
+         for i, d in enumerate(ds)],
+        ["query_id", "doc_id", "rank"])
+    rel = spark.createDataFrame(
+        [(q, d) for q, ds in RELEVANT.items() for d in ds],
+        ["query_id", "doc_id"])
+    ours_k3 = mean_metrics(ranking_metrics(res, rel, k=k)).collect()[0]
     pairs = [(RETRIEVED[q], RELEVANT[q]) for q in RETRIEVED]
     rm = RankingMetrics(spark.sparkContext.parallelize(pairs))
-    assert ours.mean_precision_at_k == pytest.approx(rm.precisionAt(K),
-                                                     abs=1e-6)
+    assert ours_k3.mean_precision_at_k == pytest.approx(rm.precisionAt(k),
+                                                        abs=1e-6)
