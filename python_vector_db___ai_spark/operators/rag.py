@@ -62,6 +62,40 @@ def format_prompt(df: DataFrame, template: str = DEFAULT_TEMPLATE,
         "prompt", F.format_string(fmt, *[c for _, c in order]))
 
 
+class PromptLibrary:
+    """F20/§2.12 template registry (day_11/main.py:64-91
+    ``PromptLibrary.add_template``): named templates with declared
+    variables; rendering validates that every placeholder is a known
+    DataFrame column before building the expression."""
+
+    def __init__(self) -> None:
+        import re
+
+        self._re = re
+        self.templates: dict[str, str] = {"rag_default": DEFAULT_TEMPLATE}
+
+    def add_template(self, name: str, template: str) -> None:
+        if name in self.templates:
+            raise ValueError(f"template {name!r} already registered")
+        self.templates[name] = template
+
+    def variables(self, name: str) -> list[str]:
+        return self._re.findall(r"\{(\w+)\}", self.templates[name])
+
+    def render(self, df: DataFrame, name: str,
+               out_col: str = "prompt") -> DataFrame:
+        template = self.templates[name]
+        missing = [v for v in self.variables(name) if v not in df.columns]
+        if missing:
+            raise ValueError(f"missing columns for template {name!r}: {missing}")
+        fmt = template.replace("%", "%%")
+        order = []
+        for m in self._re.finditer(r"\{(\w+)\}", template):
+            order.append(F.col(m.group(1)))
+        fmt = self._re.sub(r"\{\w+\}", "%s", fmt)
+        return df.withColumn(out_col, F.format_string(fmt, *order))
+
+
 def mock_answer(question: Column, context: Column) -> Column:
     """F21 rule-based mock answerer (day_12/src/main.py:291-317): keyword
     cascade over the question, grounded-sounding fallback."""

@@ -1,0 +1,46 @@
+"""PromptLibrary tests mirroring the reference's template spec
+(day_11/tests/test_prompt_engineering.py: formatting, missing-variable
+errors, truncation via build_context)."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_vector_db___ai_spark.operators.rag import PromptLibrary
+
+
+def test_default_template_renders(spark):
+    lib = PromptLibrary()
+    df = spark.createDataFrame([("ctx", "why?")], ["context", "question"])
+    out = lib.render(df, "rag_default").first().prompt
+    assert "ctx" in out and "why?" in out and "{" not in out
+
+
+def test_add_and_render_custom_template(spark):
+    lib = PromptLibrary()
+    lib.add_template("summarize", "Summarize in {style} style:\n{context}")
+    assert lib.variables("summarize") == ["style", "context"]
+    df = spark.createDataFrame([("terse", "long text")], ["style", "context"])
+    assert lib.render(df, "summarize").first().prompt == \
+        "Summarize in terse style:\nlong text"
+
+
+def test_duplicate_template_rejected():
+    lib = PromptLibrary()
+    with pytest.raises(ValueError):
+        lib.add_template("rag_default", "x")
+
+
+def test_missing_variable_errors(spark):
+    lib = PromptLibrary()
+    lib.add_template("needs_two", "{a} and {b}")
+    df = spark.createDataFrame([("only-a",)], ["a"])
+    with pytest.raises(ValueError, match="missing columns.*b"):
+        lib.render(df, "needs_two")
+
+
+def test_percent_in_template_is_literal(spark):
+    lib = PromptLibrary()
+    lib.add_template("pct", "100% sure about {x}")
+    df = spark.createDataFrame([("this",)], ["x"])
+    assert lib.render(df, "pct").first().prompt == "100% sure about this"
