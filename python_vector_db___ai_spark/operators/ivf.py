@@ -74,7 +74,7 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
                corpus_id: str = "id", corpus_vec: str = "embedding",
                cluster_col: str = "label",
                round_to: int | None = 6,
-               impl: str = "blas") -> DataFrame:
+               impl: str = "pruned-blas") -> DataFrame:
     """IVF search: probe -> prune (equi-join on cluster) -> exact score
     within the probed clusters -> per-query top-k.
 
@@ -95,7 +95,11 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
         F.col("score").desc() if desc_order else F.col("score").asc(),
         F.col(corpus_id).asc())
 
-    if impl == "blas":
+    if impl == "pruned-blas":
+        scored = _pruned_matmul_topk(
+            probes, corpus, k, metric, query_id, query_vec,
+            corpus_id, corpus_vec, cluster_col, round_to or 6, desc_order)
+    elif impl == "blas":
         scored = _score_pairs_blas(
             cand.select(query_id, corpus_id, query_vec, corpus_vec),
             k, metric, query_id, query_vec, corpus_id, corpus_vec,
@@ -109,6 +113,81 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "score", "rank"))
+
+
+def _pruned_matmul_topk(probes: DataFrame, corpus: DataFrame, k: int,
+                        metric: str, query_id: str, query_vec: str,
+                        corpus_id: str, corpus_vec: str, cluster_col: str,
+                        round_to: int, desc: bool) -> DataFrame:
+    """The scale-shaped IVF kernel: never materializes (query, candidate)
+    pair rows.  The probe table (n_queries x nprobe — tiny) is collected
+    and broadcast; the corpus scan is filtered to the union of probed
+    clusters (partition pruning on a cluster-partitioned table); each
+    Arrow batch groups rows by cluster and runs one BLAS matmul against
+    just that cluster's probing queries, emitting local top-k per query.
+    Arrow transfer = pruned corpus rows, once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probe_rows = probes.collect()
+    by_label: dict = {}
+    for r in probe_rows:
+        by_label.setdefault(r[cluster_col], []).append(
+            (r[query_id], np.array(r[query_vec], dtype=np.float64)))
+    qmap = {
+        lab: (np.array([q for q, _ in rows], dtype=np.int64),
+              np.stack([v for _, v in rows]))
+        for lab, rows in by_label.items()
+    }
+    labels = sorted(by_label)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(qmap)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for lab, sub in pdf.groupby(cluster_col, sort=False):
+                entry = bc.value.get(lab)
+                if entry is None:
+                    continue
+                q_ids, Q = entry
+                C = np.array(sub[corpus_vec].tolist(), dtype=np.float64)
+                c_ids = sub[corpus_id].to_numpy(dtype=np.int64)
+                if metric == "cosine":
+                    qn = np.linalg.norm(Q, axis=1)
+                    cn = np.linalg.norm(C, axis=1)
+                    denom = np.outer(qn, cn)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = (Q @ C.T) / denom
+                    S[(np.outer(qn <= 1e-12, np.ones(len(C), bool)))
+                      | (np.outer(np.ones(len(Q), bool), cn <= 1e-12))] = 0.0
+                elif metric == "l2":
+                    sq = (np.sum(Q * Q, axis=1)[:, None]
+                          + np.sum(C * C, axis=1)[None, :] - 2.0 * (Q @ C.T))
+                    S = np.sqrt(np.clip(sq, 0.0, None))
+                elif metric == "neg_inner_product":
+                    S = -(Q @ C.T)
+                else:
+                    S = Q @ C.T
+                S = np.round(S, round_to)
+                kk = min(k, len(c_ids))
+                for qi in range(len(q_ids)):
+                    keys = -S[qi] if desc else S[qi]
+                    order = np.lexsort((c_ids, keys))[:kk]
+                    out.append(pd.DataFrame({
+                        query_id: np.full(len(order), q_ids[qi]),
+                        corpus_id: c_ids[order],
+                        "score": S[qi][order]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    pruned = (corpus.filter(F.col(cluster_col).isin(labels))
+              .select(cluster_col, corpus_id, corpus_vec))
+    return pruned.mapInPandas(
+        kernel, schema=f"{query_id} long, {corpus_id} long, score double")
 
 
 def _score_pairs_blas(pairs: DataFrame, k: int, metric: str, query_id: str,
