@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from python_vector_db___ai_spark.operators.chunking import (
     chunk_chars_fixed,
-    chunk_hybrid,
     chunk_paragraphs,
     chunk_semantic,
     chunk_tokens_fixed,
@@ -87,17 +86,6 @@ FROM e
 def q_chunk_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return chunk_paragraphs(docs, max_paragraphs=3)
-
-
-@register(
-    "chunk_hybrid",
-    oracle=None,   # two-branch dispatch; branches covered by their own oracles
-    doc="F8/F15 hybrid dispatch: content-type detection routes code/table "
-        "to paragraph chunking, prose to sentence windows",
-)
-def q_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return chunk_hybrid(docs)
 
 
 @register(

@@ -45,6 +45,7 @@ def all_queries() -> dict[str, Query]:
         q_crud,
         q_dedup,
         q_extra,
+        q_extra2,
         q_metrics,
         q_misc,
         q_olap,
