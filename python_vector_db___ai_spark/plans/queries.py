@@ -53,5 +53,6 @@ def all_queries() -> dict[str, Query]:
         q_pipeline,
         q_text,
         q_vector,
+        q_versioned,
     )
     return dict(_REGISTRY)
