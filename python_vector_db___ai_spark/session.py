@@ -58,6 +58,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     timestamp column.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Timestamp semantics must match the DuckDB oracle (naive UTC)
+    # regardless of which session the driver hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
