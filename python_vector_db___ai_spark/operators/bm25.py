@@ -1,0 +1,102 @@
+"""BM25 keyword search + hybrid (keyword ⊕ vector) retrieval.
+
+The reference retrieves by embedding similarity only; production RAG
+stacks pair that with lexical retrieval and fuse the rankings.  Both
+halves are pure DataFrame algebra:
+
+* **BM25** — postings from one explode, document frequencies and
+  lengths from two hash aggregations, score = sum over matched terms of
+  ``idf * tf*(k1+1) / (tf + k1*(1-b + b*len/avglen))``.  At 100 TB the
+  postings table is the classic inverted-index layout: partitioned by
+  term, built once, incrementally maintained.
+* **RRF fusion** — ``score = Σ 1/(k0 + rank_i)`` over the per-system
+  rankings; a full outer join of the two rank tables.
+
+Deterministic (md5-free, plain arithmetic) and fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def term_postings(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, tf) postings + per-doc length — one explode + one
+    aggregation."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+    exploded = docs.select(F.col(id_col), F.explode(words).alias("term"))
+    return (exploded.groupBy(id_col, "term")
+            .agg(F.count("*").cast("long").alias("tf")))
+
+
+def doc_lengths(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+    return docs.select(F.col(id_col),
+                       F.size(words).cast("double").alias("dl"))
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 score of every document against a bag of query terms.
+    IDF uses the standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form
+    (always positive).  Returns ``(id_col, bm25)`` for docs matching
+    >= 1 term."""
+    n_docs = docs.count()
+    postings = term_postings(docs, text_col, id_col)
+    lengths = doc_lengths(docs, text_col, id_col)
+    avgdl = lengths.agg(F.avg("dl")).collect()[0][0]
+
+    terms = [t.lower() for t in query_terms]
+    matched = postings.filter(F.col("term").isin(terms))
+    df_counts = (matched.groupBy("term")
+                 .agg(F.countDistinct(id_col).cast("double").alias("df")))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    scored = (matched
+              .join(F.broadcast(df_counts), "term")
+              .join(lengths, id_col)
+              .withColumn(
+                  "term_score",
+                  idf * (F.col("tf") * (k1 + 1))
+                  / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("term_score").alias("bm25")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              round_to: int = 6) -> DataFrame:
+    """Ranked BM25 top-k with the engine's deterministic tie-break."""
+    scores = bm25_scores(docs, query_terms, k1, b, text_col, id_col)
+    scores = scores.withColumn("bm25", F.round("bm25", round_to))
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return (scores.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "bm25", "rank"))
+
+
+def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k0: int = 60,
+             id_col: str = "doc_id", k: int = 10,
+             round_to: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (columns: id_col,
+    rank).  Missing-in-one-system docs contribute only the other
+    system's term — the standard RRF treatment."""
+    a = rank_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = rank_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    fused = (a.join(b, id_col, "outer")
+             .withColumn(
+                 "rrf",
+                 F.coalesce(1.0 / (k0 + F.col("rank_a")), F.lit(0.0))
+                 + F.coalesce(1.0 / (k0 + F.col("rank_b")), F.lit(0.0))))
+    fused = fused.withColumn("rrf", F.round("rrf", round_to))
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (fused.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rrf", "rank"))

@@ -1,0 +1,156 @@
+"""Hybrid retrieval queries: BM25 keyword search, RRF fusion with
+vector kNN, and int8 embedding quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.bm25 import bm25_topk, rrf_fuse
+from python_vector_db___ai_spark.operators.search import knn_join_blas
+from python_vector_db___ai_spark.plans.q_vector import _cos_sql
+from python_vector_db___ai_spark.plans.queries import register
+from python_vector_db___ai_spark.session import load_table
+
+_TERMS = ["fast", "key", "order", "vector"]
+_K = 10
+_K1, _B = 1.2, 0.75
+_RRF_K0 = 60
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
+
+_BM25_CTE = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            w -> w <> '')) AS term
+  FROM documents
+), postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM words GROUP BY doc_id, term
+), lengths AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM words GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM lengths) AS avgdl
+), matched AS (
+  SELECT * FROM postings WHERE term IN ({_TERMS_SQL})
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM matched GROUP BY term
+), scored AS (
+  SELECT m.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * ({_K1} + 1))
+           / (m.tf + {_K1} * (1 - {_B} + {_B} * l.dl / s.avgdl)) AS term_score
+  FROM matched m
+  JOIN dfreq d USING (term)
+  JOIN lengths l USING (doc_id)
+  CROSS JOIN stats s
+), bm AS (
+  SELECT doc_id, round(sum(term_score), 6) AS bm25 FROM scored GROUP BY doc_id
+), bm_ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM bm
+)
+"""
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_CTE + f"""
+SELECT doc_id, bm25, rank FROM bm_ranked WHERE rank <= {_K}
+""",
+    doc="BM25 keyword retrieval: postings explode + two hash aggs, no "
+        "index structure (inverted-index layout at scale)",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _TERMS, k=_K, k1=_K1, b=_B)
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_BM25_CTE + f""", q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), vec_ranked AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round({_cos_sql('q.qv', 'e.embedding::DOUBLE[]')}, 6) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN q
+), vec_top AS (
+  SELECT doc_id, rank FROM vec_ranked WHERE rank <= {_K}
+), bm_top AS (
+  SELECT doc_id, rank FROM bm_ranked WHERE rank <= {_K}
+), fused AS (
+  SELECT coalesce(v.doc_id, b.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K0} + v.rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K0} + b.rank), 0.0), 6) AS rrf
+  FROM vec_top v FULL OUTER JOIN bm_top b ON v.doc_id = b.doc_id
+)
+SELECT doc_id, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+FROM fused QUALIFY rank <= {_K}
+""",
+    doc="hybrid retrieval: BM25 + vector kNN fused with reciprocal-rank "
+        "fusion (the lexical half the reference lacks)",
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, _TERMS, k=_K, k1=_K1, b=_B)
+    queries = (emb.filter(F.col("vec_id") == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    vec = (knn_join_blas(queries, emb, k=_K, metric="cosine",
+                         corpus_id="vec_id")
+           .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return rrf_fuse(vec, bm, k0=_RRF_K0, k=_K)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, v, mx,
+         CASE WHEN mx > 1e-12 THEN mx / 127.0 ELSE 1.0 END AS scale
+  FROM q
+), recon AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> round(x / scale) * scale) AS dq
+  FROM quant
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(sqrt(list_sum(list_transform(
+             list_zip(v, dq), p -> (p[1] - p[2]) * (p[1] - p[2])))), 6)
+         AS l2_error,
+       round(list_max(list_transform(
+             list_zip(v, dq), p -> abs(p[1] - p[2]))), 6) AS max_abs_error
+FROM recon
+""",
+    doc="int8 embedding quantization (per-vector absmax scale): 4x "
+        "memory at 100 TB; reconstruction error reported per vector",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 1e-12, mx / 127.0).otherwise(F.lit(1.0))
+    dq = F.transform(v, lambda x: F.round(x / scale) * scale)
+    diff = F.zip_with(v, dq, lambda a, b: a - b)
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.round(F.sqrt(F.aggregate(diff, F.lit(0.0),
+                                   lambda acc, d: acc + d * d)), 6)
+        .alias("l2_error"),
+        F.round(F.array_max(F.transform(diff, lambda d: F.abs(d))), 6)
+        .alias("max_abs_error"))

@@ -46,6 +46,7 @@ def all_queries() -> dict[str, Query]:
         q_dedup,
         q_extra,
         q_extra2,
+        q_hybrid,
         q_metrics,
         q_misc,
         q_olap,

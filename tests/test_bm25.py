@@ -1,0 +1,59 @@
+"""BM25 + RRF fusion tests with hand-computed expectations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.bm25 import (
+    bm25_scores,
+    bm25_topk,
+    rrf_fuse,
+)
+
+DOCS = [
+    (1, "spark engine spark"),       # tf(spark)=2, dl=3
+    (2, "spark sql"),                # tf(spark)=1, dl=2
+    (3, "duck database"),            # no match
+    (4, "engine room"),              # tf(engine)=1, dl=2
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_hand_computed(docs):
+    got = {r.doc_id: r.bm25
+           for r in bm25_scores(docs, ["spark"]).collect()}
+    avgdl = (3 + 2 + 2 + 2) / 4
+    assert set(got) == {1, 2}
+    assert got[1] == pytest.approx(_bm25(2, 2, 4, 3, avgdl), abs=1e-9)
+    assert got[2] == pytest.approx(_bm25(1, 2, 4, 2, avgdl), abs=1e-9)
+    assert got[1] > got[2]   # higher tf wins
+
+
+def test_bm25_multi_term_and_ranking(docs):
+    rows = bm25_topk(docs, ["spark", "engine"], k=10).collect()
+    ranks = {r.doc_id: r.rank for r in rows}
+    assert set(ranks) == {1, 2, 4}
+    assert ranks[1] == 1     # matches both terms, tf(spark)=2
+
+
+def test_rrf_fusion(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+    got = {r.doc_id: r.rrf for r in rrf_fuse(a, b, k0=60, k=10).collect()}
+    assert got[2] == pytest.approx(round(1 / 62 + 1 / 61, 6))  # in both
+    assert got[1] == pytest.approx(round(1 / 61, 6))
+    assert got[3] == pytest.approx(round(1 / 62, 6))
+    # doc in both systems outranks single-system docs
+    assert got[2] > got[1] > got[3]
