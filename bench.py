@@ -44,6 +44,9 @@ HEADLINE = [
     "events_sessionization",   # gap sessionization window
     "tpch_q1_pricing",         # relational aggregation
     "tpch_q3_topk",            # 3-way join + top-k
+    "bm25_topk",               # lexical retrieval (postings aggs)
+    "hybrid_search_rrf",       # BM25 + vector RRF fusion
+    "embedding_quantize_int8", # int8 quantization error stats
 ]
 
 
