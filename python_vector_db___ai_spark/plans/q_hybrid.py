@@ -141,16 +141,25 @@ FROM recon
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(mx > 1e-12, mx / 127.0).otherwise(F.lit(1.0))
-    dq = F.transform(v, lambda x: F.round(x / scale) * scale)
-    diff = F.zip_with(v, dq, lambda a, b: a - b)
-    return emb.select(
+    # Stage scalars as materialized columns: referencing F.col("scale")
+    # inside the lambdas evaluates a column, not a re-expanded
+    # array_max expression per element (64x blowup otherwise).
+    staged = (emb
+              .withColumn("v", F.transform(F.col("embedding"),
+                                           lambda x: x.cast("double")))
+              .withColumn("mx", F.array_max(
+                  F.transform(F.col("v"), lambda x: F.abs(x))))
+              .withColumn("scale", F.when(F.col("mx") > 1e-12,
+                                          F.col("mx") / 127.0)
+                          .otherwise(F.lit(1.0)))
+              .withColumn("diff", F.transform(
+                  F.col("v"),
+                  lambda x: x - F.round(x / F.col("scale")) * F.col("scale"))))
+    return staged.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.round(F.sqrt(F.aggregate(diff, F.lit(0.0),
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.round(F.sqrt(F.aggregate(F.col("diff"), F.lit(0.0),
                                    lambda acc, d: acc + d * d)), 6)
         .alias("l2_error"),
-        F.round(F.array_max(F.transform(diff, lambda d: F.abs(d))), 6)
+        F.round(F.array_max(F.transform(F.col("diff"), lambda d: F.abs(d))), 6)
         .alias("max_abs_error"))
