@@ -46,25 +46,33 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     """BM25 score of every document against a bag of query terms.
     IDF uses the standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form
     (always positive).  Returns ``(id_col, bm25)`` for docs matching
-    >= 1 term."""
-    n_docs = docs.count()
+    >= 1 term.
+
+    One plan, no driver-side collect: the corpus stats (N, avgdl) are a
+    1-row aggregate cross-joined broadcast — exactly how the DuckDB
+    oracle phrases it — so an empty corpus yields an empty result
+    instead of a driver error, and the whole score is a single job.
+    """
     postings = term_postings(docs, text_col, id_col)
     lengths = doc_lengths(docs, text_col, id_col)
-    avgdl = lengths.agg(F.avg("dl")).collect()[0][0]
+    stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
 
     terms = [t.lower() for t in query_terms]
     matched = postings.filter(F.col("term").isin(terms))
     df_counts = (matched.groupBy("term")
                  .agg(F.countDistinct(id_col).cast("double").alias("df")))
-    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     scored = (matched
               .join(F.broadcast(df_counts), "term")
               .join(lengths, id_col)
+              .crossJoin(F.broadcast(stats))
               .withColumn(
                   "term_score",
                   idf * (F.col("tf") * (k1 + 1))
-                  / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))))
+                  / (F.col("tf")
+                     + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))))
     return (scored.groupBy(id_col)
             .agg(F.sum("term_score").alias("bm25")))
 

@@ -26,10 +26,15 @@ def upsert(base: DataFrame, updates: DataFrame,
     """S10/J6: rows from ``updates`` win over ``base`` on key conflict
     (INSERT ... ON CONFLICT DO UPDATE,
     day_9/database/vector_ops.py:103-131).  Ties within ``updates``
-    keep an arbitrary-but-deterministic single row."""
+    keep a deterministic single row: the window breaks priority ties on
+    a content hash of the full row, so the winner does not depend on
+    partition or arrival order."""
     tagged = (base.withColumn("_prio", F.lit(0))
               .unionByName(updates.withColumn("_prio", F.lit(1))))
-    w = Window.partitionBy(key).orderBy(F.col("_prio").desc())
+    w = Window.partitionBy(key).orderBy(
+        F.col("_prio").desc(),
+        F.md5(F.to_json(F.struct(*[c for c in tagged.columns
+                                   if c != "_prio"]))).asc())
     return (tagged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_prio", "_rn"))

@@ -130,6 +130,11 @@ def _pruned_matmul_topk(probes: DataFrame, corpus: DataFrame, k: int,
     import numpy as np
     import pandas as pd
 
+    if metric not in ("cosine", "l2", "inner_product", "neg_inner_product",
+                      "euclidean_similarity"):
+        raise ValueError(f"metric {metric!r} not supported by the pruned "
+                         "BLAS kernel")
+
     probe_rows = probes.collect()
     by_label: dict = {}
     for r in probe_rows:
@@ -164,13 +169,15 @@ def _pruned_matmul_topk(probes: DataFrame, corpus: DataFrame, k: int,
                         S = (Q @ C.T) / denom
                     S[(np.outer(qn <= 1e-12, np.ones(len(C), bool)))
                       | (np.outer(np.ones(len(Q), bool), cn <= 1e-12))] = 0.0
-                elif metric == "l2":
+                elif metric in ("l2", "euclidean_similarity"):
                     sq = (np.sum(Q * Q, axis=1)[:, None]
                           + np.sum(C * C, axis=1)[None, :] - 2.0 * (Q @ C.T))
                     S = np.sqrt(np.clip(sq, 0.0, None))
+                    if metric == "euclidean_similarity":
+                        S = 1.0 / (1.0 + S)
                 elif metric == "neg_inner_product":
                     S = -(Q @ C.T)
-                else:
+                else:           # inner_product (validated above)
                     S = Q @ C.T
                 S = np.round(S, round_to)
                 kk = min(k, len(c_ids))

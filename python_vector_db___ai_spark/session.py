@@ -66,8 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division: epoch nanos (~1.7e18) exceed double's 53-bit
+        # mantissa, so a float `/ 1000` can land one microsecond off.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
 
 

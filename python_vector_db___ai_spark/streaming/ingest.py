@@ -36,8 +36,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
               .format("parquet")
               .option("pathGlobFilter", "events.parquet")
               .load(sf_dir))
-    return stream.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integer division (`div`), not float `/`: epoch nanos exceed
+    # double's 53-bit mantissa and can round to the wrong microsecond.
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_event_counts(events: DataFrame,
