@@ -22,9 +22,9 @@ from python_vector_db___ai_spark.plans.queries import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: exact batch kNN (cosine) on /root/testdata/sf0.001."""
+    """Flagship: exact batch kNN (cosine/L2/dot) on /root/testdata/sf0.001."""
     qs = all_queries()
-    return qs["knn_exact_cosine"].spark_fn(spark, "/root/testdata/sf0.001")
+    return qs["knn_exact_batch"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

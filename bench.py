@@ -27,25 +27,23 @@ from python_vector_db___ai_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family (SURVEY §2 coverage).
 HEADLINE = [
-    "knn_exact_cosine",        # J1/T2 exact batch kNN (BLAS local top-k)
-    "knn_exact_l2",            # exact kNN, L2
+    "knn_exact_batch",         # J1/T2 exact batch kNN, 3 metrics (BLAS local top-k)
     "ivf_search_cosine",       # X2 IVF pruned ANN search
     "ann_recall_ivf",          # X6 recall harness (approx + exact)
-    "topk_similar_pairs",      # T3 all-pairs top-k
+    "topk_similar_pairs",      # T3 all-pairs top-k (cosine + euclidean-sim)
     "ir_metrics_per_query",    # W1-W6 ranking metrics
-    "dedup_exact",             # exact dedup hash groupBy
+    "dedup_exact_simhash",     # exact dedup groupBy + SimHash fingerprints
     "dedup_minhash_lsh",       # MinHash+LSH banding
-    "dedup_simhash_fingerprints",  # SimHash fingerprints
-    "text_lang_id",            # language ID heuristic
-    "text_quality",            # quality scoring
+    "dedup_simhash_pairs",     # SimHash pairs via pigeonhole blocking
+    "dedup_embedding_pruned",  # IVF-pruned semantic near-dup
+    "text_profile",            # language ID + quality + token counts
     "chunk_chars_fixed",       # char chunker (pure expressions)
-    "mock_embed_docs",         # embedding pipeline (mock model)
-    "rag_context_build",       # RAG context assembly
+    "embed_cache_hits",        # embedding pipeline (mock model + cache join)
+    "rag_end_to_end",          # RAG context -> prompt -> answer
     "events_sessionization",   # gap sessionization window
     "tpch_q1_pricing",         # relational aggregation
     "tpch_q3_topk",            # 3-way join + top-k
-    "bm25_topk",               # lexical retrieval (postings aggs)
-    "hybrid_search_rrf",       # BM25 + vector RRF fusion
+    "bm25_rrf_hybrid",         # lexical retrieval + RRF fusion
     "embedding_quantize_int8", # int8 quantization error stats
 ]
 

@@ -210,16 +210,44 @@ def simhash_fingerprints(df: DataFrame, bits: int = 16,
 
 def simhash_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(i < j) fingerprint pairs within ``max_hamming`` bits.
+    """(i < j) fingerprint pairs within ``max_hamming`` bits — EXACT
+    result via pigeonhole chunk-blocking, no θ-join.
 
-    Pairwise here; at scale, block on fingerprint chunks (pigeonhole:
-    any pair within h bits shares one of h+1 chunks) and equi-join on
-    the chunk — same banding idea as MinHash-LSH.
+    The fingerprint splits into ``max_hamming + 1`` bit chunks; two
+    fingerprints within ``h`` bits of each other must agree on at least
+    one chunk (pigeonhole), so candidates = the equi-join on
+    ``(chunk_index, chunk_value)`` and the final bit_count filter only
+    verifies candidates.  Lossless, and candidate volume scales with
+    bucket occupancy instead of n² — the same banding shape as
+    MinHash-LSH.
     """
+    n_chunks = max_hamming + 1
+    base = bits // n_chunks
+    extra = bits % n_chunks        # first `extra` chunks get one more bit
     fps = simhash_fingerprints(df, bits, text_col, id_col)
-    a = fps.select(F.col(id_col).alias("i"), F.col("simhash").alias("fa"))
-    b = fps.select(F.col(id_col).alias("j"), F.col("simhash").alias("fb"))
-    return (a.join(b, F.col("i") < F.col("j"))
+
+    # chunk c covers bit offset [off, off + width): value = (fp >> off)
+    # & ((1 << width) - 1).  Pure integer expressions, oracle-friendly.
+    chunk_structs = []
+    off = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        val = F.shiftright(F.col("simhash"), off).bitwiseAND(
+            F.lit((1 << width) - 1))
+        chunk_structs.append(F.struct(F.lit(c).alias("ci"), val.alias("cv")))
+        off += width
+    chunked = (fps.select(F.col(id_col), F.col("simhash"),
+                          F.explode(F.array(*chunk_structs)).alias("ch"))
+               .select(id_col, "simhash", "ch.ci", "ch.cv"))
+    a = chunked.select(F.col(id_col).alias("i"), F.col("simhash").alias("fa"),
+                       "ci", "cv")
+    b = chunked.select(F.col(id_col).alias("j"), F.col("simhash").alias("fb"),
+                       "ci", "cv")
+    cand = (a.join(b, ["ci", "cv"])
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j", "fa", "fb")
+            .distinct())
+    return (cand
             .withColumn("hamming",
                         F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"))
             .filter(F.col("hamming") <= max_hamming)
@@ -231,12 +259,55 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                             vec_col: str = "embedding") -> DataFrame:
     """(i < j) pairs with cosine >= threshold — semantic near-dup.
 
-    Exact O(n^2) form for correctness; the IVF/LSH paths prune this at
-    scale (route candidates through cluster or band buckets first).
+    Exact O(n^2) form, kept as the small-sf oracle;
+    :func:`embedding_neardup_pruned` is the registered scale path.
     """
     a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
     return (a.join(b, F.col("i") < F.col("j"))
             .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("i", "j", "cosine"))
+
+
+def embedding_neardup_pruned(df: DataFrame, threshold: float = 0.4,
+                             spill: int = 2, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             cluster_col: str = "label",
+                             round_to: int = 6) -> DataFrame:
+    """IVF-pruned semantic near-dup: no θ-join anywhere in the plan.
+
+    Each vector is assigned its top-``spill`` nearest cluster centroids
+    (cluster + spill blocking — the standard recall fix for boundary
+    pairs); candidates are the *equi-join* on the cluster key; the
+    cosine filter only verifies candidates.  With the corpus
+    partitioned by cluster this is a co-partitioned self-join — the
+    100-TB shape.  Deterministic (rounded centroid means + rounded
+    scores + id tie-breaks) so a DuckDB oracle reproduces the exact
+    candidate set.
+    """
+    from python_vector_db___ai_spark.operators.ivf import (
+        build_centroids,
+        probe_clusters,
+    )
+
+    cents = build_centroids(df, cluster_col, vec_col, round_to)
+    assigned = probe_clusters(
+        df.select(F.col(id_col).alias("_pid"),
+                  F.col(vec_col).alias("_pvec")),
+        cents, nprobe=spill, metric="cosine", query_id="_pid",
+        query_vec="_pvec", cluster_col=cluster_col, round_to=round_to)
+    slim = assigned.select(F.col("_pid"), F.col(cluster_col))
+    cand = (slim.alias("a")
+            .join(slim.alias("b"), cluster_col)
+            .filter(F.col("a._pid") < F.col("b._pid"))
+            .select(F.col("a._pid").alias("i"), F.col("b._pid").alias("j"))
+            .distinct())
+    va = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    return (cand.join(va, "i").join(vb, "j")
+            .withColumn("cosine",
+                        F.round(cosine_similarity(F.col("va"), F.col("vb")),
+                                round_to))
             .filter(F.col("cosine") >= threshold)
             .select("i", "j", "cosine"))

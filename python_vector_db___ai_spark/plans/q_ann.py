@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 from python_vector_db___ai_spark.operators.ivf import (
     build_centroids,
     ivf_search,
-    kmeans_assign,
     kmeans_silhouette_sweep,
     recall_against_exact,
 )
@@ -131,24 +130,11 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_against_exact(approx, exact, corpus_id="vec_id")
 
 
-@register(
-    "ivf_kmeans_recall",
-    oracle=None,   # MLlib KMeans centroids are engine-internal
-    doc="X2 with MLlib KMeans quantizer (nlist=10, seed=42): recall@10 "
-        "vs exact — the day-6 IVF benchmark shape",
-)
-def ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    clustered = kmeans_assign(emb, nlist=10, seed=42).cache()
-    queries = (clustered.filter(F.col("vec_id") < N_QUERIES)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("query_vec")))
-    approx = ivf_search(queries, clustered, nprobe=NPROBE, k=K,
-                        metric="cosine", corpus_id="vec_id",
-                        cluster_col="cluster_id")
-    exact = knn_join_blas(queries, emb, k=K, metric="cosine",
-                          corpus_id="vec_id")
-    return recall_against_exact(approx, exact, corpus_id="vec_id")
+# NB: the MLlib-KMeans IVF recall harness lives in bench.py's ANN
+# section (kmeans_assign + ivf_search + recall_against_exact) rather
+# than the registry: its centroids are engine-internal, so a registry
+# entry could only ever be a rows-only check, and the recall number is
+# what matters — BENCH reports it per round.
 
 
 @register(

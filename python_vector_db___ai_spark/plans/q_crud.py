@@ -68,24 +68,48 @@ def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "crud_delete_then_stats",
-    oracle="""
+    "crud_mutation_stats",
+    oracle=f"""
 WITH remaining AS (
   SELECT * FROM documents WHERE doc_id % 10 <> 0
+), del_stats AS (
+  SELECT count(*)::BIGINT AS total_documents,
+         count(DISTINCT doc_id)::BIGINT AS unique_ids,
+         round(avg(length(text)), 6) AS avg_content_length,
+         min(length(text))::BIGINT AS min_content_length,
+         max(length(text))::BIGINT AS max_content_length
+  FROM remaining
+), updates AS ({_UPDATES_SQL}),
+checked AS (
+  SELECT CASE WHEN n_chars < 60 THEN NULL ELSE text END AS text, doc_id
+  FROM updates
+), ins_stats AS (
+  SELECT count(*)::BIGINT AS ins_total,
+         sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL
+                       AND length(text) > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS ins_successful,
+         sum(CASE WHEN doc_id IS NULL OR text IS NULL
+                      OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS ins_failed
+  FROM checked
 )
-SELECT count(*)::BIGINT AS total_documents,
-       count(DISTINCT doc_id)::BIGINT AS unique_ids,
-       round(avg(length(text)), 6) AS avg_content_length,
-       min(length(text))::BIGINT AS min_content_length,
-       max(length(text))::BIGINT AS max_content_length
-FROM remaining
+SELECT * FROM del_stats CROSS JOIN ins_stats
 """,
-    doc="S11/J5 anti-join delete + A1-A3 collection stats",
+    doc="S11/J5 anti-join delete + A1-A3 collection stats, plus the A6 "
+        "batch-insert success/fail tally (short docs simulated invalid) "
+        "— both 1-row aggregates, one cross-joined check",
 )
-def crud_delete_then_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def crud_mutation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     doomed = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
-    return collection_stats(delete_ids(docs, doomed))
+    del_stats = collection_stats(delete_ids(docs, doomed))
+    updates = _updates(load_table(spark, sf_dir, "documents"))
+    checked = updates.withColumn(
+        "text", F.when(F.col("n_chars") < 60, F.lit(None)).otherwise(F.col("text")))
+    ins = insert_tally(checked).select(
+        F.col("total").alias("ins_total"),
+        F.col("successful").alias("ins_successful"),
+        F.col("failed").alias("ins_failed"))
+    return del_stats.crossJoin(F.broadcast(ins))
 
 
 @register(
@@ -101,27 +125,3 @@ def crud_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_by_ids(docs, [3, 17, 42, 99, 123456789]) \
         .select("doc_id", "lang", "source",
                 F.length("text").cast("long").alias("content_length"))
-
-
-@register(
-    "crud_insert_tally",
-    oracle=f"""
-WITH updates AS ({_UPDATES_SQL}),
-checked AS (
-  SELECT CASE WHEN n_chars < 60 THEN NULL ELSE text END AS text, doc_id
-  FROM updates
-)
-SELECT count(*)::BIGINT AS total,
-       sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL
-                     AND length(text) > 0 THEN 1 ELSE 0 END)::BIGINT AS successful,
-       sum(CASE WHEN doc_id IS NULL OR text IS NULL
-                    OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS failed
-FROM checked
-""",
-    doc="A6 batch-insert success/fail tally (short docs simulated invalid)",
-)
-def crud_insert_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
-    updates = _updates(load_table(spark, sf_dir, "documents"))
-    checked = updates.withColumn(
-        "text", F.when(F.col("n_chars") < 60, F.lit(None)).otherwise(F.col("text")))
-    return insert_tally(checked)

@@ -38,25 +38,56 @@ def _shingles_sql(t: str, n: int) -> str:
             f"ELSE [] END")
 
 
+_SH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    ws = _WORDS.format(t="text")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << j}) > 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_SH_BITS))
+    fp = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
+                    for j in range(_SH_BITS))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({ws}) AS word FROM documents
+), h AS (
+  SELECT doc_id, {stable_hash_sql('word')} AS h FROM w
+), sums AS (
+  SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
 @register(
-    "dedup_exact",
-    oracle="""
+    "dedup_exact_simhash",
+    oracle=f"""
 WITH h AS (
   SELECT doc_id, md5(text) AS content_hash FROM documents
 ), g AS (
   SELECT content_hash, count(*)::BIGINT AS group_size,
          min(doc_id) AS keep_id
   FROM h GROUP BY content_hash
-)
-SELECT h.doc_id, h.content_hash, g.group_size,
-       h.doc_id = g.keep_id AS is_canonical
-FROM h JOIN g USING (content_hash)
+), flags AS (
+  SELECT h.doc_id, h.content_hash, g.group_size,
+         h.doc_id = g.keep_id AS is_canonical
+  FROM h JOIN g USING (content_hash)
+), fp AS ({_simhash_sql()})
+SELECT f.doc_id, f.content_hash, f.group_size, f.is_canonical, fp.simhash
+FROM flags f LEFT JOIN fp ON fp.doc_id = f.doc_id
 """,
-    doc="exact dedup via content hash: canonical-member flags (hash groupBy)",
+    doc="exact dedup via content hash (canonical-member flags, one hash "
+        "groupBy) joined with the per-doc 16-bit SimHash fingerprint "
+        "(explode + groupBy, one shuffle) — one per-doc dedup profile",
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup_flags(docs)
+    flags = exact_dedup_flags(docs)
+    fp = simhash_fingerprints(docs, bits=_SH_BITS)
+    return flags.join(fp, "doc_id", "left") \
+        .select("doc_id", "content_hash", "group_size", "is_canonical",
+                "simhash")
 
 
 _NGRAM_N = 3
@@ -152,38 +183,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("jaccard", 6).alias("jaccard"))
 
 
-_SH_BITS = 16
-
-
-def _simhash_sql() -> str:
-    ws = _WORDS.format(t="text")
-    bit_sums = ", ".join(
-        f"sum(CASE WHEN (h & {1 << j}) > 0 THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(_SH_BITS))
-    fp = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
-                    for j in range(_SH_BITS))
-    return f"""
-WITH w AS (
-  SELECT doc_id, unnest({ws}) AS word FROM documents
-), h AS (
-  SELECT doc_id, {stable_hash_sql('word')} AS h FROM w
-), sums AS (
-  SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
-)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
-"""
-
-
-@register(
-    "dedup_simhash_fingerprints",
-    oracle=_simhash_sql(),
-    doc="per-doc 16-bit SimHash fingerprint (explode + groupBy, one shuffle)",
-)
-def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_fingerprints(docs, bits=_SH_BITS)
-
-
 _SH_MAXHAM = 3
 _SH_DOCS = 200
 
@@ -233,3 +232,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("cosine", F.round("cosine", 6))
             .filter(F.col("cosine") >= _COS_THRESHOLD)
             .select("i", "j", "cosine"))
+
+
+_PRUNE_SPILL = 2
+
+
+@register(
+    "dedup_embedding_pruned",
+    oracle=f"""
+WITH cl AS (
+  SELECT label, pos, round(avg(v), 6) AS c FROM (
+    SELECT label, unnest(embedding::DOUBLE[]) AS v,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings
+  ) GROUP BY label, pos
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cl GROUP BY label
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), assigned AS (
+  SELECT vec_id, label FROM (
+    SELECT v.vec_id, cent.label,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round({_cos_sql('v.ev', 'cent.centroid')}, 6) DESC,
+                      cent.label ASC) AS r
+    FROM v CROSS JOIN cent
+  ) WHERE r <= {_PRUNE_SPILL}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+  FROM assigned a JOIN assigned b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT c.i, c.j, round({_cos_sql('va.ev', 'vb.ev')}, 6) AS cosine
+FROM cand c
+JOIN v va ON va.vec_id = c.i
+JOIN v vb ON vb.vec_id = c.j
+WHERE round({_cos_sql('va.ev', 'vb.ev')}, 6) >= {_COS_THRESHOLD}
+""",
+    doc="IVF-pruned semantic near-dup: top-2 cluster assignment (cluster "
+        "+ spill blocking), candidate equi-join on the cluster key, "
+        "cosine verify — the scale-safe route for dedup_embedding_cosine "
+        "(no θ-join in the plan; oracle reproduces the candidate set "
+        "bit-for-bit)",
+)
+def dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.dedup import (
+        embedding_neardup_pruned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pruned(emb, threshold=_COS_THRESHOLD,
+                                    spill=_PRUNE_SPILL)

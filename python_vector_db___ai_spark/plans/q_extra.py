@@ -132,46 +132,9 @@ def q_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", "lang", F.round("score", 6).alias("score"))
 
 
-_EPAIR_N = 100
-
-
-@register(
-    "pairs_euclidean_similarity",
-    oracle=f"""
-WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS ev
-  FROM embeddings WHERE vec_id < {_EPAIR_N}
-), d AS (
-  SELECT a.vec_id AS i, b.vec_id AS j,
-         list_distance(a.ev, b.ev) AS dist
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
-), m AS (SELECT max(dist) AS max_d FROM d)
-SELECT i, j,
-       round(1.0 - dist / max_d, 6) AS similarity
-FROM d, m
-ORDER BY similarity DESC, i ASC, j ASC
-LIMIT 20
-""",
-    doc="V4 day_5 variant: 1 - d/max(d) similarity with the global-max "
-        "aggregation broadcast back (A10)",
-)
-def q_pairs_euclidean_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_vector_db___ai_spark.functions.vector import l2_distance
-
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .filter(F.col("vec_id") < _EPAIR_N))
-    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
-    d = (a.join(b, F.col("i") < F.col("j"))
-         .select("i", "j", l2_distance(F.col("va"), F.col("vb")).alias("dist")))
-    max_d = d.agg(F.max("dist").alias("max_d"))
-    return (d.crossJoin(F.broadcast(max_d))
-            .select("i", "j",
-                    F.round(1.0 - F.col("dist") / F.col("max_d"), 6)
-                    .alias("similarity"))
-            .orderBy(F.col("similarity").desc(), F.col("i").asc(),
-                     F.col("j").asc())
-            .limit(20))
+# NB: the day-5 global-max-normalized euclidean-similarity pairs (V4 /
+# A10) merged into q_vector.topk_similar_pairs as its 'euclidean_sim'
+# branch — one driver check covers both pair metrics.
 
 
 @register(

@@ -12,25 +12,36 @@ from python_vector_db___ai_spark.session import load_table
 
 
 @register(
-    "events_value_quantiles",
+    "events_type_stats",
     oracle="""
 SELECT event_type,
+       count(*)::BIGINT AS n_events,
        round(quantile_cont(value, 0.25), 6) AS p25,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.75), 6) AS p75,
-       round(quantile_cont(value, 0.95), 6) AS p95
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
 FROM events GROUP BY event_type
 """,
-    doc="exact interpolated quantiles per group (percentile_approx swaps "
-        "in at 100 TB where exact sort-based percentile is too expensive)",
+    doc="per-type stats: exact interpolated quantiles (percentile_approx "
+        "swaps in at 100 TB) + P4-style JSON payload extraction "
+        "(get_json_object) — one aggregation pass, one check",
 )
-def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
                  F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
                  F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
-                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95")))
+                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.min("k").cast("long").alias("min_k"),
+                 F.max("k").cast("long").alias("max_k")))
 
 
 _LEV_DOCS = 80

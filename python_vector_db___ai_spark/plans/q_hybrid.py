@@ -58,20 +58,7 @@ WITH words AS (
 
 
 @register(
-    "bm25_topk",
-    oracle=_BM25_CTE + f"""
-SELECT doc_id, bm25, rank FROM bm_ranked WHERE rank <= {_K}
-""",
-    doc="BM25 keyword retrieval: postings explode + two hash aggs, no "
-        "index structure (inverted-index layout at scale)",
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return bm25_topk(docs, _TERMS, k=_K, k1=_K1, b=_B)
-
-
-@register(
-    "hybrid_search_rrf",
+    "bm25_rrf_hybrid",
     oracle=_BM25_CTE + f""", q AS (
   SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
 ), vec_ranked AS (
@@ -83,21 +70,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ), vec_top AS (
   SELECT doc_id, rank FROM vec_ranked WHERE rank <= {_K}
 ), bm_top AS (
-  SELECT doc_id, rank FROM bm_ranked WHERE rank <= {_K}
+  SELECT doc_id, bm25, rank FROM bm_ranked WHERE rank <= {_K}
 ), fused AS (
   SELECT coalesce(v.doc_id, b.doc_id) AS doc_id,
          round(coalesce(1.0 / ({_RRF_K0} + v.rank), 0.0)
                + coalesce(1.0 / ({_RRF_K0} + b.rank), 0.0), 6) AS rrf
   FROM vec_top v FULL OUTER JOIN bm_top b ON v.doc_id = b.doc_id
+), rrf_top AS (
+  SELECT 'rrf' AS system, doc_id, rrf AS score,
+         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused QUALIFY rank <= {_K}
 )
-SELECT doc_id, rrf,
-       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
-FROM fused QUALIFY rank <= {_K}
+SELECT 'bm25' AS system, doc_id, bm25 AS score, rank FROM bm_top
+UNION ALL
+SELECT system, doc_id, score, rank FROM rrf_top
 """,
-    doc="hybrid retrieval: BM25 + vector kNN fused with reciprocal-rank "
-        "fusion (the lexical half the reference lacks)",
+    doc="BM25 keyword retrieval (postings explode + two hash aggs; "
+        "inverted-index layout at scale) UNION its reciprocal-rank "
+        "fusion with vector kNN — the lexical + hybrid halves the "
+        "reference lacks, one check",
 )
-def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     bm = bm25_topk(docs, _TERMS, k=_K, k1=_K1, b=_B)
@@ -107,7 +100,12 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = (knn_join_blas(queries, emb, k=_K, metric="cosine",
                          corpus_id="vec_id")
            .select(F.col("vec_id").alias("doc_id"), "rank"))
-    return rrf_fuse(vec, bm, k0=_RRF_K0, k=_K)
+    fused = rrf_fuse(vec, bm, k0=_RRF_K0, k=_K)
+    bm_part = bm.select(F.lit("bm25").alias("system"), "doc_id",
+                        F.col("bm25").alias("score"), "rank")
+    rrf_part = fused.select(F.lit("rrf").alias("system"), "doc_id",
+                            F.col("rrf").alias("score"), "rank")
+    return bm_part.unionByName(rrf_part)
 
 
 @register(

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 
 from python_vector_db___ai_spark.operators.multimodal import (
     decode_features,
-    modality_stats,
     to_multimodal,
 )
 from python_vector_db___ai_spark.plans.queries import register
@@ -69,65 +68,55 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals(read_events_stream(spark, sf_dir)))
 
 
-@register(
-    "multimodal_modality_stats",
-    oracle="""
-WITH mm AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image'
-              WHEN doc_id % 3 = 1 THEN 'audio'
-              ELSE 'video' END AS modality,
-         octet_length(encode(text)) AS nb
-  FROM documents
-)
-SELECT modality, count(*)::BIGINT AS n_items,
-       sum(nb)::BIGINT AS total_bytes,
-       round(avg(nb), 6) AS avg_bytes,
-       min(nb)::BIGINT AS min_bytes,
-       max(nb)::BIGINT AS max_bytes
-FROM mm GROUP BY modality
-""",
-    doc="multimodal binary-column metadata pass (no decode)",
-)
-def multimodal_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return modality_stats(to_multimodal(docs))
-
-
 def _md5_byte(expr: str, i: int) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), {2 * i + 1}, 2)) AS INT)"
 
 
 @register(
-    "multimodal_decode_stub",
+    "multimodal_decode_stats",
     oracle=f"""
 WITH mm AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS modality,
-         text
+         text,
+         octet_length(encode(text)) AS nb
   FROM documents
 )
 SELECT doc_id, modality,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       16 + {_md5_byte('text', 0)} % 240 AS width,
-       16 + {_md5_byte('text', 1)} % 240 AS height,
-       [round({_md5_byte('text', 2)} / 255.0, 6),
-        round({_md5_byte('text', 3)} / 255.0, 6),
-        round({_md5_byte('text', 4)} / 255.0, 6),
-        round({_md5_byte('text', 5)} / 255.0, 6)] AS features
+       nb::BIGINT AS n_bytes,
+       (16 + {_md5_byte('text', 0)} % 240)::BIGINT AS width,
+       (16 + {_md5_byte('text', 1)} % 240)::BIGINT AS height,
+       round({_md5_byte('text', 2)} / 255.0, 6) AS f0,
+       round({_md5_byte('text', 3)} / 255.0, 6) AS f1,
+       round({_md5_byte('text', 4)} / 255.0, 6) AS f2,
+       round({_md5_byte('text', 5)} / 255.0, 6) AS f3,
+       count(*) OVER (PARTITION BY modality)::BIGINT AS modality_items,
+       round(avg(nb) OVER (PARTITION BY modality), 6) AS modality_avg_bytes,
+       min(nb) OVER (PARTITION BY modality)::BIGINT AS modality_min_bytes,
+       max(nb) OVER (PARTITION BY modality)::BIGINT AS modality_max_bytes
 FROM mm
 """,
     doc="multimodal decode/feature-extract via mapInPandas (md5-seeded "
-        "stub kernels, real Arrow batch plumbing)",
+        "stub kernels, real Arrow batch plumbing; features emitted as "
+        "scalar f0..f3 so driver-side canonicalization can sort rows) + "
+        "the per-modality payload statistics pass, windowed onto each "
+        "row — one check covers decode and stats",
 )
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_features(to_multimodal(docs))
+    w = Window.partitionBy("modality")
     return feats.select(
-        "doc_id", "modality", "n_bytes", "width", "height",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"))
+        "doc_id", "modality", "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(4)],
+        F.count("*").over(w).cast("long").alias("modality_items"),
+        F.round(F.avg("n_bytes").over(w), 6).alias("modality_avg_bytes"),
+        F.min("n_bytes").over(w).cast("long").alias("modality_min_bytes"),
+        F.max("n_bytes").over(w).cast("long").alias("modality_max_bytes"))
 
 
 @register(

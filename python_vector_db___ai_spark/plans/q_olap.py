@@ -31,27 +31,9 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 6).alias("value_sum")))
 
 
-@register(
-    "events_json_props",
-    oracle="""
-SELECT event_type,
-       count(*)::BIGINT AS n_events,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
-FROM events GROUP BY event_type
-""",
-    doc="P4-style JSON payload extraction (get_json_object) + aggregation",
-)
-def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (ev.withColumn("k", k)
-            .groupBy("event_type")
-            .agg(F.count("*").cast("long").alias("n_events"),
-                 F.round(F.avg("k"), 6).alias("avg_k"),
-                 F.min("k").cast("long").alias("min_k"),
-                 F.max("k").cast("long").alias("max_k")))
+# NB: JSON payload extraction (get_json_object) merged into
+# q_extra2.events_type_stats alongside the exact quantiles — one
+# per-type aggregation pass covers both.
 
 
 @register(

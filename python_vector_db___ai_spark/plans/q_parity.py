@@ -69,58 +69,59 @@ def knn_perturbed_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dummy_predict_value",
+    "dummy_models",
     oracle="""
-WITH model AS (
+WITH reg_model AS (
   SELECT avg(value) AS mean_pred FROM events        -- DummyRegressor(mean)
-)
-SELECT e.event_type,
-       count(*)::BIGINT AS n,
-       round(any_value(m.mean_pred), 6) AS predicted,
-       round(avg(e.value), 6) AS actual_avg,
-       round(avg(abs(e.value - m.mean_pred)), 6) AS mae
-FROM events e CROSS JOIN model m
-GROUP BY e.event_type
-""",
-    doc="day-3 parity: sklearn DummyRegressor(strategy=mean) as a global "
-        "aggregate broadcast back over the table, with MAE",
-)
-def dummy_predict_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    model = ev.agg(F.avg("value").alias("mean_pred"))
-    return (ev.crossJoin(F.broadcast(model))
-            .groupBy("event_type")
-            .agg(F.count("*").cast("long").alias("n"),
-                 F.round(F.first("mean_pred"), 6).alias("predicted"),
-                 F.round(F.avg("value"), 6).alias("actual_avg"),
-                 F.round(F.avg(F.abs(F.col("value") - F.col("mean_pred"))), 6)
-                 .alias("mae")))
-
-
-@register(
-    "dummy_classify_type",
-    oracle="""
-WITH model AS (
-  SELECT event_type AS majority FROM events
+), reg AS (
+  SELECT 'regress' AS task, e.event_type,
+         count(*)::BIGINT AS n,
+         round(any_value(m.mean_pred), 6) AS predicted_num,
+         CAST(NULL AS VARCHAR) AS predicted_cat,
+         round(avg(abs(e.value - m.mean_pred)), 6) AS err
+  FROM events e CROSS JOIN reg_model m
+  GROUP BY e.event_type
+), cls_model AS (
+  SELECT event_type AS majority FROM events        -- DummyClassifier(mode)
   GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 1
+), cls AS (
+  SELECT 'classify' AS task, e.event_type,
+         count(*)::BIGINT AS n,
+         CAST(NULL AS DOUBLE) AS predicted_num,
+         any_value(m.majority) AS predicted_cat,
+         CAST(e.event_type = any_value(m.majority) AS INT)::DOUBLE AS err
+  FROM events e CROSS JOIN cls_model m
+  GROUP BY e.event_type
 )
-SELECT e.event_type, any_value(m.majority) AS predicted,
-       count(*)::BIGINT AS n,
-       (e.event_type = any_value(m.majority)) AS correct
-FROM events e CROSS JOIN model m
-GROUP BY e.event_type
+SELECT * FROM reg UNION ALL SELECT * FROM cls
 """,
-    doc="day-3 parity: DummyClassifier(strategy=most_frequent) — majority "
-        "class via a groupBy + top-1, broadcast as the constant prediction",
+    doc="day-3 parity: sklearn DummyRegressor(strategy=mean) with MAE and "
+        "DummyClassifier(strategy=most_frequent) — both are a global "
+        "aggregate broadcast back over the table, unioned into one check",
 )
-def dummy_classify_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dummy_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    reg_model = ev.agg(F.avg("value").alias("mean_pred"))
+    reg = (ev.crossJoin(F.broadcast(reg_model))
+           .groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.round(F.first("mean_pred"), 6).alias("predicted_num"),
+                F.round(F.avg(F.abs(F.col("value") - F.col("mean_pred"))), 6)
+                .alias("err"))
+           .select(F.lit("regress").alias("task"), "event_type", "n",
+                   "predicted_num",
+                   F.lit(None).cast("string").alias("predicted_cat"), "err"))
     majority = (ev.groupBy("event_type").count()
                 .orderBy(F.col("count").desc(), F.col("event_type").asc())
                 .limit(1)
                 .select(F.col("event_type").alias("majority")))
-    return (ev.crossJoin(F.broadcast(majority))
-            .groupBy("event_type")
-            .agg(F.first("majority").alias("predicted"),
-                 F.count("*").cast("long").alias("n"))
-            .withColumn("correct", F.col("event_type") == F.col("predicted")))
+    cls = (ev.crossJoin(F.broadcast(majority))
+           .groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.first("majority").alias("predicted_cat"))
+           .select(F.lit("classify").alias("task"), "event_type", "n",
+                   F.lit(None).cast("double").alias("predicted_num"),
+                   "predicted_cat",
+                   (F.col("event_type") == F.col("predicted_cat"))
+                   .cast("int").cast("double").alias("err")))
+    return reg.unionByName(cls)

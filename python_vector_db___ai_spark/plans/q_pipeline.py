@@ -126,32 +126,61 @@ def q_chunk_sentences_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_sentences_fixed(docs, max_sentences=_MAXS, overlap=_SOVL)
 
 
+_MINCUT = 100
+
+# Recursive-CTE oracle for the sequential day_15 boundary chunker.
+# One window per recursion step: end0 = min(start+size, len); if a
+# '. ' exists in the window whose cut position exceeds min_cut, cut
+# there; next start = max(end - overlap, start + 1).  `cutrel` is the
+# 0-based offset of the LAST '. ' in the segment (rfind), found via
+# strpos on the reversed segment.
+_BOUNDARY_STEP = f"""
+      SELECT doc_id, text, n, chunk_id, start_pos,
+             CASE WHEN least(start_pos + {_SIZE}, n) < n
+                       AND cutrel IS NOT NULL AND cutrel + 1 > {_MINCUT}
+                  THEN start_pos + cutrel + 1
+                  ELSE least(start_pos + {_SIZE}, n) END AS end_pos
+      FROM (
+        SELECT *,
+               CASE WHEN strpos(reverse(substr(text, start_pos + 1, {_SIZE})),
+                                ' .') > 0
+                    THEN length(substr(text, start_pos + 1, {_SIZE}))
+                         - strpos(reverse(substr(text, start_pos + 1, {_SIZE})),
+                                  ' .') - 1
+                    ELSE NULL END AS cutrel
+        FROM {{src}}
+      )
+"""
+
+
 @register(
     "chunk_chars_boundary",
-    oracle=None,   # sequential per-document algorithm (pandas UDF)
-    doc="F16 faithful day_15 boundary-aware chunker via pandas UDF + explode",
+    oracle=f"""
+WITH RECURSIVE ch AS (
+  SELECT doc_id, text, length(text) AS n,
+         0::BIGINT AS chunk_id, 0::BIGINT AS start_pos
+  FROM documents WHERE length(text) > 0
+  UNION ALL
+  SELECT doc_id, text, n, chunk_id + 1,
+         greatest(end_pos - {_OVL}, start_pos + 1) AS start_pos
+  FROM ({_BOUNDARY_STEP.format(src='ch')})
+  WHERE end_pos < n
+), stepped AS (
+  {_BOUNDARY_STEP.format(src='ch')}
+)
+SELECT doc_id, chunk_id, start_pos::BIGINT AS start_char,
+       end_pos::BIGINT AS end_char,
+       substr(text, start_pos + 1, (end_pos - start_pos)::INT) AS chunk_text
+FROM stepped
+""",
+    doc="F16 faithful day_15 boundary-aware chunker (pandas UDF + explode "
+        "on the Spark side; a recursive CTE replays the sequential "
+        "cut-at-'. ' scan in the oracle)",
 )
 def q_chunk_chars_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_chars_boundary(docs, size=_SIZE, overlap=_OVL, min_cut=100)
-
-
-@register(
-    "mock_embed_docs",
-    oracle=f"""
-SELECT doc_id,
-       list_transform({mock_embedding_sql('text')}, x -> round(x, 6)) AS embedding
-FROM documents
-""",
-    doc="V7 deterministic mock embedder (md5-derived, L2-normalized), "
-        "the hermetic stand-in for SentenceTransformer",
-)
-def q_mock_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.transform(mock_embedding(F.col("text")),
-                    lambda x: F.round(x, 6)).alias("embedding"))
+    return chunk_chars_boundary(docs, size=_SIZE, overlap=_OVL,
+                                min_cut=_MINCUT)
 
 
 _CACHE_N = 250
@@ -163,15 +192,22 @@ _CACHE_N = 250
 WITH cache AS (
   SELECT md5(concat('mock:', text)) AS key FROM documents
   WHERE doc_id < {_CACHE_N}
+), emb AS (
+  SELECT d.doc_id, d.text, {mock_embedding_sql('d.text')} AS e
+  FROM documents d
 )
-SELECT d.doc_id,
+SELECT emb.doc_id,
        (c.key IS NOT NULL) AS cache_hit,
-       round(sqrt(list_dot_product({mock_embedding_sql('d.text')},
-                                   {mock_embedding_sql('d.text')})), 6) AS emb_norm
-FROM documents d
-LEFT JOIN cache c ON md5(concat('mock:', d.text)) = c.key
+       round(sqrt(list_dot_product(e, e)), 6) AS emb_norm,
+       round(e[1], 6) AS e0, round(e[2], 6) AS e1,
+       round(e[3], 6) AS e2, round(e[4], 6) AS e3
+FROM emb
+LEFT JOIN cache c ON md5(concat('mock:', emb.text)) = c.key
 """,
-    doc="S12/J3 embedding cache join: hits reuse, misses embed",
+    doc="V7 deterministic mock embedder (md5-derived, L2-normalized — the "
+        "hermetic SentenceTransformer stand-in) through the S12/J3 cache "
+        "join: hits reuse, misses embed; norm + leading components "
+        "checked per doc",
 )
 def q_embed_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vector_db___ai_spark.functions.vector import vec_norm
@@ -182,8 +218,10 @@ def q_embed_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("key"),
                      mock_embedding(F.col("text")).alias("embedding")))
     out = embed_with_cache(docs, cache)
-    return out.select("doc_id", "cache_hit",
-                      F.round(vec_norm(F.col("embedding")), 6).alias("emb_norm"))
+    return out.select(
+        "doc_id", "cache_hit",
+        F.round(vec_norm(F.col("embedding")), 6).alias("emb_norm"),
+        *[F.round(F.col("embedding")[i], 6).alias(f"e{i}") for i in range(4)])
 
 
 _RAG_QUERIES = 5
@@ -228,20 +266,6 @@ WITH q AS (
 """
 
 
-@register(
-    "rag_context_build",
-    oracle=_RAG_CTE + """
-SELECT query_id, n_docs, context_chars, md5(context) AS context_hash FROM ctx
-""",
-    doc="F19 context building: rank-ordered concat under a 600-char budget",
-)
-def q_rag_context_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranked = _rag_ranked(spark, sf_dir)
-    ctx = build_context(ranked, max_length=_RAG_BUDGET)
-    return ctx.select("query_id", "n_docs", "context_chars",
-                      md5_hex(F.col("context")).alias("context_hash"))
-
-
 def _rag_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -256,14 +280,14 @@ def _rag_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rag_answer",
+    "rag_end_to_end",
     oracle=_RAG_CTE + """
 , qa AS (
-  SELECT c.query_id, c.context,
+  SELECT c.query_id, c.context, c.n_docs, c.context_chars,
          concat('what is ', substr(d.text, 1, 30), '?') AS question
   FROM ctx c JOIN documents d ON d.doc_id = c.query_id
 )
-SELECT query_id,
+SELECT query_id, n_docs, context_chars, md5(context) AS context_hash,
        md5(concat('Answer the question based on the context below.',
                   chr(10), chr(10), 'Context:', chr(10), context,
                   chr(10), chr(10), 'Question: ', question,
@@ -271,9 +295,12 @@ SELECT query_id,
        concat('Based on the context: ', substr(context, 1, 200)) AS answer
 FROM qa
 """,
-    doc="F20/F21 prompt templating + rule-based mock answer (day_12 RAG)",
+    doc="the day_12 RAG flagship end-to-end: F19 context building "
+        "(rank-ordered concat under a 600-char budget) -> F20 prompt "
+        "templating -> F21 rule-based mock answer, all in one checked "
+        "row per query",
 )
-def q_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ctx = build_context(_rag_ranked(spark, sf_dir), max_length=_RAG_BUDGET)
     qa = (ctx.join(docs.select(F.col("doc_id").alias("query_id"), "text"),
@@ -283,6 +310,7 @@ def q_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.substring("text", 1, 30), F.lit("?"))))
     out = format_prompt(qa)
     return out.select(
-        "query_id",
+        "query_id", "n_docs", "context_chars",
+        md5_hex(F.col("context")).alias("context_hash"),
         md5_hex(F.col("prompt")).alias("prompt_hash"),
         mock_answer(F.col("question"), F.col("context")).alias("answer"))

@@ -25,7 +25,7 @@ _WORDS_ALL = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
               "w -> w <> '')")
 
 
-def _lang_id_oracle() -> str:
+def _text_profile_oracle() -> str:
     score_cols = ", ".join(
         "len(list_intersect(words, ["
         + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -35,6 +35,7 @@ def _lang_id_oracle() -> str:
     cascade = "CASE " + " ".join(
         f"WHEN c_{lang} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
     ) + " END"
+    en_stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""
 WITH w AS (
   SELECT doc_id, lang, {_WORDS_D} AS words FROM documents
@@ -42,37 +43,15 @@ WITH w AS (
   SELECT doc_id, lang, {score_cols} FROM w
 ), b AS (
   SELECT *, {best} AS best FROM s
-)
-SELECT doc_id, lang,
-       CASE WHEN best >= {MIN_STOPWORD_HITS} THEN {cascade}
-            ELSE 'unknown' END AS pred_lang,
-       best AS stopword_hits,
-       (CASE WHEN best >= {MIN_STOPWORD_HITS} THEN {cascade}
-             ELSE 'unknown' END) = lang AS is_match
-FROM b
-"""
-
-
-@register(
-    "text_lang_id",
-    oracle=_lang_id_oracle(),
-    doc="F7 stopword-heuristic language ID vs the labeled lang column",
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    scores = lang_scores(F.col("text"))
-    pred = detect_language(F.col("text"))
-    return docs.select(
-        "doc_id", "lang",
-        pred.alias("pred_lang"),
-        F.greatest(*scores.values()).alias("stopword_hits"),
-        (pred == F.col("lang")).alias("is_match"))
-
-
-@register(
-    "text_quality",
-    oracle=f"""
-WITH m AS (
+), lid AS (
+  SELECT doc_id, lang,
+         CASE WHEN best >= {MIN_STOPWORD_HITS} THEN {cascade}
+              ELSE 'unknown' END AS pred_lang,
+         best AS stopword_hits,
+         (CASE WHEN best >= {MIN_STOPWORD_HITS} THEN {cascade}
+               ELSE 'unknown' END) = lang AS is_match
+  FROM b
+), m AS (
   SELECT doc_id,
          length(text)::DOUBLE AS n_chars,
          len({_WORDS_ALL})::DOUBLE AS n_words,
@@ -80,8 +59,10 @@ WITH m AS (
          (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE AS punct,
          (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits,
          len(list_filter({_WORDS_ALL},
-             w -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS['en'])}], w)))::DOUBLE AS n_stop,
-         len(list_distinct({_WORDS_ALL}))::DOUBLE AS n_uniq
+             w -> list_contains([{en_stop}], w)))::DOUBLE AS n_stop,
+         len(list_distinct({_WORDS_ALL}))::DOUBLE AS n_uniq,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS regex_tokens,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
   FROM documents
 ), r AS (
   SELECT doc_id,
@@ -90,68 +71,61 @@ WITH m AS (
          CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
          CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END AS digit_ratio,
          CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stopword_ratio,
-         CASE WHEN n_words > 0 THEN n_uniq / n_words ELSE 0.0 END AS unique_word_ratio
+         CASE WHEN n_words > 0 THEN n_uniq / n_words ELSE 0.0 END AS unique_word_ratio,
+         regex_tokens, approx_bpe_tokens
   FROM m
+), q AS (
+  SELECT doc_id, n_chars, n_words,
+         round(avg_word_len, 6) AS avg_word_len,
+         round(punct_ratio, 6) AS punct_ratio,
+         round(digit_ratio, 6) AS digit_ratio,
+         round(stopword_ratio, 6) AS stopword_ratio,
+         round(unique_word_ratio, 6) AS unique_word_ratio,
+         round(least(n_words / 100.0, 1.0) * 0.25
+               + unique_word_ratio * 0.25
+               + least(stopword_ratio * 4, 1.0) * 0.25
+               + greatest(0.0, 1.0 - punct_ratio * 5 - digit_ratio * 5) * 0.25,
+               6) AS quality,
+         n_words AS ws_tokens, regex_tokens, approx_bpe_tokens
+  FROM r
 )
-SELECT doc_id, n_chars, n_words,
-       round(avg_word_len, 6) AS avg_word_len,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(digit_ratio, 6) AS digit_ratio,
-       round(stopword_ratio, 6) AS stopword_ratio,
-       round(unique_word_ratio, 6) AS unique_word_ratio,
-       round(least(n_words / 100.0, 1.0) * 0.25
-             + unique_word_ratio * 0.25
-             + least(stopword_ratio * 4, 1.0) * 0.25
-             + greatest(0.0, 1.0 - punct_ratio * 5 - digit_ratio * 5) * 0.25,
-             6) AS quality
-FROM r
-""",
-    doc="per-doc quality metrics + composite [0,1] score (training-data gate)",
+SELECT lid.doc_id, lid.lang, lid.pred_lang, lid.stopword_hits, lid.is_match,
+       q.n_chars, q.n_words, q.avg_word_len, q.punct_ratio, q.digit_ratio,
+       q.stopword_ratio, q.unique_word_ratio, q.quality,
+       q.ws_tokens, q.regex_tokens, q.approx_bpe_tokens
+FROM lid JOIN q ON q.doc_id = lid.doc_id
+"""
+
+
+@register(
+    "text_profile",
+    oracle=_text_profile_oracle(),
+    doc="per-doc text-analysis profile, one pass: F7 stopword-heuristic "
+        "language ID vs the labeled lang column, per-doc quality metrics "
+        "+ composite [0,1] score (training-data gate), and token counts "
+        "(whitespace + BPE-ish regex + chars/4)",
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    pred = detect_language(F.col("text"))
     m = quality_metrics(F.col("text"))
+    tc = token_counts(F.col("text"))
     return docs.select(
-        "doc_id", m["n_chars"].alias("n_chars"), m["n_words"].alias("n_words"),
+        "doc_id", "lang",
+        pred.alias("pred_lang"),
+        F.greatest(*scores.values()).alias("stopword_hits"),
+        (pred == F.col("lang")).alias("is_match"),
+        m["n_chars"].alias("n_chars"), m["n_words"].alias("n_words"),
         F.round(m["avg_word_len"], 6).alias("avg_word_len"),
         F.round(m["punct_ratio"], 6).alias("punct_ratio"),
         F.round(m["digit_ratio"], 6).alias("digit_ratio"),
         F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(m["unique_word_ratio"], 6).alias("unique_word_ratio"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"))
-
-
-@register(
-    "text_token_stats",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, lang,
-         len({_WORDS_ALL})::BIGINT AS ws_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS regex_tokens,
-         CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
-  FROM documents
-)
-SELECT lang,
-       count(*)::BIGINT AS n_docs,
-       sum(ws_tokens)::BIGINT AS total_ws_tokens,
-       sum(regex_tokens)::BIGINT AS total_regex_tokens,
-       round(avg(approx_bpe_tokens), 6) AS avg_approx_bpe_tokens
-FROM t GROUP BY lang
-""",
-    doc="token counting (whitespace + BPE-ish regex + chars/4) aggregated by lang",
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tc = token_counts(F.col("text"))
-    per_doc = docs.select("lang", tc["ws_tokens"].alias("ws_tokens"),
-                          tc["regex_tokens"].alias("regex_tokens"),
-                          tc["approx_bpe_tokens"].alias("approx_bpe_tokens"))
-    return (per_doc.groupBy("lang")
-            .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
-                 F.sum("regex_tokens").cast("long").alias("total_regex_tokens"),
-                 F.round(F.avg("approx_bpe_tokens"), 6)
-                 .alias("avg_approx_bpe_tokens")))
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        tc["ws_tokens"].alias("ws_tokens"),
+        tc["regex_tokens"].alias("regex_tokens"),
+        tc["approx_bpe_tokens"].alias("approx_bpe_tokens"))
 
 
 _GRAM = 5

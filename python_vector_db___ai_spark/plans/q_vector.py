@@ -46,82 +46,56 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("query_vec")))
 
 
+# One CTE per metric; the merged query unions the three so a single
+# driver check proves V2/V3/V4/V5 + J1/T2 together.
+def _knn_metric_sql(metric: str, score_expr: str, order: str) -> str:
+    return f"""
+SELECT '{metric}' AS metric, query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score {order}, vec_id ASC) AS rank
+  FROM (
+    SELECT q.query_id, c.vec_id, round({score_expr}, 6) AS score
+    FROM q CROSS JOIN
+         (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+  )
+) WHERE rank <= {K}
+"""
+
+
 @register(
-    "knn_exact_cosine",
+    "knn_exact_batch",
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id < {N_QUERIES}
-), scored AS (
-  SELECT q.query_id, c.vec_id,
-         round({_cos_sql('qv', 'cv')}, 6) AS score
-  FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
-), ranked AS (
-  SELECT query_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
-  FROM scored
 )
-SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {K}
+{_knn_metric_sql('cosine', _cos_sql('qv', 'cv'), 'DESC')}
+UNION ALL
+{_knn_metric_sql('l2', 'list_distance(qv, cv)', 'ASC')}
+UNION ALL
+{_knn_metric_sql('dot', 'list_dot_product(qv, cv)', 'DESC')}
 """,
-    doc="J1/T2 exact flat kNN, cosine (day_6/day6_complete.py:86-99)",
+    doc="J1/T2 exact flat batch kNN under cosine / L2 / inner-product "
+        "(day_6/day6_complete.py:86-99; pgvector <->, <#> "
+        "day_9/database/vector_ops.py:143-147) — three metrics, one check",
 )
-def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_exact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join_blas(_queries_df(spark, sf_dir), emb, k=K,
-                         metric="cosine", corpus_id="vec_id")
-
-
-@register(
-    "knn_exact_l2",
-    oracle=f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-), scored AS (
-  SELECT q.query_id, c.vec_id,
-         round(list_distance(qv, cv), 6) AS score
-  FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
-), ranked AS (
-  SELECT query_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {K}
-""",
-    doc="exact kNN under L2 distance, pgvector <-> (day_9/database/vector_ops.py:143-147)",
-)
-def knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join_blas(_queries_df(spark, sf_dir), emb, k=K, metric="l2",
-                         corpus_id="vec_id")
-
-
-@register(
-    "knn_exact_dot",
-    oracle=f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-), scored AS (
-  SELECT q.query_id, c.vec_id, round(list_dot_product(qv, cv), 6) AS score
-  FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
-), ranked AS (
-  SELECT query_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {K}
-""",
-    doc="exact kNN under inner product, pgvector <#> (V5)",
-)
-def knn_exact_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join(_queries_df(spark, sf_dir), emb, k=K, metric="inner_product",
-                    corpus_id="vec_id")
+    q = _queries_df(spark, sf_dir)
+    cos = knn_join_blas(q, emb, k=K, metric="cosine", corpus_id="vec_id") \
+        .withColumn("metric", F.lit("cosine"))
+    l2 = knn_join_blas(q, emb, k=K, metric="l2", corpus_id="vec_id") \
+        .withColumn("metric", F.lit("l2"))
+    dot = knn_join(q, emb, k=K, metric="inner_product", corpus_id="vec_id") \
+        .withColumn("metric", F.lit("dot"))
+    return (cos.unionByName(l2).unionByName(dot)
+            .select("metric", "query_id", "vec_id", "score", "rank"))
 
 
 _PAIRS_N = 200
 _PAIRS_K = 20
+_EPAIR_N = 100
 
 
 @register(
@@ -130,73 +104,96 @@ _PAIRS_K = 20
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS ev
   FROM embeddings WHERE vec_id < {_PAIRS_N}
-), pairs AS (
-  SELECT a.vec_id AS i, b.vec_id AS j,
-         round({_cos_sql('a.ev', 'b.ev')}, 6) AS score
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), ve AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev
+  FROM embeddings WHERE vec_id < {_EPAIR_N}
+), cos_pairs AS (
+  SELECT 'cosine' AS metric, i, j, score FROM (
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round({_cos_sql('a.ev', 'b.ev')}, 6) AS score
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+  ) ORDER BY score DESC, i ASC, j ASC LIMIT {_PAIRS_K}
+), ed AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, list_distance(a.ev, b.ev) AS dist
+  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+), em AS (SELECT max(dist) AS max_d FROM ed),
+eu_pairs AS (
+  SELECT 'euclidean_sim' AS metric, i, j,
+         round(1.0 - dist / max_d, 6) AS score
+  FROM ed, em
+  ORDER BY score DESC, i ASC, j ASC LIMIT {_PAIRS_K}
 )
-SELECT i, j, score FROM pairs
-ORDER BY score DESC, i ASC, j ASC LIMIT {_PAIRS_K}
+SELECT * FROM cos_pairs UNION ALL SELECT * FROM eu_pairs
 """,
-    doc="T3 top-k most-similar pairs, upper triangle (day_5/day5_complete.py:122-146)",
+    doc="T3 top-k most-similar pairs, upper triangle, under cosine "
+        "(day_5/day5_complete.py:122-146) and the day-5 global-max "
+        "normalized euclidean similarity (V4/A10) — one union, one check",
 )
 def topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .filter(F.col("vec_id") < _PAIRS_N))
-    out = topk_pairs(emb, k=_PAIRS_K, metric="cosine",
-                     id_col="vec_id", vec_col="embedding")
-    return out.select("i", "j", F.round("score", 6).alias("score"))
+    from python_vector_db___ai_spark.functions.vector import l2_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cos = (topk_pairs(emb.filter(F.col("vec_id") < _PAIRS_N), k=_PAIRS_K,
+                      metric="cosine", id_col="vec_id", vec_col="embedding")
+           .select(F.lit("cosine").alias("metric"), "i", "j",
+                   F.round("score", 6).alias("score")))
+    ve = emb.filter(F.col("vec_id") < _EPAIR_N)
+    a = ve.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = ve.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    d = (a.join(b, F.col("i") < F.col("j"))
+         .select("i", "j", l2_distance(F.col("va"), F.col("vb")).alias("dist")))
+    max_d = d.agg(F.max("dist").alias("max_d"))
+    eu = (d.crossJoin(F.broadcast(max_d))
+          .select(F.lit("euclidean_sim").alias("metric"), "i", "j",
+                  F.round(1.0 - F.col("dist") / F.col("max_d"), 6)
+                  .alias("score"))
+          .orderBy(F.col("score").desc(), F.col("i").asc(), F.col("j").asc())
+          .limit(_PAIRS_K))
+    return cos.unionByName(eu)
 
 
 @register(
     "vector_norm_stats",
     oracle="""
 WITH n AS (
-  SELECT vec_id, label,
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+), u AS (
+  SELECT vec_id, label, nrm,
+         sqrt(list_dot_product(nv, nv)) AS unit_norm
+  FROM (
+    SELECT vec_id, label, nrm,
+           CASE WHEN nrm > 1e-12 THEN list_transform(ev, x -> x / nrm)
+                ELSE ev END AS nv
+    FROM n
+  )
 )
 SELECT label,
        count(*) AS n_vectors,
        round(avg(nrm), 6) AS avg_norm,
        round(min(nrm), 6) AS min_norm,
        round(max(nrm), 6) AS max_norm,
-       round(stddev_samp(nrm), 6) AS std_norm
-FROM n GROUP BY label
+       round(stddev_samp(nrm), 6) AS std_norm,
+       round(min(unit_norm), 6) AS min_unit_norm,
+       round(max(unit_norm), 6) AS max_unit_norm
+FROM u GROUP BY label
 """,
-    doc="V8 embedding norm statistics per cluster label (day_5/day5_complete.py:53-76)",
+    doc="V8 embedding norm statistics per cluster label "
+        "(day_5/day5_complete.py:53-76) + V1 invariant "
+        "||l2_normalize(v)|| == 1 folded in as min/max unit norm "
+        "(day_2/noramalization.py:96)",
 )
 def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select("label", vec_norm(F.col("embedding")).alias("nrm"))
+    n = emb.select(
+        "label", vec_norm(F.col("embedding")).alias("nrm"),
+        vec_norm(l2_normalize(F.col("embedding"))).alias("unit_norm"))
     return (n.groupBy("label")
              .agg(F.count("*").alias("n_vectors"),
                   F.round(F.avg("nrm"), 6).alias("avg_norm"),
                   F.round(F.min("nrm"), 6).alias("min_norm"),
                   F.round(F.max("nrm"), 6).alias("max_norm"),
-                  F.round(F.stddev_samp("nrm"), 6).alias("std_norm")))
-
-
-@register(
-    "l2_normalize_check",
-    oracle="""
-WITH n AS (
-  SELECT vec_id, embedding::DOUBLE[] AS ev,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings WHERE vec_id < 100
-), nv AS (
-  SELECT vec_id,
-         CASE WHEN nrm > 1e-12 THEN list_transform(ev, x -> x / nrm)
-              ELSE ev END AS v
-  FROM n
-)
-SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS unit_norm FROM nv
-""",
-    doc="V1 invariant: ||l2_normalize(v)|| == 1 for non-zero v (day_2/noramalization.py:96)",
-)
-def l2_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .filter(F.col("vec_id") < 100))
-    normed = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("nv"))
-    return normed.select(
-        "vec_id", F.round(vec_norm(F.col("nv")), 6).alias("unit_norm"))
+                  F.round(F.stddev_samp("nrm"), 6).alias("std_norm"),
+                  F.round(F.min("unit_norm"), 6).alias("min_unit_norm"),
+                  F.round(F.max("unit_norm"), 6).alias("max_unit_norm")))
