@@ -77,6 +77,10 @@ def main() -> None:
 
     ann = ann_benchmark(spark, sf_dir)
 
+    factors = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_SCALE_FACTORS", "10,50,200").split(",") if x]
+    scale = scale_benchmark(spark, sf_dir, factors) if factors else []
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_total",
@@ -84,6 +88,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ann": ann,
+        "scale": scale,
         "sf": sf,
     }))
     spark.stop()
@@ -92,24 +97,37 @@ def main() -> None:
 def ann_benchmark(spark, sf_dir: str) -> dict:
     """The day-6 benchmark shape (BASELINE.md): a 100-query batch kNN
     at k=10, exact vs IVF vs LSH, with recall@10 measured against the
-    exact scan."""
+    exact scan.
+
+    The IVF operating point mirrors the reference's quantizer tuning
+    (day_6/day6_complete.py:105-115 ``nlist = min(100, n/10)``, scaled
+    up because the synthetic corpus has weaker cluster structure) plus
+    spill-2 list assignment — each vector stored in its two nearest
+    lists — which is what lifts recall@10 to ~0.85 at <= 30% scan on a
+    corpus whose true neighbors ignore the label column.  The reported
+    ``ivf_scan_frac`` is measured (distinct candidates / (queries ×
+    corpus)), not assumed.
+    """
     from pyspark.sql import functions as F
 
     from python_vector_db___ai_spark.operators.ivf import (
+        assign_clusters,
         ivf_search,
+        kmeans_centroids,
         recall_against_exact,
     )
-    from python_vector_db___ai_spark.operators.lsh import brp_lsh_knn
+    from python_vector_db___ai_spark.operators.lsh import srp_lsh_knn
     from python_vector_db___ai_spark.operators.search import knn_join_blas
     from python_vector_db___ai_spark.session import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    emb.count()
-    queries = (emb.filter(F.col("vec_id") < 100)
+    n = emb.count()
+    n_queries = min(100, n)
+    queries = (emb.filter(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
 
-    out: dict = {"n_queries": 100, "k": 10}
+    out: dict = {"n_queries": n_queries, "k": 10, "corpus_rows": n}
 
     t0 = time.perf_counter()
     exact = knn_join_blas(queries, emb, k=10, metric="cosine",
@@ -118,38 +136,150 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     out["exact_sec"] = round(time.perf_counter() - t0, 4)
     exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
 
-    # Index build (centroids) reported separately, like the reference's
-    # build-vs-search split (day6_performance_summary.csv).
-    from python_vector_db___ai_spark.operators.ivf import build_centroids
-
+    # IVF: KMeans quantizer + spill-2 assignment, build timed separately
+    # like the reference's build-vs-search split (day6_performance_summary.csv).
+    nlist = min(200, max(10, n // 10))
+    spill = 2
+    nprobe = max(1, int(round(nlist * 0.15)))
+    out["ivf_params"] = {"nlist": nlist, "spill": spill, "nprobe": nprobe}
     t0 = time.perf_counter()
-    centroids = build_centroids(emb, cluster_col="label",
-                                vec_col="embedding").cache()
-    centroids.count()
+    cents = kmeans_centroids(emb, nlist=nlist, seed=42).cache()
+    cents.count()
+    assigned = assign_clusters(emb, cents, spill=spill,
+                               cluster_col="cluster_id").cache()
+    assigned.count()
     out["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
-    ivf = ivf_search(queries, emb, centroids=centroids, nprobe=3, k=10,
-                     metric="cosine", corpus_id="vec_id", cluster_col="label")
+    ivf = ivf_search(queries, assigned, centroids=cents, nprobe=nprobe,
+                     k=10, metric="cosine", corpus_id="vec_id",
+                     corpus_vec="embedding", cluster_col="cluster_id",
+                     dedup_candidates=True)
     ivf_rows = ivf.collect()
     out["ivf_sec"] = round(time.perf_counter() - t0, 4)
     ivf_cached = spark.createDataFrame(ivf_rows, ivf.schema)
     out["ivf_recall"] = round(
         recall_against_exact(ivf_cached, exact_cached, corpus_id="vec_id")
         .agg(F.avg("recall")).collect()[0][0], 4)
+    # Measured scan fraction: distinct (query, vector) candidates the
+    # pruned search touches, over queries x corpus.
+    from python_vector_db___ai_spark.operators.ivf import probe_clusters
 
+    probes = probe_clusters(queries, cents, nprobe=nprobe,
+                            cluster_col="cluster_id")
+    n_cand = (probes.select("query_id", "cluster_id")
+              .join(assigned.select("vec_id", "cluster_id"), "cluster_id")
+              .select("query_id", "vec_id").distinct().count())
+    out["ivf_scan_frac"] = round(n_cand / (n_queries * n), 4)
+
+    # SRP-LSH on the raw corpus (honest numbers: random data has little
+    # locality, so the candidate fraction needed for high recall is
+    # large; the scale section below shows where LSH actually wins).
     t0 = time.perf_counter()
-    exact_l2 = knn_join_blas(queries, emb, k=10, metric="l2",
-                             corpus_id="vec_id")
-    lsh = brp_lsh_knn(queries, emb, k=10)
+    lsh = srp_lsh_knn(queries, emb, k=10, n_tables=16, n_bits=6)
     lsh_rows = lsh.collect()
     out["lsh_sec"] = round(time.perf_counter() - t0, 4)
     lsh_cached = spark.createDataFrame(lsh_rows, lsh.schema)
     out["lsh_recall"] = round(
-        recall_against_exact(lsh_cached, exact_l2, corpus_id="vec_id")
+        recall_against_exact(lsh_cached, exact_cached, corpus_id="vec_id")
         .agg(F.avg("recall")).collect()[0][0], 4)
     emb.unpersist()
     return out
+
+
+def scale_benchmark(spark, sf_dir: str, factors) -> list:
+    """Exact vs IVF vs LSH on the inflated corpus (noisy replicas,
+    tools/scale_probe.py): the regime where the corpus outgrows a
+    single scan and the ANN paths earn their keep.  The inflated data
+    is cluster-structured (copies stay near their source), which is
+    also the realistic near-dup retrieval workload.
+
+    The quantizer is KMeans trained once on the *base* corpus — the
+    standard sample-train-then-assign pattern (FAISS trains IVF on a
+    corpus sample too) — and copies are list-assigned with one BLAS
+    pass, so the quantizer cost does not grow with the factor.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tools.scale_probe import inflate
+    from python_vector_db___ai_spark.operators.ivf import (
+        assign_clusters,
+        ivf_search,
+        kmeans_centroids,
+        recall_against_exact,
+    )
+    from python_vector_db___ai_spark.operators.lsh import srp_lsh_knn
+    from python_vector_db___ai_spark.operators.search import knn_join_blas
+    from python_vector_db___ai_spark.session import load_table
+
+    from python_vector_db___ai_spark.operators.lsh import srp_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 10-query batch: the per-query-latency regime (the reference's
+    # search benchmarks are single-query too).  A batch much larger
+    # than nlist/nprobe would probe every list and prune nothing — at
+    # real scale nlist is thousands, here it is bounded by the 2k base.
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select((F.col("vec_id") * 10 ** 6).alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    n_base = emb.count()
+    nlist = min(200, max(10, n_base // 10))
+    nprobe = 5
+    cents = kmeans_centroids(emb, nlist=nlist, seed=42).cache()
+    cents.count()
+    results = []
+    for factor in factors:
+        tmp = tempfile.mkdtemp(prefix=f"bench_scale_{factor}_")
+        inflate(emb, factor).write.parquet(tmp, mode="overwrite")
+        corpus = spark.read.parquet(tmp).cache()
+        n = corpus.count()
+        entry = {"factor": factor, "corpus_rows": n,
+                 "ivf_params": {"nlist": nlist, "nprobe": nprobe}}
+
+        t0 = time.perf_counter()
+        exact = knn_join_blas(queries, corpus, k=10, metric="cosine",
+                              corpus_id="vec_id")
+        exact_rows = exact.collect()
+        entry["exact_sec"] = round(time.perf_counter() - t0, 3)
+        exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
+
+        t0 = time.perf_counter()
+        assigned = assign_clusters(corpus, cents, spill=1,
+                                   cluster_col="cluster_id").cache()
+        assigned.count()
+        entry["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ivf = ivf_search(queries, assigned, centroids=cents, nprobe=nprobe,
+                         k=10, metric="cosine", corpus_id="vec_id",
+                         cluster_col="cluster_id")
+        ivf_rows = ivf.collect()
+        entry["ivf_sec"] = round(time.perf_counter() - t0, 3)
+        ivf_df = spark.createDataFrame(ivf_rows, ivf.schema)
+        entry["ivf_recall"] = round(
+            recall_against_exact(ivf_df, exact_cached, corpus_id="vec_id")
+            .agg(F.avg("recall")).collect()[0][0], 4)
+
+        t0 = time.perf_counter()
+        H, cb = srp_build(corpus, n_tables=8, n_bits=12)
+        cb = cb.cache()
+        cb.count()
+        entry["lsh_build_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        lsh = srp_lsh_knn(queries, corpus, k=10, n_tables=8, n_bits=12,
+                          prebuilt=(H, cb))
+        lsh_rows = lsh.collect()
+        entry["lsh_sec"] = round(time.perf_counter() - t0, 3)
+        lsh_df = spark.createDataFrame(lsh_rows, lsh.schema)
+        entry["lsh_recall"] = round(
+            recall_against_exact(lsh_df, exact_cached, corpus_id="vec_id")
+            .agg(F.avg("recall")).collect()[0][0], 4)
+        corpus.unpersist()
+        assigned.unpersist()
+        cb.unpersist()
+        results.append(entry)
+    return results
 
 
 if __name__ == "__main__":

@@ -286,6 +286,9 @@ def embedding_neardup_pruned(df: DataFrame, threshold: float = 0.4,
     scores + id tie-breaks) so a DuckDB oracle reproduces the exact
     candidate set.
     """
+    import numpy as np
+    import pandas as pd
+
     from python_vector_db___ai_spark.operators.ivf import (
         build_centroids,
         probe_clusters,
@@ -297,17 +300,34 @@ def embedding_neardup_pruned(df: DataFrame, threshold: float = 0.4,
                   F.col(vec_col).alias("_pvec")),
         cents, nprobe=spill, metric="cosine", query_id="_pid",
         query_vec="_pvec", cluster_col=cluster_col, round_to=round_to)
-    slim = assigned.select(F.col("_pid"), F.col(cluster_col))
-    cand = (slim.alias("a")
-            .join(slim.alias("b"), cluster_col)
-            .filter(F.col("a._pid") < F.col("b._pid"))
-            .select(F.col("a._pid").alias("i"), F.col("b._pid").alias("j"))
-            .distinct())
-    va = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
-    return (cand.join(va, "i").join(vb, "j")
-            .withColumn("cosine",
-                        F.round(cosine_similarity(F.col("va"), F.col("vb")),
-                                round_to))
-            .filter(F.col("cosine") >= threshold)
-            .select("i", "j", "cosine"))
+
+    # Within-cluster pair generation + cosine verify as one grouped
+    # Arrow kernel: the shuffle moves each vector once per assigned
+    # cluster (spill× the corpus, NOT the pair count), and the O(m²)
+    # scoring runs as a single matmul per cluster.  At 100-TB scale,
+    # cap cluster sizes (finer quantizer) so a group fits an executor.
+    def within_cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"i": [], "j": [], "cosine": []})
+        pdf = pdf.sort_values("_pid")
+        ids = pdf["_pid"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["_pvec"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (V @ V.T) / np.outer(nrm, nrm)
+        bad = nrm <= 1e-12
+        S[bad, :] = 0.0
+        S[:, bad] = 0.0
+        S = np.round(S, round_to)
+        iu = np.triu_indices(len(ids), 1)      # rows id-sorted -> i < j
+        keep = S[iu] >= threshold
+        return pd.DataFrame({"i": ids[iu[0][keep]],
+                             "j": ids[iu[1][keep]],
+                             "cosine": S[iu][keep]})
+
+    pairs = (assigned.groupBy(cluster_col)
+             .applyInPandas(within_cluster_pairs,
+                            schema="i long, j long, cosine double"))
+    # spill overlap can emit a pair from two clusters — values are
+    # bit-identical (same rounded kernel), so distinct dedups exactly.
+    return pairs.distinct()

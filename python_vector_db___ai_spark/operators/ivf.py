@@ -74,7 +74,8 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
                corpus_id: str = "id", corpus_vec: str = "embedding",
                cluster_col: str = "label",
                round_to: int | None = 6,
-               impl: str = "pruned-blas") -> DataFrame:
+               impl: str = "pruned-blas",
+               dedup_candidates: bool = False) -> DataFrame:
     """IVF search: probe -> prune (equi-join on cluster) -> exact score
     within the probed clusters -> per-query top-k.
 
@@ -84,6 +85,11 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
     and keeps local top-k before the final merge (same trick as
     ``search.knn_join_blas``, identical results); ``impl="expr"`` stays
     pure-expression.
+
+    ``dedup_candidates=True`` drops duplicate (query, candidate) pairs
+    before ranking — required when the corpus was spill-assigned to
+    multiple clusters (:func:`assign_clusters` with ``spill > 1``), so a
+    vector living in two probed clusters cannot occupy two rank slots.
     """
     if centroids is None:
         centroids = build_centroids(corpus, cluster_col, corpus_vec, round_to)
@@ -109,6 +115,10 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
         if round_to is not None:
             score = F.round(score, round_to)
         scored = cand.withColumn("score", score)
+    if dedup_candidates:
+        # Scores of duplicates are identical (same rounded kernel), so
+        # any one row per (query, candidate) is the right survivor.
+        scored = scored.dropDuplicates([query_id, corpus_id])
     return (scored
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
@@ -255,6 +265,91 @@ def recall_against_exact(approx: DataFrame, exact: DataFrame,
             .select(query_id, "n_exact", "n_hits",
                     F.round(F.col("n_hits") / F.col("n_exact"), 6)
                     .alias("recall")))
+
+
+def kmeans_centroids(corpus: DataFrame, nlist: int = 10, seed: int = 42,
+                     vec_col: str = "embedding",
+                     cluster_col: str = "cluster_id") -> DataFrame:
+    """Train the MLlib-KMeans coarse quantizer and return its centroids
+    as a ``(cluster_col, centroid array<double>)`` frame — the same
+    shape :func:`build_centroids` produces, so :func:`probe_clusters` /
+    :func:`ivf_search` work with either quantizer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=nlist, seed=seed, featuresCol="_features",
+                   predictionCol="_p").fit(feats)
+    rows = [(int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        rows, f"{cluster_col} int, centroid array<double>")
+
+
+def assign_clusters(corpus: DataFrame, centroids: DataFrame,
+                    spill: int = 1, metric: str = "cosine",
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    cluster_col: str = "cluster_id",
+                    round_to: int | None = 6,
+                    impl: str = "blas") -> DataFrame:
+    """Assign each corpus vector to its ``spill`` nearest centroids —
+    IVF list assignment with replication.  ``spill > 1`` is the
+    standard boundary-pair recall fix: storage grows ``spill``×, and
+    queries keep finding near neighbors that straddle a cluster edge.
+    Returns ``(id_col, vec_col, cluster_col)`` with ``spill`` rows per
+    vector; write it partitioned by ``cluster_col`` for pruning.
+
+    ``impl="blas"`` (default) scores each Arrow batch against the
+    broadcast centroid matrix in one matmul — the corpus-sized pass
+    must not go through interpreted per-row lambda expressions.
+    ``impl="expr"`` keeps the pure-Column path (used where the DuckDB
+    oracle replays the assignment).
+    """
+    if impl == "expr":
+        return probe_clusters(
+            corpus.select(F.col(id_col), F.col(vec_col)),
+            centroids, nprobe=spill, metric=metric, query_id=id_col,
+            query_vec=vec_col, cluster_col=cluster_col, round_to=round_to)
+
+    import numpy as np
+    import pandas as pd
+
+    if metric != "cosine":
+        raise ValueError("blas assignment currently implements cosine only")
+    crows = sorted(centroids.collect(), key=lambda r: r[cluster_col])
+    cids = np.array([r[cluster_col] for r in crows], dtype=np.int32)
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((cids, C, cn))
+
+    def op(batches):
+        cids_, C_, cn_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (V @ C_.T) / np.outer(vn, cn_)
+            S[(np.outer(vn <= 1e-12, np.ones(len(C_), bool)))
+              | (np.outer(np.ones(len(V), bool), cn_ <= 1e-12))] = 0.0
+            if round_to is not None:
+                S = np.round(S, round_to)
+            # stable argsort on -S: ties resolve to the lower cluster id
+            # because C_ rows are sorted by id — same tie-break as the
+            # expression path's (score desc, cluster asc) window.
+            order = np.argsort(-S, axis=1, kind="stable")[:, :spill]
+            m = order.shape[1]
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), m),
+                vec_col: [v for v in pdf[vec_col] for _ in range(m)],
+                cluster_col: cids_[order].ravel()})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, {vec_col} array<double>, "
+                   f"{cluster_col} int")
 
 
 def kmeans_assign(corpus: DataFrame, nlist: int = 10, seed: int = 42,

@@ -12,7 +12,6 @@ from python_vector_db___ai_spark.operators.ivf import (
     kmeans_silhouette_sweep,
     recall_against_exact,
 )
-from python_vector_db___ai_spark.operators.lsh import brp_lsh_knn
 from python_vector_db___ai_spark.operators.search import knn_join_blas
 from python_vector_db___ai_spark.plans.q_vector import N_QUERIES, _cos_sql
 from python_vector_db___ai_spark.plans.queries import register
@@ -138,18 +137,21 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lsh_l2_recall",
-    oracle=None,   # MLlib LSH hyperplanes are engine-internal
-    doc="X3/X4 substitute: BucketedRandomProjectionLSH kNN recall@10 vs "
-        "exact (the HNSW slot, SURVEY §7)",
+    "lsh_ann_recall",
+    oracle=None,   # seeded hyperplanes, engine-internal float packing
+    doc="X3/X4 substitute (the HNSW slot, SURVEY §7): hand-rolled "
+        "sign-random-projection LSH kNN — bucket equi-join with a "
+        "hot-bucket cap + BLAS re-rank — recall@10 vs the exact scan",
 )
-def lsh_l2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.lsh import srp_lsh_knn
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
-    approx = brp_lsh_knn(queries, emb, k=K)
-    exact = knn_join_blas(queries, emb, k=K, metric="l2",
+    approx = srp_lsh_knn(queries, emb, k=K, n_tables=12, n_bits=6)
+    exact = knn_join_blas(queries, emb, k=K, metric="cosine",
                           corpus_id="vec_id")
     return recall_against_exact(approx, exact, corpus_id="vec_id")
 
