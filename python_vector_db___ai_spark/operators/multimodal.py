@@ -90,6 +90,52 @@ def resize_stub(mm: DataFrame, target: int = 224) -> DataFrame:
                      F.create_map(F.lit("resized_to"), F.lit(str(target)))))
 
 
+_FRAME_SCHEMA = ("doc_id long, frame_idx long, frame_offset_ms long, "
+                 "frame_bytes long, frame_feature double")
+
+
+def frame_sample(mm: DataFrame, max_frames: int = 4,
+                 deterministic: bool = True) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame (the UDTF shape — a media blob fans out to frame rows that
+    downstream per-frame featurizers consume).
+
+    STUB KERNEL: frame count/offsets/features are md5-seeded from the
+    payload. REAL IMPLEMENTATION SLOT: ``av.open(payload)`` +
+    keyframe iteration goes here.  The Spark plumbing — mapInPandas
+    fan-out, bounded Arrow batches, per-frame schema — is the real
+    thing either way.
+    """
+    if not deterministic:
+        raise NotImplementedError(
+            "real frame decoding (PyAV/ffmpeg) is not available in this "
+            "container; run with deterministic=True for the md5-seeded "
+            "stub with identical plumbing")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx",
+                                    "frame_offset_ms", "frame_bytes",
+                                    "frame_feature")}
+            for doc_id, payload, modality in zip(
+                    pdf["doc_id"], pdf["content"], pdf["modality"]):
+                if modality != "video":
+                    continue
+                digest = hashlib.md5(payload).digest()
+                n = 1 + digest[6] % max_frames
+                for i in range(n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset_ms"].append(
+                        int(digest[(7 + i) % 16]) * 40)
+                    rows["frame_bytes"].append(len(payload))
+                    rows["frame_feature"].append(
+                        digest[(8 + i) % 16] / 255.0)
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(op, schema=_FRAME_SCHEMA)
+
+
 def modality_stats(mm: DataFrame) -> DataFrame:
     """Per-modality payload statistics over the binary column — pure
     expressions, no decode needed (the cheap metadata pass you run

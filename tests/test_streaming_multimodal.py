@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from python_vector_db___ai_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_features,
+    frame_sample,
     modality_stats,
     resize_stub,
     to_multimodal,
@@ -66,6 +67,33 @@ def test_resize_stub_records_target(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(3)
     out = resize_stub(to_multimodal(docs), target=224).collect()
     assert all(r.meta["resized_to"] == "224" for r in out)
+
+
+def test_frame_sample_fans_out_video_rows(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    mm = to_multimodal(docs)
+    frames = frame_sample(mm, max_frames=4)
+    rows = frames.collect()
+    video_ids = {r.doc_id for r in mm.filter(F.col("modality") == "video")
+                 .collect()}
+    assert {r.doc_id for r in rows} == video_ids       # only video fans out
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert 0.0 <= r.frame_feature <= 1.0
+        assert r.frame_offset_ms % 40 == 0
+    for frs in by_doc.values():
+        assert 1 <= len(frs) <= 4
+        assert sorted(f.frame_idx for f in frs) == list(range(len(frs)))
+    # deterministic: same payload -> same frames
+    again = frame_sample(mm, max_frames=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_frame_sample_real_decoder_is_stubbed(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        frame_sample(to_multimodal(docs), deterministic=False)
 
 
 def test_modality_stats_totals(spark):
