@@ -254,6 +254,43 @@ def simhash_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 3,
             .select("i", "j", "hamming"))
 
 
+def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 5,
+                  min_hits: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Training-data decontamination: flag training documents whose
+    word-``n``-gram shingles overlap a held-out benchmark/eval set
+    (the standard pretraining-corpus n-gram decontamination check).
+
+    Postings-shaped: explode shingles on both sides, equi-join on the
+    shingle key, aggregate per training doc — the same inverted-index
+    layout as the Jaccard dedup, so it scales as the sum of
+    postings-list sizes, never pairs.  Returns one row per
+    contaminated training doc:
+    ``(id_col, n_hit_shingles, n_benchmark_docs, contamination)``
+    where ``contamination`` = hit shingles / doc's distinct shingles.
+    """
+    tr = train.select(F.col(id_col).alias("_tid"),
+                      word_shingles(F.col(text_col), n).alias("_sh"))
+    tr_sizes = tr.select("_tid", F.size("_sh").alias("_nsh"))
+    tr_post = tr.select("_tid", F.explode("_sh").alias("sh"))
+    bm_post = (benchmark
+               .select(F.col(id_col).alias("_bid"),
+                       F.explode(word_shingles(F.col(text_col), n))
+                       .alias("sh")))
+    hits = (tr_post.join(bm_post, "sh")
+            .groupBy("_tid")
+            .agg(F.countDistinct("sh").cast("long").alias("n_hit_shingles"),
+                 F.countDistinct("_bid").cast("long")
+                 .alias("n_benchmark_docs")))
+    return (hits.filter(F.col("n_hit_shingles") >= min_hits)
+            .join(tr_sizes, "_tid")
+            .select(F.col("_tid").alias(id_col), "n_hit_shingles",
+                    "n_benchmark_docs",
+                    F.round(F.col("n_hit_shingles")
+                            / F.greatest(F.col("_nsh"), F.lit(1)), 6)
+                    .alias("contamination")))
+
+
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:

@@ -234,6 +234,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("i", "j", "cosine"))
 
 
+_DECON_N = 3          # word-soup corpus: trigram shingles give signal
+_DECON_MOD = 17       # benchmark = docs with doc_id % 17 == 3 (~6%)
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+WITH tr AS (
+  SELECT doc_id, {_shingles_sql('text', _DECON_N)} AS sh
+  FROM documents WHERE doc_id % {_DECON_MOD} <> 3
+), bm AS (
+  SELECT doc_id, {_shingles_sql('text', _DECON_N)} AS sh
+  FROM documents WHERE doc_id % {_DECON_MOD} = 3
+), trp AS (SELECT doc_id AS tid, unnest(sh) AS sh FROM tr),
+bmp AS (SELECT doc_id AS bid, unnest(sh) AS sh FROM bm),
+hits AS (
+  SELECT tid, count(DISTINCT sh)::BIGINT AS n_hit_shingles,
+         count(DISTINCT bid)::BIGINT AS n_benchmark_docs
+  FROM trp JOIN bmp USING (sh) GROUP BY tid
+)
+SELECT h.tid AS doc_id, h.n_hit_shingles, h.n_benchmark_docs,
+       round(h.n_hit_shingles * 1.0 / greatest(len(t.sh), 1), 6)
+         AS contamination
+FROM hits h JOIN tr t ON t.doc_id = h.tid
+WHERE h.n_hit_shingles >= 1
+""",
+    doc="training-data decontamination: flag training docs whose word "
+        f"{_DECON_N}-gram shingles overlap the held-out benchmark subset "
+        "(the standard pretraining n-gram decontamination check; "
+        "postings-shaped shingle equi-join, no pairs materialized)",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 3)
+    benchmark = docs.filter(F.col("doc_id") % _DECON_MOD == 3)
+    return decontaminate(train, benchmark, n=_DECON_N)
+
+
 _PRUNE_SPILL = 2
 
 

@@ -58,24 +58,7 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.avg("value").over(w), 6).alias("value_ma_1h"))
 
 
-@register(
-    "doc_source_distinct",
-    oracle="""
-SELECT lang,
-       count(*)::BIGINT AS n_docs,
-       count(DISTINCT source)::BIGINT AS n_sources,
-       count(DISTINCT md5(text))::BIGINT AS n_unique_contents
-FROM documents GROUP BY lang
-""",
-    doc="A3 distinct-count statistics per metadata key "
-        "(approx_count_distinct swaps in at scale)",
-)
-def doc_source_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_vector_db___ai_spark.functions.hashing import md5_hex
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (docs.groupBy("lang")
-            .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.countDistinct("source").cast("long").alias("n_sources"),
-                 F.countDistinct(md5_hex(F.col("text"))).cast("long")
-                 .alias("n_unique_contents")))
+# NB: A3 per-lang distinct-count statistics merged into
+# q_text.text_profile (lang_n_docs / lang_n_sources /
+# lang_n_unique_contents columns) — the freed registry slot holds the
+# decontamination query in q_dedup.

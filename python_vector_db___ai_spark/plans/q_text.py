@@ -92,8 +92,16 @@ WITH w AS (
 SELECT lid.doc_id, lid.lang, lid.pred_lang, lid.stopword_hits, lid.is_match,
        q.n_chars, q.n_words, q.avg_word_len, q.punct_ratio, q.digit_ratio,
        q.stopword_ratio, q.unique_word_ratio, q.quality,
-       q.ws_tokens, q.regex_tokens, q.approx_bpe_tokens
-FROM lid JOIN q ON q.doc_id = lid.doc_id
+       q.ws_tokens, q.regex_tokens, q.approx_bpe_tokens,
+       ls.lang_n_docs, ls.lang_n_sources, ls.lang_n_unique_contents
+FROM lid
+JOIN q ON q.doc_id = lid.doc_id
+JOIN (
+  SELECT lang, count(*)::BIGINT AS lang_n_docs,
+         count(DISTINCT source)::BIGINT AS lang_n_sources,
+         count(DISTINCT md5(text))::BIGINT AS lang_n_unique_contents
+  FROM documents GROUP BY lang
+) ls ON ls.lang = lid.lang
 """
 
 
@@ -102,15 +110,21 @@ FROM lid JOIN q ON q.doc_id = lid.doc_id
     oracle=_text_profile_oracle(),
     doc="per-doc text-analysis profile, one pass: F7 stopword-heuristic "
         "language ID vs the labeled lang column, per-doc quality metrics "
-        "+ composite [0,1] score (training-data gate), and token counts "
-        "(whitespace + BPE-ish regex + chars/4)",
+        "+ composite [0,1] score (training-data gate), token counts "
+        "(whitespace + BPE-ish regex + chars/4), and A3 per-lang "
+        "distinct-count stats windowed onto each row",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from python_vector_db___ai_spark.functions.hashing import md5_hex
+
     docs = load_table(spark, sf_dir, "documents")
     scores = lang_scores(F.col("text"))
     pred = detect_language(F.col("text"))
     m = quality_metrics(F.col("text"))
     tc = token_counts(F.col("text"))
+    w = Window.partitionBy("lang")
     return docs.select(
         "doc_id", "lang",
         pred.alias("pred_lang"),
@@ -125,7 +139,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score(F.col("text")), 6).alias("quality"),
         tc["ws_tokens"].alias("ws_tokens"),
         tc["regex_tokens"].alias("regex_tokens"),
-        tc["approx_bpe_tokens"].alias("approx_bpe_tokens"))
+        tc["approx_bpe_tokens"].alias("approx_bpe_tokens"),
+        F.count("*").over(w).cast("long").alias("lang_n_docs"),
+        F.size(F.collect_set("source").over(w)).cast("long")
+        .alias("lang_n_sources"),
+        F.size(F.collect_set(md5_hex(F.col("text"))).over(w)).cast("long")
+        .alias("lang_n_unique_contents"))
 
 
 _GRAM = 5

@@ -70,6 +70,25 @@ def test_embedding_neardup(spark):
     assert [(r.i, r.j) for r in got] == [(1, 2)]
 
 
+def test_decontaminate_flags_overlap(spark):
+    from python_vector_db___ai_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words nothing shared here at all"),
+         (3, "the quick brown fox sat still")],
+        ["doc_id", "text"])
+    benchmark = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps high")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in decontaminate(train, benchmark, n=3).collect()}
+    # doc 1 shares 'the quick brown', 'quick brown fox', 'brown fox jumps'
+    assert got[1].n_hit_shingles == 3 and got[1].n_benchmark_docs == 1
+    # doc 3 shares the first two trigrams only
+    assert got[3].n_hit_shingles == 2
+    assert 2 not in got                      # clean doc not flagged
+    assert 0 < got[3].contamination <= 1.0
+
+
 def test_word_shingles_short_text(spark):
     df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
     row = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0]
