@@ -53,51 +53,17 @@ def inflate(emb, factor: int):
 
 
 def main() -> None:
+    """Delegates to bench.scale_benchmark — the KMeans-quantizer IVF
+    (trained on the base corpus, BLAS list assignment) and prebuilt
+    SRP-LSH, both recall-measured against the exact scan."""
+    from bench import scale_benchmark
+
     factors = [int(x) for x in sys.argv[1:]] or [10, 50]
-    sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = (emb.filter(F.col("vec_id") < 100)
-               .select((F.col("vec_id") * 10 ** 6).alias("query_id"),
-                       F.col("embedding").alias("query_vec")))
-
-    results = []
-    for factor in factors:
-        tmp = tempfile.mkdtemp(prefix=f"scale_{factor}_")
-        inflate(emb, factor).write.partitionBy("label").parquet(tmp,
-                                                               mode="overwrite")
-        corpus = spark.read.parquet(tmp)
-        n = corpus.count()
-
-        t0 = time.perf_counter()
-        exact = knn_join_blas(queries, corpus, k=10, metric="cosine",
-                              corpus_id="vec_id")
-        exact_rows = exact.collect()
-        exact_sec = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        cents = build_centroids(corpus, cluster_col="label",
-                                vec_col="embedding").cache()
-        cents.count()
-        build_sec = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        approx = ivf_search(queries, corpus, centroids=cents, nprobe=3,
-                            k=10, metric="cosine", corpus_id="vec_id",
-                            cluster_col="label")
-        approx_rows = approx.collect()
-        ivf_sec = round(time.perf_counter() - t0, 3)
-
-        exact_df = spark.createDataFrame(exact_rows, exact.schema)
-        approx_df = spark.createDataFrame(approx_rows, approx.schema)
-        recall = round(
-            recall_against_exact(approx_df, exact_df, corpus_id="vec_id")
-            .agg(F.avg("recall")).collect()[0][0], 4)
-        results.append({"factor": factor, "corpus_rows": n,
-                        "exact_sec": exact_sec, "ivf_build_sec": build_sec,
-                        "ivf_sec": ivf_sec, "ivf_recall": recall})
-        print(json.dumps(results[-1]))
+    results = scale_benchmark(spark, "/root/testdata/sf0.1", factors)
+    for entry in results:
+        print(json.dumps(entry))
     print(json.dumps({"scale_probe": results}))
     spark.stop()
 
