@@ -87,7 +87,8 @@ def knn_exact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("metric", F.lit("cosine"))
     l2 = knn_join_blas(q, emb, k=K, metric="l2", corpus_id="vec_id") \
         .withColumn("metric", F.lit("l2"))
-    dot = knn_join(q, emb, k=K, metric="inner_product", corpus_id="vec_id") \
+    dot = knn_join_blas(q, emb, k=K, metric="inner_product",
+                        corpus_id="vec_id") \
         .withColumn("metric", F.lit("dot"))
     return (cos.unionByName(l2).unionByName(dot)
             .select("metric", "query_id", "vec_id", "score", "rank"))
