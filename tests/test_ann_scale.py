@@ -104,6 +104,25 @@ def test_embedding_pruned_subset_of_exact(emb):
     assert "FlatMapGroupsInPandas" in plan
 
 
+def test_ivf_pruned_kernel_euclidean_similarity(emb, queries):
+    """The pruned BLAS kernel scores euclidean_similarity as 1/(1+d)
+    (desc order) instead of silently falling through to a dot product,
+    and rejects unknown metrics."""
+    got = ivf_search(queries, emb, nprobe=10, k=5,
+                     metric="euclidean_similarity", corpus_id="vec_id",
+                     cluster_col="label")
+    rows = got.filter(F.col("rank") == 1).collect()
+    for r in rows:
+        # a self-match has distance 0 -> similarity exactly 1, and no
+        # score can exceed 1; a dot-product fall-through would.
+        assert r.score <= 1.0
+        if r.vec_id == r.query_id:
+            assert r.score == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        ivf_search(queries, emb, nprobe=2, k=5, metric="bogus",
+                   corpus_id="vec_id", cluster_col="label").collect()
+
+
 def test_spill_assignment_and_dedup(emb, queries):
     """spill=2 stores each vector in exactly two lists; ivf_search with
     dedup_candidates never returns a (query, vector) pair twice."""
