@@ -200,6 +200,39 @@ def quality_score(c: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline surface; beyond the reference)
+
+# Deliberately conservative patterns: pretraining scrubbers prefer
+# false positives on these formats over leaks.  All JVM-side regex.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-kind PII match counts — the cheap audit pass you run on a
+    corpus before deciding to scrub it."""
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for kind, pat in _PII_PATTERNS.items()
+    }
+
+
+def redact_pii(c: Column, token: str = "[{kind}]") -> Column:
+    """Replace each PII match with a typed placeholder (``[email]``,
+    ``[phone]``, …) — chained ``regexp_replace``, whole-stage codegen,
+    no UDF.  Order matters: emails first so phone/SSN digit patterns
+    never bite into an address."""
+    out = c
+    for kind, pat in _PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, token.format(kind=kind))
+    return out
+
+
+# --------------------------------------------------------------------------
 # Gated real-library kernels (import-try; hermetic fallbacks above)
 
 

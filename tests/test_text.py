@@ -72,3 +72,25 @@ def test_nfkc_normalize(spark):
     # ﬁ ligature (U+FB01) -> 'fi' under NFKC
     out = _one(spark, "ﬁle", nfkc_normalize(F.col("text")))
     assert out == "file"
+
+
+def test_pii_counts_and_redaction(spark):
+    from python_vector_db___ai_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.org or call 415-555-1234"),
+         (2, "server 192.168.1.77 holds ssn 123-45-6789"),
+         (3, "nothing sensitive here")],
+        ["doc_id", "text"])
+    counts = pii_counts(F.col("text"))
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in counts.items()],
+        redact_pii(F.col("text")).alias("clean")).collect()}
+    assert got[1].email == 1 and got[1].phone == 1
+    assert got[2].ipv4 == 1 and got[2].ssn == 1
+    assert got[3].email == got[3].phone == got[3].ipv4 == got[3].ssn == 0
+    assert "[email]" in got[1].clean and "example.org" not in got[1].clean
+    assert "[phone]" in got[1].clean
+    assert "[ipv4]" in got[2].clean and "[ssn]" in got[2].clean
+    assert got[3].clean == "nothing sensitive here"
