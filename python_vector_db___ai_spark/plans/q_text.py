@@ -10,10 +10,13 @@ from python_vector_db___ai_spark.functions.hashing import stable_hash_sql, stabl
 from python_vector_db___ai_spark.functions.text import (
     MIN_STOPWORD_HITS,
     STOPWORDS,
+    _PII_PATTERNS,
     detect_language,
     lang_scores,
+    pii_counts,
     quality_metrics,
     quality_score,
+    redact_pii,
     token_counts,
 )
 from python_vector_db___ai_spark.plans.queries import register
@@ -23,6 +26,44 @@ _WORDS_D = ("list_distinct(list_filter(regexp_split_to_array(lower(text), "
             "'\\s+'), w -> w <> ''))")
 _WORDS_ALL = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
               "w -> w <> '')")
+
+# Deterministic PII injection so the audit columns are non-trivial on a
+# clean synthetic corpus: every doc gets one email/phone/IPv4/SSN derived
+# from doc_id, identically in Spark and in the DuckDB oracle.
+_PII_AUG_SQL = (
+    "text || ' contact: user' || doc_id::VARCHAR || '@example.com ph 555-'"
+    " || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'"
+    " || lpad(((doc_id * 3) % 10000)::VARCHAR, 4, '0')"
+    " || ' ip ' || (doc_id % 256)::VARCHAR || '.'"
+    " || ((doc_id * 7) % 256)::VARCHAR || '.0.1 ssn '"
+    " || lpad(((doc_id % 900) + 100)::VARCHAR, 3, '0') || '-'"
+    " || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-'"
+    " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+def _pii_sql_cols() -> str:
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(aug, '{pat}'))::BIGINT AS pii_{kind}"
+        for kind, pat in _PII_PATTERNS.items())
+    redacted = "aug"
+    for kind, pat in _PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind}]', 'g')"
+    return f"{counts},\n         md5({redacted}) AS pii_redacted_md5"
+
+
+def _pii_aug_col() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"), F.lit(" contact: user"),
+        d.cast("string"), F.lit("@example.com ph 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((d * 3) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip "), (d % 256).cast("string"), F.lit("."),
+        ((d * 7) % 256).cast("string"), F.lit(".0.1 ssn "),
+        F.lpad(((d % 900) + 100).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((d % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"))
 
 
 def _text_profile_oracle() -> str:
@@ -93,9 +134,15 @@ SELECT lid.doc_id, lid.lang, lid.pred_lang, lid.stopword_hits, lid.is_match,
        q.n_chars, q.n_words, q.avg_word_len, q.punct_ratio, q.digit_ratio,
        q.stopword_ratio, q.unique_word_ratio, q.quality,
        q.ws_tokens, q.regex_tokens, q.approx_bpe_tokens,
-       ls.lang_n_docs, ls.lang_n_sources, ls.lang_n_unique_contents
+       ls.lang_n_docs, ls.lang_n_sources, ls.lang_n_unique_contents,
+       pc.pii_email, pc.pii_phone, pc.pii_ipv4, pc.pii_ssn,
+       pc.pii_redacted_md5
 FROM lid
 JOIN q ON q.doc_id = lid.doc_id
+JOIN (
+  SELECT doc_id, {_pii_sql_cols()}
+  FROM (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+) pc ON pc.doc_id = lid.doc_id
 JOIN (
   SELECT lang, count(*)::BIGINT AS lang_n_docs,
          count(DISTINCT source)::BIGINT AS lang_n_sources,
@@ -111,8 +158,10 @@ JOIN (
     doc="per-doc text-analysis profile, one pass: F7 stopword-heuristic "
         "language ID vs the labeled lang column, per-doc quality metrics "
         "+ composite [0,1] score (training-data gate), token counts "
-        "(whitespace + BPE-ish regex + chars/4), and A3 per-lang "
-        "distinct-count stats windowed onto each row",
+        "(whitespace + BPE-ish regex + chars/4), A3 per-lang "
+        "distinct-count stats windowed onto each row, and a PII audit "
+        "(per-kind match counts + typed-redaction checksum) with one "
+        "deterministic doc_id-derived email/phone/IP/SSN injected per doc",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -125,6 +174,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = quality_metrics(F.col("text"))
     tc = token_counts(F.col("text"))
     w = Window.partitionBy("lang")
+    aug = _pii_aug_col()
+    pii = pii_counts(aug)
     return docs.select(
         "doc_id", "lang",
         pred.alias("pred_lang"),
@@ -144,7 +195,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("source").over(w)).cast("long")
         .alias("lang_n_sources"),
         F.size(F.collect_set(md5_hex(F.col("text"))).over(w)).cast("long")
-        .alias("lang_n_unique_contents"))
+        .alias("lang_n_unique_contents"),
+        pii["email"].alias("pii_email"),
+        pii["phone"].alias("pii_phone"),
+        pii["ipv4"].alias("pii_ipv4"),
+        pii["ssn"].alias("pii_ssn"),
+        F.md5(redact_pii(aug)).alias("pii_redacted_md5"))
 
 
 _GRAM = 5
