@@ -145,7 +145,12 @@ def _pruned_matmul_topk(probes: DataFrame, corpus: DataFrame, k: int,
         raise ValueError(f"metric {metric!r} not supported by the pruned "
                          "BLAS kernel")
 
-    probe_rows = probes.collect()
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    probe_rows = collect_small(
+        probes, "ivf_search probe table",
+        hint="nprobe x n_queries must stay driver-small; batch the "
+             "queries or use impl='expr' for a fully distributed plan.")
     by_label: dict = {}
     for r in probe_rows:
         by_label.setdefault(r[cluster_col], []).append(
@@ -214,7 +219,8 @@ def _score_pairs_blas(pairs: DataFrame, k: int, metric: str, query_id: str,
     top-k — the Arrow-side half of the pruned IVF scan."""
     import numpy as np
 
-    if metric not in ("cosine", "l2", "inner_product", "neg_inner_product"):
+    if metric not in ("cosine", "l2", "inner_product", "neg_inner_product",
+                      "euclidean_similarity"):
         raise ValueError(f"metric {metric!r} not supported by the BLAS path")
 
     def op(batches):
@@ -230,10 +236,12 @@ def _score_pairs_blas(pairs: DataFrame, k: int, metric: str, query_id: str,
                 with np.errstate(divide="ignore", invalid="ignore"):
                     s = dot / (qn * cn)
                 s[(qn <= 1e-12) | (cn <= 1e-12)] = 0.0
-            elif metric == "l2":
+            elif metric in ("l2", "euclidean_similarity"):
                 s = np.sqrt(np.clip(
                     np.einsum("ij,ij->i", Q, Q)
                     + np.einsum("ij,ij->i", C, C) - 2.0 * dot, 0.0, None))
+                if metric == "euclidean_similarity":
+                    s = 1.0 / (1.0 + s)
             elif metric == "neg_inner_product":
                 s = -dot
             else:
@@ -323,7 +331,13 @@ def assign_clusters(corpus: DataFrame, centroids: DataFrame,
 
     if metric != "cosine":
         raise ValueError("blas assignment currently implements cosine only")
-    crows = sorted(centroids.collect(), key=lambda r: r[cluster_col])
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    crows = sorted(collect_small(
+        centroids, "assign_clusters centroids",
+        hint="nlist must stay driver-small; a quantizer this large "
+             "should be an IVF-of-IVF (coarse quantize the centroids)."),
+        key=lambda r: r[cluster_col])
     cids = np.array([r[cluster_col] for r in crows], dtype=np.int32)
     C = np.array([r["centroid"] for r in crows], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)

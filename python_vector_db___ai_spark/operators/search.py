@@ -117,7 +117,12 @@ def knn_join_blas(queries: DataFrame, corpus: DataFrame, k: int = 10,
         raise ValueError(f"metric {metric!r} not supported by the BLAS path")
     desc = metric in DESCENDING_METRICS
 
-    qrows = queries.select(query_id, query_vec).collect()
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    qrows = collect_small(
+        queries.select(query_id, query_vec), "knn_join_blas queries",
+        hint="Query batches are small by contract; for a large query "
+             "side use knn_join (broadcast join) or batch the queries.")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(Q, axis=1)

@@ -142,3 +142,79 @@ def test_spill_assignment_and_dedup(emb, queries):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_sketch_knn_matches_exact_on_tiny_corpus(emb, queries):
+    """With L = the whole corpus the Hamming filter prunes nothing, so
+    sketch_knn must equal the exact BLAS scan bit-for-bit."""
+    from python_vector_db___ai_spark.operators.lsh import sketch_knn
+    from python_vector_db___ai_spark.operators.search import knn_join_blas
+
+    n = emb.count()
+    got = {(r.query_id, r.rank): (r.vec_id, r.score) for r in
+           sketch_knn(queries, emb, k=5, n_bits=128, L=n).collect()}
+    want = {(r.query_id, r.rank): (r.vec_id, r.score) for r in
+            knn_join_blas(queries, emb, k=5, metric="cosine",
+                          corpus_id="vec_id").collect()}
+    assert got == want
+
+
+def test_sketch_knn_pruned_self_hit_and_bounds(emb, queries):
+    """Pruned (L << n) search still returns each query itself at rank 1
+    and never more than L candidates' worth of rows."""
+    from python_vector_db___ai_spark.operators.lsh import sketch_knn
+
+    got = sketch_knn(queries, emb, k=5, n_bits=256, L=20)
+    rows = got.collect()
+    top = {r.query_id: r for r in rows if r.rank == 1}
+    for qid, r in top.items():
+        assert r.vec_id == qid
+        assert r.score == pytest.approx(1.0, abs=1e-6)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(len(v) <= 20 for v in by_q.values())
+
+
+def test_multiprobe_improves_recall_at_fixed_tables(emb, queries):
+    """Query-directed multi-probe finds at least as many true
+    neighbors as base probing with the same tables/bits."""
+    from python_vector_db___ai_spark.operators.search import knn_join_blas
+
+    exact = knn_join_blas(queries, emb, k=5, metric="cosine",
+                          corpus_id="vec_id")
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    def hits(df):
+        return sum((r.query_id, r.vec_id) in truth for r in df.collect())
+
+    base = srp_lsh_knn(queries, emb, k=5, n_tables=4, n_bits=8)
+    probed = srp_lsh_knn(queries, emb, k=5, n_tables=4, n_bits=8,
+                         n_probes=40, probe_bits=4)
+    assert hits(probed) >= hits(base)
+
+
+def test_collect_small_guard_raises(emb):
+    """Operators that collect a small-by-contract side fail fast with
+    an actionable error instead of flooding the driver; under the cap
+    they return the rows."""
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    with pytest.raises(ValueError, match="test side.*small side"):
+        collect_small(emb, "test side", cap=5)
+    assert len(collect_small(emb.limit(3), "test side", cap=5)) == 3
+
+
+def test_estimate_knn_radius_excludes_self_and_clamps(spark):
+    """The sampled radius ignores self-distance and never collapses to
+    zero on degenerate (duplicate-vector) corpora."""
+    from python_vector_db___ai_spark.operators.lsh import estimate_knn_radius
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    r = estimate_knn_radius(dup, k=3)
+    assert r > 0.0
+    one = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    assert estimate_knn_radius(one, k=3) > 0.0
