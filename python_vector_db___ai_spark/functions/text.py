@@ -203,11 +203,15 @@ def quality_score(c: Column) -> Column:
 # PII scrubbing (training-data pipeline surface; beyond the reference)
 
 # Deliberately conservative patterns: pretraining scrubbers prefer
-# false positives on these formats over leaks.  All JVM-side regex.
+# false positives on these formats over leaks.  All JVM-side regex,
+# RE2-compatible so the DuckDB oracles run the identical patterns.
+# Dict order IS redaction order: ipv4 before phone, so a dotted quad
+# is never partially consumed as a separator-less phone number; email
+# first, so phone/SSN digit runs never bite into an address.
 _PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
 }
 
@@ -224,8 +228,8 @@ def pii_counts(c: Column) -> dict[str, Column]:
 def redact_pii(c: Column, token: str = "[{kind}]") -> Column:
     """Replace each PII match with a typed placeholder (``[email]``,
     ``[phone]``, …) — chained ``regexp_replace``, whole-stage codegen,
-    no UDF.  Order matters: emails first so phone/SSN digit patterns
-    never bite into an address."""
+    no UDF.  Redaction follows ``_PII_PATTERNS`` order (email, ipv4,
+    phone, ssn) — see the ordering rationale on the pattern table."""
     out = c
     for kind, pat in _PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, token.format(kind=kind))

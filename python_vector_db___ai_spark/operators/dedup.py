@@ -72,13 +72,16 @@ def exact_dedup_flags(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, text_col: str = "text",
                         id_col: str = "doc_id",
-                        max_df: int | None = None) -> DataFrame:
-    """All (i < j) pairs sharing >= 1 shingle, with exact Jaccard over
-    distinct n-gram shingle sets.  Returns ``(i, j, jaccard)``.
+                        max_df: int | None = 1000) -> DataFrame:
+    """All (i < j) pairs sharing >= 1 retained shingle, with exact
+    Jaccard over the retained n-gram shingle sets.  Returns
+    ``(i, j, jaccard)``.
 
     ``max_df`` drops shingles occurring in more than that many docs
-    before the join — at scale this bounds the quadratic blowup of hot
-    shingles (and AQE's skew-join handles the rest).
+    before the join — the stop-shingle trick: a single ubiquitous
+    shingle otherwise turns the postings self-join quadratic at scale.
+    The bound is ON by default (1000); pass ``None`` only for small
+    diagnostic corpora where unbounded fan-out is acceptable.
     """
     sh = df.select(F.col(id_col).alias("_id"),
                    F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
@@ -365,6 +368,9 @@ def embedding_neardup_pruned(df: DataFrame, threshold: float = 0.4,
     pairs = (assigned.groupBy(cluster_col)
              .applyInPandas(within_cluster_pairs,
                             schema="i long, j long, cosine double"))
-    # spill overlap can emit a pair from two clusters — values are
-    # bit-identical (same rounded kernel), so distinct dedups exactly.
-    return pairs.distinct()
+    # spill overlap can emit a pair from two clusters.  The two copies
+    # come from different per-cluster matmuls whose BLAS blocking can
+    # differ in the last bit, and a value at a round-to-6 boundary
+    # could then round differently — so dedup on the (i, j) KEY (max
+    # keeps the result deterministic), never on the full row.
+    return pairs.groupBy("i", "j").agg(F.max("cosine").alias("cosine"))

@@ -93,14 +93,22 @@ def dedup_exact_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_N = 3
 _NGRAM_DOCS = 150
 _NGRAM_TOPK = 25
+_NGRAM_MAXDF = 100
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id, {_shingles_sql('text', _NGRAM_N)} AS sh
   FROM documents WHERE doc_id < {_NGRAM_DOCS}
+), post AS (
+  SELECT doc_id, unnest(sh) AS s FROM d0
+), keep AS (
+  SELECT s FROM post GROUP BY s HAVING count(*) <= {_NGRAM_MAXDF}
+), d AS (
+  SELECT doc_id, list(s) AS sh
+  FROM post JOIN keep USING (s) GROUP BY doc_id
 ), pairs AS (
   SELECT a.doc_id AS i, b.doc_id AS j,
          round(len(list_intersect(a.sh, b.sh)) * 1.0
@@ -113,12 +121,13 @@ SELECT i, j, jaccard FROM pairs
 ORDER BY jaccard DESC, i ASC, j ASC LIMIT {_NGRAM_TOPK}
 """,
     doc="n-gram Jaccard near-dup: top pairs by trigram-shingle similarity "
-        "(shingle equi-join, no crossJoin)",
+        "(shingle equi-join, no crossJoin) with the stop-shingle df cap "
+        f"active (max_df={_NGRAM_MAXDF}) — the checked plan IS the scale plan",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < _NGRAM_DOCS))
-    pairs = ngram_jaccard_pairs(docs, n=_NGRAM_N)
+    pairs = ngram_jaccard_pairs(docs, n=_NGRAM_N, max_df=_NGRAM_MAXDF)
     return (pairs.select("i", "j", F.round("jaccard", 6).alias("jaccard"))
             .orderBy(F.col("jaccard").desc(), F.col("i").asc(), F.col("j").asc())
             .limit(_NGRAM_TOPK))

@@ -159,13 +159,11 @@ JOIN (
         "language ID vs the labeled lang column, per-doc quality metrics "
         "+ composite [0,1] score (training-data gate), token counts "
         "(whitespace + BPE-ish regex + chars/4), A3 per-lang "
-        "distinct-count stats windowed onto each row, and a PII audit "
+        "distinct-count stats (one hash agg, broadcast back), and a PII audit "
         "(per-kind match counts + typed-redaction checksum) with one "
         "deterministic doc_id-derived email/phone/IP/SSN injected per doc",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from python_vector_db___ai_spark.functions.hashing import md5_hex
 
     docs = load_table(spark, sf_dir, "documents")
@@ -173,10 +171,18 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = detect_language(F.col("text"))
     m = quality_metrics(F.col("text"))
     tc = token_counts(F.col("text"))
-    w = Window.partitionBy("lang")
     aug = _pii_aug_col()
     pii = pii_counts(aug)
-    return docs.select(
+    # Per-lang distinct stats as ONE hash aggregation broadcast back
+    # onto the rows.  (An unbounded window collect_set per row keyed on
+    # a low-cardinality skewed column puts most of the corpus in one
+    # task at 100x — the agg+broadcast form is the scale-safe plan.)
+    lang_stats = (docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("lang_n_docs"),
+        F.countDistinct("source").cast("long").alias("lang_n_sources"),
+        F.countDistinct(md5_hex(F.col("text"))).cast("long")
+        .alias("lang_n_unique_contents")))
+    profile = docs.select(
         "doc_id", "lang",
         pred.alias("pred_lang"),
         F.greatest(*scores.values()).alias("stopword_hits"),
@@ -191,16 +197,20 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tc["ws_tokens"].alias("ws_tokens"),
         tc["regex_tokens"].alias("regex_tokens"),
         tc["approx_bpe_tokens"].alias("approx_bpe_tokens"),
-        F.count("*").over(w).cast("long").alias("lang_n_docs"),
-        F.size(F.collect_set("source").over(w)).cast("long")
-        .alias("lang_n_sources"),
-        F.size(F.collect_set(md5_hex(F.col("text"))).over(w)).cast("long")
-        .alias("lang_n_unique_contents"),
         pii["email"].alias("pii_email"),
         pii["phone"].alias("pii_phone"),
         pii["ipv4"].alias("pii_ipv4"),
         pii["ssn"].alias("pii_ssn"),
         F.md5(redact_pii(aug)).alias("pii_redacted_md5"))
+    return (profile.join(F.broadcast(lang_stats), "lang")
+            .select("doc_id", "lang", "pred_lang", "stopword_hits",
+                    "is_match", "n_chars", "n_words", "avg_word_len",
+                    "punct_ratio", "digit_ratio", "stopword_ratio",
+                    "unique_word_ratio", "quality", "ws_tokens",
+                    "regex_tokens", "approx_bpe_tokens", "lang_n_docs",
+                    "lang_n_sources", "lang_n_unique_contents",
+                    "pii_email", "pii_phone", "pii_ipv4", "pii_ssn",
+                    "pii_redacted_md5"))
 
 
 _GRAM = 5

@@ -15,11 +15,7 @@ from python_vector_db___ai_spark.functions.vector import (
     l2_normalize,
     vec_norm,
 )
-from python_vector_db___ai_spark.operators.search import (
-    knn_join,
-    knn_join_blas,
-    topk_pairs,
-)
+from python_vector_db___ai_spark.operators.search import knn_join_blas
 from python_vector_db___ai_spark.plans.queries import register
 from python_vector_db___ai_spark.session import load_table
 
@@ -131,20 +127,35 @@ SELECT * FROM cos_pairs UNION ALL SELECT * FROM eu_pairs
         "normalized euclidean similarity (V4/A10) — one union, one check",
 )
 def topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_vector_db___ai_spark.functions.vector import l2_distance
+    from python_vector_db___ai_spark.functions.vector import (
+        cosine_similarity,
+        l2_distance,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cos = (topk_pairs(emb.filter(F.col("vec_id") < _PAIRS_N), k=_PAIRS_K,
-                      metric="cosine", id_col="vec_id", vec_col="embedding")
+    v = emb.filter(F.col("vec_id") < _PAIRS_N)
+    a = v.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = v.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    # ONE upper-triangle pair join computes both metrics; cache() makes
+    # the three consumers (cosine top-k, the global-max aggregate, the
+    # normalized-euclidean top-k) share a single physical evaluation,
+    # and the max folds back in as a broadcast scalar — no second pass
+    # over the pairs.
+    pairs = (a.join(b, F.col("i") < F.col("j"))
+             .select("i", "j",
+                     F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+                     .alias("cos_score"),
+                     l2_distance(F.col("va"), F.col("vb")).alias("dist"))
+             .cache())
+    cos = (pairs
+           .orderBy(F.col("cos_score").desc(), F.col("i").asc(),
+                    F.col("j").asc())
+           .limit(_PAIRS_K)
            .select(F.lit("cosine").alias("metric"), "i", "j",
-                   F.round("score", 6).alias("score")))
-    ve = emb.filter(F.col("vec_id") < _EPAIR_N)
-    a = ve.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
-    b = ve.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
-    d = (a.join(b, F.col("i") < F.col("j"))
-         .select("i", "j", l2_distance(F.col("va"), F.col("vb")).alias("dist")))
-    max_d = d.agg(F.max("dist").alias("max_d"))
-    eu = (d.crossJoin(F.broadcast(max_d))
+                   F.col("cos_score").alias("score")))
+    ed = pairs.filter(F.col("j") < _EPAIR_N)   # i < j  =>  both < _EPAIR_N
+    max_d = ed.agg(F.max("dist").alias("max_d"))
+    eu = (ed.crossJoin(F.broadcast(max_d))
           .select(F.lit("euclidean_sim").alias("metric"), "i", "j",
                   F.round(1.0 - F.col("dist") / F.col("max_d"), 6)
                   .alias("score"))

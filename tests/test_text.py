@@ -94,3 +94,27 @@ def test_pii_counts_and_redaction(spark):
     assert "[phone]" in got[1].clean
     assert "[ipv4]" in got[2].clean and "[ssn]" in got[2].clean
     assert got[3].clean == "nothing sensitive here"
+
+
+def test_pii_unseparated_phone_and_ip_ordering(spark):
+    """Unseparated 10-digit phones are caught, and IPv4 redaction runs
+    before phone so a dotted quad is never partially consumed as a
+    phone number (mangled remainders)."""
+    from python_vector_db___ai_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "call 4155551234 now"),
+         (2, "host 10.123.45.78 up"),
+         (3, "year 2023 and 123456789 are not phones")],
+        ["doc_id", "text"])
+    counts = pii_counts(F.col("text"))
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in counts.items()],
+        redact_pii(F.col("text")).alias("clean")).collect()}
+    assert got[1].phone == 1 and "[phone]" in got[1].clean
+    assert "4155551234" not in got[1].clean
+    assert got[2].ipv4 == 1
+    assert got[2].clean == "host [ipv4] up"      # no phone bite into the IP
+    assert got[3].phone == 0
+    assert got[3].clean == "year 2023 and 123456789 are not phones"
