@@ -393,7 +393,16 @@ def kmeans_silhouette_sweep(corpus: DataFrame, k_values=range(2, 8),
                             seed: int = 42,
                             vec_col: str = "embedding") -> DataFrame:
     """X7: KMeans k sweep scored by silhouette
-    (day_5/day5_complete.py:165-207 KMeans + silhouette_score)."""
+    (day_5/day5_complete.py:165-207 KMeans + silhouette_score).
+
+    The sweep is MLlib-internal (no SQL oracle), so the result carries
+    its own invariants as checked columns: ``silhouette_in_range``
+    (silhouette ∈ [-1, 1] by definition) and ``inertia_non_increasing``
+    (more clusters can only lower the fitted within-cluster SSE, up to
+    a 1% local-optimum tolerance on the seeded sweep).  Both must be
+    uniformly true — pytest asserts them, and any downstream reader
+    can re-assert without re-fitting.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.evaluation import ClusteringEvaluator
     from pyspark.ml.functions import array_to_vector
@@ -404,12 +413,19 @@ def kmeans_silhouette_sweep(corpus: DataFrame, k_values=range(2, 8),
     rows = []
     evaluator = ClusteringEvaluator(featuresCol="_features",
                                     predictionCol="_p", metricName="silhouette")
+    prev_inertia = None
     for k in k_values:
         model = KMeans(k=k, seed=seed, featuresCol="_features",
                        predictionCol="_p").fit(feats)
         pred = model.transform(feats)
-        rows.append((int(k), float(evaluator.evaluate(pred)),
-                     float(model.summary.trainingCost)))
+        sil = float(evaluator.evaluate(pred))
+        inertia = float(model.summary.trainingCost)
+        rows.append((int(k), sil, inertia,
+                     -1.0 <= sil <= 1.0,
+                     prev_inertia is None or inertia <= prev_inertia * 1.01))
+        prev_inertia = inertia
     feats.unpersist()
     spark = corpus.sparkSession
-    return spark.createDataFrame(rows, "k int, silhouette double, inertia double")
+    return spark.createDataFrame(
+        rows, "k int, silhouette double, inertia double, "
+              "silhouette_in_range boolean, inertia_non_increasing boolean")

@@ -88,15 +88,86 @@ def q_chunk_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_paragraphs(docs, max_paragraphs=3)
 
 
+_SEM_THRESHOLD = 0.7
+
+
+def _chunk_semantic_oracle() -> str:
+    """Replay the greedy seed-and-grow scan as a recursive CTE (the
+    same trick chunk_chars_boundary uses for the day-15 boundary
+    scan): each recursion step picks the smallest unused sentence
+    index as seed, grows its group by mock-embedding cosine >= t over
+    the unused tail, and appends the group to the used list.  The
+    mock embedder is md5-derived integer math, so DuckDB reproduces
+    the vectors (and the greedy decisions) bit-for-bit."""
+    from python_vector_db___ai_spark.operators.embedding import (
+        mock_embedding_sql,
+    )
+
+    mock = mock_embedding_sql("sent", dim=8)
+    return f"""
+WITH RECURSIVE
+sent0 AS (
+  SELECT doc_id, idx, trim(part, ' ' || chr(9) || chr(10) || chr(13)) AS sent
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]\\s+')) AS part,
+           generate_subscripts(regexp_split_to_array(text, '[.!?]\\s+'), 1) AS idx
+    FROM documents
+  )
+), sent AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS i,
+         sent
+  FROM sent0 WHERE length(sent) >= 10
+), vec AS (
+  SELECT doc_id, i, {mock} AS v FROM sent
+), pack AS (
+  SELECT s.doc_id,
+         list(s.sent ORDER BY s.i) AS sents,
+         list(v.v ORDER BY v.i) AS vecs,
+         count(*) AS n
+  FROM sent s JOIN vec v ON v.doc_id = s.doc_id AND v.i = s.i
+  GROUP BY s.doc_id
+), rec AS (
+  SELECT doc_id, sents, vecs, n,
+         CAST(-1 AS BIGINT) AS cid,
+         []::BIGINT[] AS used,
+         CAST(NULL AS VARCHAR) AS chunk_text,
+         CAST(0 AS BIGINT) AS n_sentences
+  FROM pack
+  UNION ALL
+  SELECT doc_id, sents, vecs, n, cid + 1,
+         used || grp,
+         array_to_string(list_transform(grp, g -> sents[g + 1]), ' '),
+         len(grp)::BIGINT
+  FROM (
+    SELECT doc_id, sents, vecs, n, cid, used,
+           [seed] || list_filter(range(seed + 1, n),
+                                 j -> NOT list_contains(used, j)
+                                      AND list_dot_product(vecs[seed + 1],
+                                                           vecs[j + 1])
+                                          >= {_SEM_THRESHOLD}) AS grp
+    FROM (
+      SELECT *, list_min(list_filter(range(0, n),
+                                     x -> NOT list_contains(used, x))) AS seed
+      FROM rec
+      WHERE len(used) < n
+    )
+  )
+)
+SELECT doc_id, cid AS chunk_id, chunk_text, n_sentences
+FROM rec WHERE cid >= 0
+"""
+
+
 @register(
     "chunk_semantic",
-    oracle=None,   # greedy stateful per-document algorithm (pandas UDF)
+    oracle=_chunk_semantic_oracle(),
     doc="F14 greedy semantic sentence grouping (cosine >= 0.7, mock "
-        "embeddings, sequential per doc / parallel across docs)",
+        "embeddings, sequential per doc / parallel across docs) — "
+        "greedy scan replayed by a recursive-CTE oracle",
 )
 def q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_semantic(docs, threshold=0.7)
+    return chunk_semantic(docs, threshold=_SEM_THRESHOLD)
 
 
 @register(

@@ -62,3 +62,18 @@ def test_ivf_pruned_recall_reasonable(emb, queries):
     # every query still returns k results
     counts = approx.groupBy("query_id").count().collect()
     assert all(c["count"] == 10 for c in counts)
+
+
+def test_kmeans_silhouette_invariants(spark):
+    """The MLlib sweep has no SQL oracle; its self-checked invariant
+    columns (silhouette in [-1,1], inertia non-increasing in k) must be
+    uniformly true on the seeded sweep."""
+    from python_vector_db___ai_spark.operators.ivf import kmeans_silhouette_sweep
+    from python_vector_db___ai_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = kmeans_silhouette_sweep(emb, k_values=range(2, 6)).collect()
+    assert len(rows) == 4
+    assert all(r.silhouette_in_range for r in rows)
+    assert all(r.inertia_non_increasing for r in rows)
+    assert all(-1.0 <= r.silhouette <= 1.0 for r in rows)
