@@ -294,6 +294,53 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 5,
                     .alias("contamination")))
 
 
+def dedup_components(pairs: DataFrame, ids: DataFrame, rounds: int = 5,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Connected components of the near-dup pair graph — the step that
+    turns pairwise dedup output into actionable *groups* (keep one doc
+    per component, drop the rest), which is how MinHash dedup is
+    actually applied to a pretraining corpus.
+
+    Bounded-round **min-label propagation**: every doc starts labeled
+    with its own id; each round replaces the label with the minimum
+    over itself and its neighbors' labels.  ``rounds`` is a fixed
+    contract (not convergence-detected), so the result is deterministic
+    and a SQL oracle can replay the exact same unrolled iteration.
+    After ``r`` rounds every doc within ``r`` hops of its component's
+    minimum id has adopted it; near-dup components are dense (verified
+    pairs are near-cliques), so small ``rounds`` converges.  At 100-TB scale each
+    round is one equi-join + one min-aggregation on the id key — the
+    alternating large-star/small-star scheme drops in here if chain
+    diameters ever grow beyond ``rounds``.
+
+    Returns ``(id_col, component_id, component_size, is_canonical)``
+    for every id in ``ids`` (singletons form their own component).
+    """
+    edges = (pairs.select(F.col("i").alias("_a"), F.col("j").alias("_b"))
+             .unionByName(
+                 pairs.select(F.col("j").alias("_a"), F.col("i").alias("_b")))
+             .distinct())
+    labels = ids.select(F.col(id_col).alias("_a"),
+                        F.col(id_col).cast("long").alias("_label"))
+    for _ in range(rounds):
+        nbr = (edges
+               .join(labels.select(F.col("_a").alias("_b"),
+                                   F.col("_label").alias("_nl")), "_b")
+               .groupBy("_a").agg(F.min("_nl").alias("_mn")))
+        labels = (labels.join(nbr, "_a", "left")
+                  .select("_a",
+                          F.least(F.col("_label"),
+                                  F.coalesce(F.col("_mn"), F.col("_label")))
+                          .alias("_label")))
+    sizes = labels.groupBy("_label").agg(
+        F.count("*").cast("long").alias("component_size"))
+    return (labels.join(sizes, "_label")
+            .select(F.col("_a").alias(id_col),
+                    F.col("_label").alias("component_id"),
+                    "component_size",
+                    (F.col("_a") == F.col("_label")).alias("is_canonical")))
+
+
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:

@@ -220,27 +220,65 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COS_THRESHOLD = 0.4
+_CC_ROUNDS = 5
+
+
+def _components_oracle() -> str:
+    """Unroll the bounded-round min-label propagation: round ``r``
+    joins round ``r-1``'s labels over the symmetric edge list and
+    takes the min — the exact replay of operators.dedup.
+    dedup_components's Spark loop (fixed rounds, no convergence
+    detection, so both engines stop at the same state)."""
+    steps = []
+    for r in range(1, _CC_ROUNDS + 1):
+        steps.append(f"""l{r} AS (
+  SELECT l._a, least(l._label, coalesce(min(nb._label), l._label)) AS _label
+  FROM l{r - 1} l
+  LEFT JOIN edges e ON e._a = l._a
+  LEFT JOIN l{r - 1} nb ON nb._a = e._b
+  GROUP BY l._a, l._label
+)""")
+    chain = ",\n".join(steps)
+    last = f"l{_CC_ROUNDS}"
+    return f"""
+WITH pairs AS ({_minhash_oracle()}),
+ids AS (SELECT doc_id FROM documents WHERE doc_id < {_MH_DOCS}),
+edges AS (
+  SELECT i AS _a, j AS _b FROM pairs
+  UNION
+  SELECT j AS _a, i AS _b FROM pairs
+),
+l0 AS (SELECT doc_id AS _a, doc_id AS _label FROM ids),
+{chain},
+sizes AS (
+  SELECT _label, count(*)::BIGINT AS component_size
+  FROM {last} GROUP BY _label
+)
+SELECT l._a AS doc_id, l._label AS component_id, s.component_size,
+       l._a = l._label AS is_canonical
+FROM {last} l JOIN sizes s USING (_label)
+"""
 
 
 @register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    "dedup_components",
+    oracle=_components_oracle(),
+    doc="near-dup GROUPS from pairwise output: connected components of "
+        "the Jaccard-verified MinHash pair graph via bounded-round "
+        f"min-label propagation ({_CC_ROUNDS} rounds, one equi-join + "
+        "min-agg per round — the keep-one-doc-per-component step of a "
+        "pretraining dedup pipeline; oracle unrolls the identical "
+        "iteration)",
 )
-SELECT a.vec_id AS i, b.vec_id AS j,
-       round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {_COS_THRESHOLD}
-""",
-    doc="embedding-cosine near-dup pairs >= 0.4 (exact; IVF/LSH prunes at scale)",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(emb, threshold=0.0)
-    return (pairs.withColumn("cosine", F.round("cosine", 6))
-            .filter(F.col("cosine") >= _COS_THRESHOLD)
-            .select("i", "j", "cosine"))
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.dedup import dedup_components
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _MH_DOCS))
+    pairs = minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+                              shingle_n=1, verify_threshold=_MH_VERIFY)
+    return dedup_components(pairs, docs.select("doc_id"),
+                            rounds=_CC_ROUNDS)
 
 
 _DECON_N = 3          # word-soup corpus: trigram shingles give signal
@@ -289,6 +327,17 @@ _PRUNE_SPILL = 2
 @register(
     "dedup_embedding_pruned",
     oracle=f"""
+SELECT 'exact_theta' AS branch, i, j, cosine FROM (
+  WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  )
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {_COS_THRESHOLD}
+)
+UNION ALL
+SELECT 'pruned' AS branch, i, j, cosine FROM (
 WITH cl AS (
   SELECT label, pos, round(avg(v), 6) AS c FROM (
     SELECT label, unnest(embedding::DOUBLE[]) AS v,
@@ -318,12 +367,14 @@ FROM cand c
 JOIN v va ON va.vec_id = c.i
 JOIN v vb ON vb.vec_id = c.j
 WHERE round({_cos_sql('va.ev', 'vb.ev')}, 6) >= {_COS_THRESHOLD}
+)
 """,
-    doc="IVF-pruned semantic near-dup: top-2 cluster assignment (cluster "
-        "+ spill blocking), candidate equi-join on the cluster key, "
-        "cosine verify — the scale-safe route for dedup_embedding_cosine "
-        "(no θ-join in the plan; oracle reproduces the candidate set "
-        "bit-for-bit)",
+    doc="embedding near-dup, both tiers in one check: the exact "
+        "θ-join pairs >= 0.4 (P5/P6 small-sf oracle form) UNION the "
+        "IVF-pruned scale path (top-2 cluster assignment, candidate "
+        "equi-join on the cluster key, cosine verify, no θ-join) — "
+        "branch column tells them apart; the pruned branch must be a "
+        "subset of the exact branch by construction",
 )
 def dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vector_db___ai_spark.operators.dedup import (
@@ -331,5 +382,12 @@ def dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pruned(emb, threshold=_COS_THRESHOLD,
-                                    spill=_PRUNE_SPILL)
+    exact = (embedding_neardup_pairs(emb, threshold=0.0)
+             .withColumn("cosine", F.round("cosine", 6))
+             .filter(F.col("cosine") >= _COS_THRESHOLD)
+             .select(F.lit("exact_theta").alias("branch"),
+                     "i", "j", "cosine"))
+    pruned = (embedding_neardup_pruned(emb, threshold=_COS_THRESHOLD,
+                                       spill=_PRUNE_SPILL)
+              .select(F.lit("pruned").alias("branch"), "i", "j", "cosine"))
+    return exact.unionByName(pruned)

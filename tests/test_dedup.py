@@ -93,3 +93,34 @@ def test_word_shingles_short_text(spark):
     df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
     row = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0]
     assert row.sh == []   # shorter than n -> empty, not a down-counting sequence
+
+
+def test_dedup_components_chain_and_canonical(spark):
+    """Min-label propagation: a 4-chain + a disjoint pair + a singleton
+    resolve to the right components within the round budget, and the
+    bounded-round contract is visible when rounds is too small."""
+    from python_vector_db___ai_spark.operators.dedup import dedup_components
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3),    # chain 0-1-2-3
+         (4, 5)],                   # pair
+        "i long, j long")
+    got = {r.doc_id: r for r in
+           dedup_components(pairs, ids, rounds=3).collect()}
+    assert {r for r in got} == set(range(7))
+    for d in (0, 1, 2, 3):
+        assert got[d].component_id == 0
+        assert got[d].component_size == 4
+    assert got[0].is_canonical and not got[3].is_canonical
+    for d in (4, 5):
+        assert got[d].component_id == 4
+        assert got[d].component_size == 2
+    assert got[6].component_id == 6 and got[6].component_size == 1
+    assert got[6].is_canonical
+
+    # rounds=1: doc 3 is 3 hops from id 0 -> only reaches label 2
+    one = {r.doc_id: r.component_id for r in
+           dedup_components(pairs, ids, rounds=1).collect()}
+    assert one[3] == 2 and one[1] == 0 and one[2] == 1
