@@ -124,3 +124,24 @@ def test_dedup_components_chain_and_canonical(spark):
     one = {r.doc_id: r.component_id for r in
            dedup_components(pairs, ids, rounds=1).collect()}
     assert one[3] == 2 and one[1] == 0 and one[2] == 1
+
+
+def test_dedup_components_round_budget_converged(spark):
+    """On the registered MinHash pair graph the 5-round budget is a
+    fixpoint: one extra round changes nothing (the convergence claim
+    behind the bounded-round contract)."""
+    from python_vector_db___ai_spark.operators.dedup import dedup_components
+    from python_vector_db___ai_spark.operators.dedup import minhash_lsh_pairs
+    from python_vector_db___ai_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .filter(F.col("doc_id") < 150))
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                              verify_threshold=0.9).select("i", "j").cache()
+    ids = docs.select("doc_id")
+    five = {(r.doc_id, r.component_id) for r in
+            dedup_components(pairs, ids, rounds=5).collect()}
+    six = {(r.doc_id, r.component_id) for r in
+           dedup_components(pairs, ids, rounds=6).collect()}
+    assert five == six

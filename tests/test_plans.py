@@ -67,3 +67,16 @@ def test_metadata_filter_pushdown(docs):
     filtered = docs.filter(F.col("lang") == "en").select("doc_id")
     plan_filters = pushed_filters(filtered)
     assert any("lang" in f for f in plan_filters), plan_filters
+
+
+def test_text_profile_has_no_window(spark):
+    """text_profile's per-lang stats must be an aggregation broadcast
+    back onto the rows — a window over the skewed low-cardinality lang
+    key would put most of the corpus in one task at scale."""
+    from python_vector_db___ai_spark.plans.queries import all_queries
+
+    df = all_queries()["text_profile"].spark_fn(
+        spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert has_broadcast_join(df)
