@@ -156,8 +156,10 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
+    # Both recall branches consume the exact frame — cache so the
+    # exact scan runs once (n_queries x k rows, tiny).
     exact = knn_join_blas(queries, emb, k=K, metric="cosine",
-                          corpus_id="vec_id")
+                          corpus_id="vec_id").cache()
     sk = sketch_knn(queries, emb, k=K, n_bits=256, L=max(20, n // 10))
     mp = srp_lsh_knn(queries, emb, k=K, n_tables=12, n_bits=8,
                      n_probes=80, probe_bits=4)
