@@ -93,24 +93,42 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
     """
     if centroids is None:
         centroids = build_centroids(corpus, cluster_col, corpus_vec, round_to)
-    probes = probe_clusters(queries, centroids, nprobe, metric,
-                            query_id, query_vec, cluster_col, round_to)
-    cand = corpus.join(F.broadcast(probes), cluster_col)
     desc_order = metric in ("cosine", "inner_product", "euclidean_similarity")
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc() if desc_order else F.col("score").asc(),
         F.col(corpus_id).asc())
 
     if impl == "pruned-blas":
+        # The probe table is driver-small by contract (it gets
+        # collected either way); for the cosine quantizer compute it
+        # directly on the driver — same rounding + (score desc,
+        # cluster asc) tie-break as probe_clusters — turning the
+        # probe crossJoin + window + collect (two Spark jobs) into
+        # one numpy matmul, so the whole search is a single job.
+        if metric == "cosine":
+            probe_rows = _probe_rows_driver(
+                queries, centroids, nprobe, query_id, query_vec,
+                cluster_col, round_to)
+        else:
+            probe_rows = None
         scored = _pruned_matmul_topk(
-            probes, corpus, k, metric, query_id, query_vec,
+            probe_clusters(queries, centroids, nprobe, metric, query_id,
+                           query_vec, cluster_col, round_to)
+            if probe_rows is None else probe_rows,
+            corpus, k, metric, query_id, query_vec,
             corpus_id, corpus_vec, cluster_col, round_to or 6, desc_order)
     elif impl == "blas":
+        probes = probe_clusters(queries, centroids, nprobe, metric,
+                                query_id, query_vec, cluster_col, round_to)
+        cand = corpus.join(F.broadcast(probes), cluster_col)
         scored = _score_pairs_blas(
             cand.select(query_id, corpus_id, query_vec, corpus_vec),
             k, metric, query_id, query_vec, corpus_id, corpus_vec,
             round_to or 6, desc_order)
     else:
+        probes = probe_clusters(queries, centroids, nprobe, metric,
+                                query_id, query_vec, cluster_col, round_to)
+        cand = corpus.join(F.broadcast(probes), cluster_col)
         score, _ = score_column(metric, F.col(query_vec), F.col(corpus_vec))
         if round_to is not None:
             score = F.round(score, round_to)
@@ -125,13 +143,55 @@ def ivf_search(queries: DataFrame, corpus: DataFrame,
             .select(query_id, corpus_id, "score", "rank"))
 
 
-def _pruned_matmul_topk(probes: DataFrame, corpus: DataFrame, k: int,
+def _probe_rows_driver(queries: DataFrame, centroids: DataFrame,
+                       nprobe: int, query_id: str, query_vec: str,
+                       cluster_col: str,
+                       round_to: int | None) -> list[dict]:
+    """Driver-side cosine probe ranking — bit-identical to
+    probe_clusters (rounded scores, stable (score desc, cluster asc)
+    ordering via stable argsort over id-sorted centroids), computed as
+    one numpy matmul instead of a crossJoin + window Spark job.  Both
+    inputs are small by contract (guarded)."""
+    import numpy as np
+
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    qrows = collect_small(
+        queries.select(query_id, query_vec), "ivf_search queries",
+        hint="Query batches are small by contract; batch the queries "
+             "or use impl='expr' for a fully distributed plan.")
+    crows = sorted(collect_small(
+        centroids, "ivf_search centroids",
+        hint="nlist must stay driver-small."), key=lambda r: r[cluster_col])
+    if not qrows or not crows:
+        return []
+    labs = [r[cluster_col] for r in crows]
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    Q = np.array([r[query_vec] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = (Q @ C.T) / np.outer(qn, cn)
+    S[(np.outer(qn <= 1e-12, np.ones(len(C), bool)))
+      | (np.outer(np.ones(len(Q), bool), cn <= 1e-12))] = 0.0
+    if round_to is not None:
+        S = np.round(S, round_to)
+    order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+    return [
+        {query_id: qrows[qi][query_id], query_vec: qrows[qi][query_vec],
+         cluster_col: labs[ci]}
+        for qi in range(len(qrows)) for ci in order[qi]
+    ]
+
+
+def _pruned_matmul_topk(probes, corpus: DataFrame, k: int,
                         metric: str, query_id: str, query_vec: str,
                         corpus_id: str, corpus_vec: str, cluster_col: str,
                         round_to: int, desc: bool) -> DataFrame:
     """The scale-shaped IVF kernel: never materializes (query, candidate)
-    pair rows.  The probe table (n_queries x nprobe — tiny) is collected
-    and broadcast; the corpus scan is filtered to the union of probed
+    pair rows.  The probe table (n_queries x nprobe — tiny; a DataFrame
+    to collect or pre-collected rows from :func:`_probe_rows_driver`)
+    is broadcast; the corpus scan is filtered to the union of probed
     clusters (partition pruning on a cluster-partitioned table); each
     Arrow batch groups rows by cluster and runs one BLAS matmul against
     just that cluster's probing queries, emitting local top-k per query.
@@ -147,10 +207,13 @@ def _pruned_matmul_topk(probes: DataFrame, corpus: DataFrame, k: int,
 
     from python_vector_db___ai_spark.operators._guards import collect_small
 
-    probe_rows = collect_small(
-        probes, "ivf_search probe table",
-        hint="nprobe x n_queries must stay driver-small; batch the "
-             "queries or use impl='expr' for a fully distributed plan.")
+    if isinstance(probes, DataFrame):
+        probe_rows = collect_small(
+            probes, "ivf_search probe table",
+            hint="nprobe x n_queries must stay driver-small; batch the "
+                 "queries or use impl='expr' for a fully distributed plan.")
+    else:
+        probe_rows = probes
     by_label: dict = {}
     for r in probe_rows:
         by_label.setdefault(r[cluster_col], []).append(
