@@ -81,3 +81,29 @@ def test_upsert_key_algebra(sp, base_ids, upd_ids):
     assert set(got) == base_ids | upd_ids
     for i in upd_ids:
         assert got[i] == "upd"
+
+
+@given(st.lists(st.lists(st.booleans(), min_size=128, max_size=128),
+                min_size=1, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_sketch_pack_unpack_roundtrip(bits):
+    """Packing sign bits into int64 words and unpacking them is the
+    identity, and Hamming distance via the 0/1 matmul identity equals
+    the direct bit comparison."""
+    import numpy as np
+
+    from python_vector_db___ai_spark.operators.lsh import (
+        _pack_bits,
+        _unpack_bits,
+    )
+
+    B = np.array(bits, dtype=bool)
+    words = _pack_bits(B)
+    assert words.shape == (len(B), 2)            # 128 bits -> 2 words
+    back = _unpack_bits(words, 128).astype(bool)
+    assert (back == B).all()
+    # Hamming via |q| + |c| - 2 q.c on {0,1} vectors == direct XOR count
+    f = B.astype(np.float32)
+    ham_mm = (f.sum(1)[:, None] + f.sum(1)[None, :] - 2.0 * (f @ f.T))
+    ham_direct = (B[:, None, :] != B[None, :, :]).sum(-1)
+    assert (ham_mm.astype(np.int64) == ham_direct).all()
