@@ -200,6 +200,43 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
         .agg(F.avg("recall")).collect()[0][0], 4)
     out["sketch_scan_frac"] = round(L / n, 4)
 
+    # Product quantization + exact re-rank: 8-byte codes (64x vector
+    # compression) scanned with ADC lookup tables, then k x overfetch
+    # full-vector touches per query.  Codes are built on l2-normalized
+    # vectors so ADC-L2 ordering == cosine ordering.
+    from python_vector_db___ai_spark.functions.vector import l2_normalize
+    from python_vector_db___ai_spark.operators.pq import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train,
+    )
+
+    nemb = emb.select(
+        "vec_id",
+        l2_normalize(F.col("embedding").cast("array<double>"))
+        .alias("embedding")).cache()
+    nqueries = (nemb.filter(F.col("vec_id") < n_queries)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_vec")))
+    overfetch = 20
+    t0 = time.perf_counter()
+    books = pq_train(nemb, m=8, n_codes=128, iters=8)
+    enc = pq_encode(nemb, books).cache()
+    enc.count()
+    out["pq_build_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    pq = pq_search_rerank(nqueries, nemb, enc, books, k=10,
+                          overfetch=overfetch, metric="cosine")
+    pq_rows = pq.collect()
+    out["pq_sec"] = round(time.perf_counter() - t0, 4)
+    pq_cached = spark.createDataFrame(pq_rows, pq.schema)
+    out["pq_recall"] = round(
+        recall_against_exact(pq_cached, exact_cached, corpus_id="vec_id")
+        .agg(F.avg("recall")).collect()[0][0], 4)
+    out["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
+    nemb.unpersist()
+    enc.unpersist()
+
     # Query-directed multi-probe SRP-LSH on the raw corpus (honest
     # numbers: random data has little locality, so bucket LSH needs a
     # large candidate fraction; the sketch path above is the quality

@@ -1,0 +1,246 @@
+"""Product quantization (PQ) — the memory tier of the ANN family
+(SURVEY §2.9; the FAISS ``IndexIVFPQ`` analog of the reference's
+day-6 index zoo, re-expressed Spark-first).
+
+At 100 TB the corpus cannot hold full-precision vectors in executor
+memory: a 64-dim float64 row is 512 bytes, its 8-subspace/256-code PQ
+code is 8 bytes — 64× compression.  The pieces:
+
+* :func:`pq_train` — deterministic Lloyd's k-means per subspace on a
+  driver-side sample (guarded; seeded numpy, fixed iterations — the
+  FAISS train-on-sample pattern, and deterministic so every test and
+  engine reproduces the codebooks bit-for-bit).
+* :func:`pq_encode` — one Arrow pass: per subspace, argmin distance to
+  the (broadcast) codebook → ``array<smallint>`` codes column.
+* :func:`pq_reconstruction_error` — per-row L2 error of the decoded
+  approximation; the quantization-quality audit.
+* :func:`pq_adc_search` — asymmetric distance computation: each query
+  builds an ``m × n_codes`` lookup table of squared subvector
+  distances once, each Arrow batch scores its rows with numpy gathers
+  (no decode, no full vectors), keeps local top-k, and a final window
+  merges — the same bounded-shuffle shape as ``knn_join_blas``.
+
+Codes travel instead of vectors, so the scan reads ``m`` bytes per row
+regardless of dimension.  Like the binary sketch, PQ is an approximate
+tier: measure recall with ``ivf.recall_against_exact``, re-rank the
+top candidates with full vectors when the table keeps them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators._guards import collect_small
+
+
+def _lloyd(X, n_codes: int, iters: int, seed: int):
+    """Seeded, fixed-iteration Lloyd's k-means (numpy, deterministic).
+    Returns (n_codes, dim) centroids.  Empty clusters re-seed from the
+    farthest points — the standard FAISS-style fixup, deterministic
+    because distances and indices are."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    init = rng.choice(n, size=min(n_codes, n), replace=False)
+    C = X[np.sort(init)].copy()
+    if len(C) < n_codes:                      # tiny sample: pad with jitter
+        pad = X[rng.integers(0, n, n_codes - len(C))] + 1e-6
+        C = np.vstack([C, pad])
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_codes):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(0)
+            else:
+                far = d.min(1).argmax()
+                C[c] = X[far]
+    return C
+
+
+def pq_train(corpus: DataFrame, m: int = 8, n_codes: int = 256,
+             iters: int = 10, seed: int = 42, sample_rows: int = 4096,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Train per-subspace codebooks on a deterministic corpus sample.
+    Returns ``(m, sub_dim, codebooks)`` with codebooks shaped
+    ``(m, n_codes, sub_dim)``."""
+    import numpy as np
+
+    rows = collect_small(
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows),
+        "pq_train sample")
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books = np.stack([
+        _lloyd(X[:, j * sub:(j + 1) * sub], n_codes, iters, seed + j)
+        for j in range(m)
+    ])
+    return m, sub, books
+
+
+def pq_encode(corpus: DataFrame, codebooks, vec_col: str = "embedding",
+              id_col: str = "vec_id", code_col: str = "pq_code") -> DataFrame:
+    """Attach the ``array<smallint>`` PQ code column (m codes per row):
+    per subspace, the index of the nearest codebook centroid."""
+    import numpy as np
+    import pandas as pd
+
+    m, _, books = codebooks
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(books)
+
+    def op(batches):
+        B = bc.value
+        mm, n_codes, sub = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(V), mm), dtype=np.int16)
+            for j in range(mm):
+                Xj = V[:, j * sub:(j + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                d = (-2.0 * Xj @ B[j].T
+                     + (B[j] ** 2).sum(1)[None, :])
+                codes[:, j] = d.argmin(1)
+            out = pdf[[id_col]].copy()
+            out[code_col] = list(codes)
+            yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, {code_col} array<smallint>")
+
+
+def pq_reconstruction_error(corpus: DataFrame, codebooks,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Per-row L2 reconstruction error of the PQ approximation —
+    ``(id_col, l2_error)`` — the audit that justifies a codebook size."""
+    import numpy as np
+    import pandas as pd
+
+    m, _, books = codebooks
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(books)
+
+    def op(batches):
+        B = bc.value
+        mm, n_codes, sub = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            err2 = np.zeros(len(V))
+            for j in range(mm):
+                Xj = V[:, j * sub:(j + 1) * sub]
+                d = (-2.0 * Xj @ B[j].T + (B[j] ** 2).sum(1)[None, :])
+                code = d.argmin(1)
+                err2 += ((Xj - B[j][code]) ** 2).sum(1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "l2_error": np.round(np.sqrt(err2), 6)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, l2_error double")
+
+
+def pq_adc_search(queries: DataFrame, encoded: DataFrame, codebooks,
+                  k: int = 10, query_id: str = "query_id",
+                  query_vec: str = "query_vec", corpus_id: str = "vec_id",
+                  code_col: str = "pq_code",
+                  round_to: int = 6) -> DataFrame:
+    """Approximate per-query top-k by L2 over PQ codes (ADC).
+
+    Each query precomputes its ``m × n_codes`` table of squared
+    subvector distances on the driver (queries are small by contract);
+    each Arrow batch of the *code* table sums table entries with numpy
+    gathers — never touching a vector — and emits local top-k; one
+    small window merges.  Returns
+    ``(query_id, corpus_id, adc_dist, rank)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, _, books = codebooks
+    qrows = collect_small(
+        queries.select(query_id, query_vec), "pq_adc_search queries",
+        hint="Batch the query set; the LUTs are per-query.")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    mm, n_codes, sub = books.shape
+    # LUT[q, j, c] = || Q[q, sub_j] - books[j, c] ||^2
+    lut = np.empty((len(Q), mm, n_codes))
+    for j in range(mm):
+        Xj = Q[:, j * sub:(j + 1) * sub]
+        lut[:, j, :] = (((Xj[:, None, :] - books[j][None, :, :]) ** 2)
+                        .sum(-1))
+    sc = encoded.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, lut))
+
+    def op(batches):
+        q_ids_, lut_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(pdf[code_col].tolist(), dtype=np.int64)
+            c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            kk = min(k, len(c_ids))
+            out = []
+            for qi in range(len(q_ids_)):
+                # gather: dist[row] = sum_j lut[qi, j, codes[row, j]]
+                d = lut_[qi, np.arange(codes.shape[1])[None, :],
+                         codes].sum(1)
+                d = np.round(np.sqrt(np.clip(d, 0.0, None)), round_to)
+                order = np.lexsort((c_ids, d))[:kk]
+                out.append(pd.DataFrame({
+                    query_id: np.full(len(order), q_ids_[qi]),
+                    corpus_id: c_ids[order],
+                    "adc_dist": d[order]}))
+            yield pd.concat(out, ignore_index=True)
+
+    local = encoded.select(corpus_id, code_col).mapInPandas(
+        op, schema=f"{query_id} long, {corpus_id} long, adc_dist double")
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(corpus_id).asc())
+    return (local.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "adc_dist", "rank"))
+
+
+def pq_search_rerank(queries: DataFrame, corpus: DataFrame, encoded,
+                     codebooks, k: int = 10, overfetch: int = 5,
+                     metric: str = "l2", query_id: str = "query_id",
+                     query_vec: str = "query_vec",
+                     corpus_id: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_to: int = 6) -> DataFrame:
+    """The complete PQ search path: ADC over the 8-byte codes selects
+    ``k × overfetch`` candidates per query, then only those rows'
+    full vectors are read and exactly re-ranked (the FAISS
+    ADC-then-refine pattern).  Full-vector touches per query =
+    ``k × overfetch``, independent of corpus size."""
+    from python_vector_db___ai_spark.operators.ivf import _score_pairs_blas
+
+    cand = (pq_adc_search(queries, encoded, codebooks, k=k * overfetch,
+                          query_id=query_id, query_vec=query_vec,
+                          corpus_id=corpus_id, round_to=round_to)
+            .select(query_id, corpus_id))
+    pairs = (corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
+             .join(F.broadcast(cand), corpus_id)
+             .join(F.broadcast(queries.select(query_id, query_vec)),
+                   query_id))
+    desc = metric in ("cosine", "inner_product", "euclidean_similarity")
+    scored = _score_pairs_blas(
+        pairs.select(query_id, corpus_id, query_vec, "_cvec"),
+        k, metric, query_id, query_vec, corpus_id, "_cvec", round_to, desc)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc() if desc else F.col("score").asc(),
+        F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "score", "rank"))

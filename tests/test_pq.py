@@ -1,0 +1,107 @@
+"""Product-quantization tier: deterministic codebooks, encode shape,
+reconstruction-error behavior, and ADC search recall vs the exact scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.ivf import recall_against_exact
+from python_vector_db___ai_spark.operators.pq import (
+    pq_adc_search,
+    pq_encode,
+    pq_reconstruction_error,
+    pq_train,
+)
+from python_vector_db___ai_spark.operators.search import knn_join_blas
+from python_vector_db___ai_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (emb.filter(F.col("vec_id") < 20)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def test_pq_train_deterministic_and_encode_shape(emb):
+    m1 = pq_train(emb, m=8, n_codes=16, iters=5)
+    m2 = pq_train(emb, m=8, n_codes=16, iters=5)
+    assert (m1[2] == m2[2]).all()           # same seed -> same codebooks
+    codes = pq_encode(emb, m1).collect()
+    assert all(len(r.pq_code) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.pq_code)
+    assert len(codes) == emb.count()
+
+
+def test_pq_reconstruction_error_shrinks_with_codes(emb):
+    small = pq_train(emb, m=8, n_codes=4, iters=5)
+    big = pq_train(emb, m=8, n_codes=64, iters=5)
+    e_small = (pq_reconstruction_error(emb, small)
+               .agg(F.avg("l2_error")).collect()[0][0])
+    e_big = (pq_reconstruction_error(emb, big)
+             .agg(F.avg("l2_error")).collect()[0][0])
+    assert e_big < e_small          # more codes -> strictly better fit
+    assert e_big > 0.0              # lossy, not magic
+
+
+def test_pq_adc_recall_and_ordering(emb, queries):
+    books = pq_train(emb, m=8, n_codes=64, iters=8)
+    encoded = pq_encode(emb, books).cache()
+    adc = pq_adc_search(queries, encoded, books, k=10)
+    rows = adc.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+        # a query that IS a corpus vector quantizes to its own code, so
+        # its ADC self-distance is the reconstruction floor -> rank 1
+        assert rs[0].vec_id == q
+    # PQ is a candidate filter: with a 5x over-fetch the 8-byte codes
+    # recover most true L2 neighbors even on this worst-case
+    # (unstructured) corpus, and over-fetching strictly helps.
+    exact = knn_join_blas(queries, emb, k=10, metric="l2",
+                          corpus_id="vec_id")
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    def cand_recall(kk):
+        cand = {(r.query_id, r.vec_id) for r in
+                pq_adc_search(queries, encoded, books, k=kk).collect()}
+        return len(truth & cand) / len(truth)
+
+    r10, r50 = cand_recall(10), cand_recall(50)
+    assert r50 > r10
+    assert r50 >= 0.75, (r10, r50)
+
+
+def test_pq_rerank_end_to_end(emb, queries):
+    """ADC filter + exact re-rank: results are a subset of the ADC
+    candidates with true L2 scores, self-hit at rank 1."""
+    from python_vector_db___ai_spark.operators.pq import pq_search_rerank
+
+    books = pq_train(emb, m=8, n_codes=64, iters=8)
+    encoded = pq_encode(emb, books).cache()
+    got = pq_search_rerank(queries, emb, encoded, books, k=5, overfetch=6,
+                           metric="l2")
+    rows = got.collect()
+    top = {r.query_id: r for r in rows if r.rank == 1}
+    for qid, r in top.items():
+        assert r.vec_id == qid           # exact self-match survives
+        assert r.score == pytest.approx(0.0, abs=1e-6)
+    exact = {(r.query_id, r.vec_id): r.score for r in
+             knn_join_blas(queries, emb, k=200, metric="l2",
+                           corpus_id="vec_id").collect()}
+    for r in rows:                       # re-ranked scores are true L2
+        assert exact[(r.query_id, r.vec_id)] == pytest.approx(
+            r.score, abs=1e-6)
