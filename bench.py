@@ -381,10 +381,51 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
             recall_against_exact(sk_df, exact_cached, corpus_id="vec_id")
             .agg(F.avg("recall")).collect()[0][0], 4)
         entry["sketch_scan_frac"] = round(Ls / n, 4)
+
+        # PQ memory tier at scale: the ADC pass reads 8 bytes/row; the
+        # re-rank touches k x overfetch vectors/query regardless of n.
+        from python_vector_db___ai_spark.operators.pq import (
+            pq_encode,
+            pq_search_rerank,
+            pq_train,
+        )
+
+        # Codes built on l2-normalized vectors: ADC-L2 order == cosine
+        # order, so recall compares directly against the cosine exact.
+        from python_vector_db___ai_spark.functions.vector import (
+            l2_normalize,
+        )
+
+        ncorpus = corpus.select(
+            "vec_id",
+            l2_normalize(F.col("embedding").cast("array<double>"))
+            .alias("embedding")).cache()
+        nqueries = queries.select(
+            "query_id",
+            l2_normalize(F.col("query_vec").cast("array<double>"))
+            .alias("query_vec"))
+        overfetch = 20
+        t0 = time.perf_counter()
+        books = pq_train(ncorpus, m=8, n_codes=128, iters=8)
+        enc = pq_encode(ncorpus, books).cache()
+        enc.count()
+        entry["pq_build_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        pq = pq_search_rerank(nqueries, ncorpus, enc, books, k=10,
+                              overfetch=overfetch, metric="cosine")
+        pq_rows = pq.collect()
+        entry["pq_sec"] = round(time.perf_counter() - t0, 3)
+        pq_df = spark.createDataFrame(pq_rows, pq.schema)
+        entry["pq_recall"] = round(
+            recall_against_exact(pq_df, exact_cached, corpus_id="vec_id")
+            .agg(F.avg("recall")).collect()[0][0], 4)
+        entry["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
+        ncorpus.unpersist()
         corpus.unpersist()
         assigned.unpersist()
         cb.unpersist()
         skc.unpersist()
+        enc.unpersist()
         results.append(entry)
     return results
 

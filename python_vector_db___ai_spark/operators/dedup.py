@@ -343,18 +343,68 @@ def dedup_components(pairs: DataFrame, ids: DataFrame, rounds: int = 5,
 
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            impl: str = "expr",
+                            round_to: int = 6) -> DataFrame:
     """(i < j) pairs with cosine >= threshold — semantic near-dup.
 
     Exact O(n^2) form, kept as the small-sf oracle;
     :func:`embedding_neardup_pruned` is the registered scale path.
+
+    ``impl="expr"`` is the pure-Column θ-join (row-at-a-time
+    higher-order-function cosine — fine for oracle-sized corpora,
+    quadratic *interpreted* work beyond that).  ``impl="blas"``
+    broadcasts the (guarded, id-sorted) corpus matrix and scores each
+    partition's rows against it in one matmul, emitting only the
+    upper-triangle pairs at or above the rounded threshold — same
+    values (round-to-6 before the comparison, like the oracle), ~100×
+    less Python interpretation.
     """
-    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
-    return (a.join(b, F.col("i") < F.col("j"))
-            .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
-            .filter(F.col("cosine") >= threshold)
-            .select("i", "j", "cosine"))
+    if impl == "expr":
+        a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+        return (a.join(b, F.col("i") < F.col("j"))
+                .withColumn("cosine",
+                            cosine_similarity(F.col("va"), F.col("vb")))
+                .filter(F.col("cosine") >= threshold)
+                .select("i", "j", "cosine"))
+
+    import numpy as np
+    import pandas as pd
+
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    rows = collect_small(
+        df.select(id_col, vec_col).orderBy(id_col),
+        "embedding_neardup_pairs corpus",
+        hint="The all-pairs form is the small-sf oracle; use "
+             "embedding_neardup_pruned for large corpora.")
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    V = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    vn = np.linalg.norm(V, axis=1)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, V, vn))
+
+    def op(batches):
+        ids_, V_, vn_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            an = np.linalg.norm(A, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (A @ V_.T) / np.outer(an, vn_)
+            S[(np.outer(an <= 1e-12, np.ones(len(V_), bool)))
+              | (np.outer(np.ones(len(A), bool), vn_ <= 1e-12))] = 0.0
+            S = np.round(S, round_to)
+            keep = (ids_[None, :] > a_ids[:, None]) & (S >= threshold)
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame({"i": a_ids[r], "j": ids_[c],
+                                "cosine": S[r, c]})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, schema="i long, j long, cosine double")
 
 
 def embedding_neardup_pruned(df: DataFrame, threshold: float = 0.4,

@@ -382,9 +382,8 @@ def dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = (embedding_neardup_pairs(emb, threshold=0.0)
-             .withColumn("cosine", F.round("cosine", 6))
-             .filter(F.col("cosine") >= _COS_THRESHOLD)
+    exact = (embedding_neardup_pairs(emb, threshold=_COS_THRESHOLD,
+                                     impl="blas")
              .select(F.lit("exact_theta").alias("branch"),
                      "i", "j", "cosine"))
     pruned = (embedding_neardup_pruned(emb, threshold=_COS_THRESHOLD,

@@ -145,3 +145,25 @@ def test_dedup_components_round_budget_converged(spark):
     six = {(r.doc_id, r.component_id) for r in
            dedup_components(pairs, ids, rounds=6).collect()}
     assert five == six
+
+
+def test_embedding_neardup_blas_equals_expr(spark):
+    """The broadcast-matmul all-pairs form returns exactly the
+    expression θ-join's pairs (round-6 values, i<j, thresholded)."""
+    from python_vector_db___ai_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    expr = {(r.i, r.j): r.cosine for r in
+            embedding_neardup_pairs(emb, threshold=0.0)
+            .withColumn("cosine", F.round("cosine", 6))
+            .filter(F.col("cosine") >= 0.4).collect()}
+    blas = {(r.i, r.j): r.cosine for r in
+            embedding_neardup_pairs(emb, threshold=0.4,
+                                    impl="blas").collect()}
+    assert set(expr) == set(blas)
+    for k in expr:
+        assert expr[k] == pytest.approx(blas[k], abs=1e-9)
