@@ -81,15 +81,17 @@ def main() -> None:
         "SPARK_GRAFT_SCALE_FACTORS", "10,50,200").split(",") if x]
     scale = scale_benchmark(spark, sf_dir, factors) if factors else []
 
-    # Promote the >=100k-row exact-vs-IVF crossover into the headline
-    # table: the regime where the pruned scan earns its keep (recall
-    # for the promoted entry is in the matching scale[] record, 1.0 on
-    # the inflated corpus — well above the 0.95 bar).
-    for entry in scale:
-        if entry["corpus_rows"] >= 100_000:
-            timings["knn_exact_100k"] = entry["exact_sec"]
-            timings["ivf_search_100k"] = entry["ivf_sec"]
-            break
+    # Promote the exact-vs-IVF crossover into the headline table at the
+    # LARGEST measured scale (>=100k rows) — the regime where the
+    # pruned scan earns its keep decisively rather than within noise
+    # (recall for the promoted entry is in the matching scale[]
+    # record, 1.0 on the inflated corpus — well above the 0.95 bar).
+    big = [e for e in scale if e["corpus_rows"] >= 100_000]
+    if big:
+        e = big[-1]
+        label = f"{e['corpus_rows'] // 1000}k"
+        timings[f"knn_exact_{label}"] = e["exact_sec"]
+        timings[f"ivf_search_{label}"] = e["ivf_sec"]
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -202,30 +204,23 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
 
     # Product quantization + exact re-rank: 8-byte codes (64x vector
     # compression) scanned with ADC lookup tables, then k x overfetch
-    # full-vector touches per query.  Codes are built on l2-normalized
-    # vectors so ADC-L2 ordering == cosine ordering.
-    from python_vector_db___ai_spark.functions.vector import l2_normalize
+    # full-vector touches per query.  normalize=True inside the numpy
+    # kernels makes ADC-L2 ordering == cosine ordering without a
+    # Spark-side (per-row interpreted) normalization pass.
     from python_vector_db___ai_spark.operators.pq import (
         pq_encode,
         pq_search_rerank,
         pq_train,
     )
 
-    nemb = emb.select(
-        "vec_id",
-        l2_normalize(F.col("embedding").cast("array<double>"))
-        .alias("embedding")).cache()
-    nqueries = (nemb.filter(F.col("vec_id") < n_queries)
-                .select(F.col("vec_id").alias("query_id"),
-                        F.col("embedding").alias("query_vec")))
     overfetch = 20
     t0 = time.perf_counter()
-    books = pq_train(nemb, m=8, n_codes=128, iters=8)
-    enc = pq_encode(nemb, books).cache()
+    books = pq_train(emb, m=8, n_codes=128, iters=8, normalize=True)
+    enc = pq_encode(emb, books).cache()
     enc.count()
     out["pq_build_sec"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
-    pq = pq_search_rerank(nqueries, nemb, enc, books, k=10,
+    pq = pq_search_rerank(queries, emb, enc, books, k=10,
                           overfetch=overfetch, metric="cosine")
     pq_rows = pq.collect()
     out["pq_sec"] = round(time.perf_counter() - t0, 4)
@@ -234,7 +229,6 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
         recall_against_exact(pq_cached, exact_cached, corpus_id="vec_id")
         .agg(F.avg("recall")).collect()[0][0], 4)
     out["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
-    nemb.unpersist()
     enc.unpersist()
 
     # Query-directed multi-probe SRP-LSH on the raw corpus (honest
@@ -390,28 +384,17 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
             pq_train,
         )
 
-        # Codes built on l2-normalized vectors: ADC-L2 order == cosine
-        # order, so recall compares directly against the cosine exact.
-        from python_vector_db___ai_spark.functions.vector import (
-            l2_normalize,
-        )
-
-        ncorpus = corpus.select(
-            "vec_id",
-            l2_normalize(F.col("embedding").cast("array<double>"))
-            .alias("embedding")).cache()
-        nqueries = queries.select(
-            "query_id",
-            l2_normalize(F.col("query_vec").cast("array<double>"))
-            .alias("query_vec"))
+        # normalize=True in the kernels: ADC-L2 order == cosine order,
+        # so recall compares directly against the cosine exact scan.
         overfetch = 20
         t0 = time.perf_counter()
-        books = pq_train(ncorpus, m=8, n_codes=128, iters=8)
-        enc = pq_encode(ncorpus, books).cache()
+        books = pq_train(corpus, m=8, n_codes=128, iters=8,
+                         normalize=True)
+        enc = pq_encode(corpus, books).cache()
         enc.count()
         entry["pq_build_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        pq = pq_search_rerank(nqueries, ncorpus, enc, books, k=10,
+        pq = pq_search_rerank(queries, corpus, enc, books, k=10,
                               overfetch=overfetch, metric="cosine")
         pq_rows = pq.collect()
         entry["pq_sec"] = round(time.perf_counter() - t0, 3)
@@ -420,7 +403,6 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
             recall_against_exact(pq_df, exact_cached, corpus_id="vec_id")
             .agg(F.avg("recall")).collect()[0][0], 4)
         entry["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
-        ncorpus.unpersist()
         corpus.unpersist()
         assigned.unpersist()
         cb.unpersist()

@@ -61,18 +61,35 @@ def _lloyd(X, n_codes: int, iters: int, seed: int):
     return C
 
 
+def _maybe_normalize(V, normalize: bool):
+    import numpy as np
+
+    if not normalize:
+        return V
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    return np.divide(V, n, out=np.zeros_like(V), where=n > 1e-12)
+
+
 def pq_train(corpus: DataFrame, m: int = 8, n_codes: int = 256,
              iters: int = 10, seed: int = 42, sample_rows: int = 4096,
-             vec_col: str = "embedding", id_col: str = "vec_id"):
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             normalize: bool = False):
     """Train per-subspace codebooks on a deterministic corpus sample.
-    Returns ``(m, sub_dim, codebooks)`` with codebooks shaped
-    ``(m, n_codes, sub_dim)``."""
+    Returns ``(m, sub_dim, codebooks, normalize)`` with codebooks
+    shaped ``(m, n_codes, sub_dim)``.
+
+    ``normalize=True`` l2-normalizes vectors inside the numpy kernels
+    (train/encode/search all honor the flag), making ADC-L2 ordering
+    equal cosine ordering — WITHOUT a Spark-side normalization pass,
+    which would be a per-row interpreted higher-order-function walk
+    over the whole corpus."""
     import numpy as np
 
     rows = collect_small(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows),
         "pq_train sample")
-    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    X = _maybe_normalize(
+        np.array([r[vec_col] for r in rows], dtype=np.float64), normalize)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -81,40 +98,54 @@ def pq_train(corpus: DataFrame, m: int = 8, n_codes: int = 256,
         _lloyd(X[:, j * sub:(j + 1) * sub], n_codes, iters, seed + j)
         for j in range(m)
     ])
-    return m, sub, books
+    return m, sub, books, normalize
+
+
+def _unpack_codes(packed, m: int):
+    """(rows,) int64 -> (rows, m) int64 byte codes."""
+    import numpy as np
+
+    return (packed[:, None] >> (8 * np.arange(m))[None, :]) & 0xFF
 
 
 def pq_encode(corpus: DataFrame, codebooks, vec_col: str = "embedding",
               id_col: str = "vec_id", code_col: str = "pq_code") -> DataFrame:
-    """Attach the ``array<smallint>`` PQ code column (m codes per row):
-    per subspace, the index of the nearest codebook centroid."""
+    """Attach the PQ code column: per subspace, the index of the
+    nearest codebook centroid, all ``m`` byte codes packed
+    little-endian into ONE ``bigint`` — a flat fixed-width column, so
+    the ADC scan's Arrow transfer is a plain int64 vector with no
+    per-row list materialization (requires ``m <= 8`` and
+    ``n_codes <= 256``, i.e. codes fit 8 bytes — the standard PQ8
+    configuration)."""
     import numpy as np
-    import pandas as pd
 
-    m, _, books = codebooks
+    m, _, books, normalize = codebooks
+    if m > 8 or books.shape[1] > 256:
+        raise ValueError("packed codes need m <= 8 and n_codes <= 256")
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(books)
+    bc = sc.broadcast((books, normalize))
 
     def op(batches):
-        B = bc.value
+        B, norm_ = bc.value
         mm, n_codes, sub = B.shape
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            codes = np.empty((len(V), mm), dtype=np.int16)
+            V = _maybe_normalize(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64), norm_)
+            packed = np.zeros(len(V), dtype=np.int64)
             for j in range(mm):
                 Xj = V[:, j * sub:(j + 1) * sub]
                 # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
                 d = (-2.0 * Xj @ B[j].T
                      + (B[j] ** 2).sum(1)[None, :])
-                codes[:, j] = d.argmin(1)
+                packed |= d.argmin(1).astype(np.int64) << (8 * j)
             out = pdf[[id_col]].copy()
-            out[code_col] = list(codes)
+            out[code_col] = packed
             yield out
 
     return corpus.select(id_col, vec_col).mapInPandas(
-        op, schema=f"{id_col} long, {code_col} array<smallint>")
+        op, schema=f"{id_col} long, {code_col} long")
 
 
 def pq_reconstruction_error(corpus: DataFrame, codebooks,
@@ -125,17 +156,18 @@ def pq_reconstruction_error(corpus: DataFrame, codebooks,
     import numpy as np
     import pandas as pd
 
-    m, _, books = codebooks
+    m, _, books, normalize = codebooks
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(books)
+    bc = sc.broadcast((books, normalize))
 
     def op(batches):
-        B = bc.value
+        B, norm_ = bc.value
         mm, n_codes, sub = B.shape
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = _maybe_normalize(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64), norm_)
             err2 = np.zeros(len(V))
             for j in range(mm):
                 Xj = V[:, j * sub:(j + 1) * sub]
@@ -166,12 +198,13 @@ def pq_adc_search(queries: DataFrame, encoded: DataFrame, codebooks,
     import numpy as np
     import pandas as pd
 
-    m, _, books = codebooks
+    m, _, books, normalize = codebooks
     qrows = collect_small(
         queries.select(query_id, query_vec), "pq_adc_search queries",
         hint="Batch the query set; the LUTs are per-query.")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Q = _maybe_normalize(
+        np.array([r[1] for r in qrows], dtype=np.float64), normalize)
     mm, n_codes, sub = books.shape
     # LUT[q, j, c] = || Q[q, sub_j] - books[j, c] ||^2
     lut = np.empty((len(Q), mm, n_codes))
@@ -187,14 +220,14 @@ def pq_adc_search(queries: DataFrame, encoded: DataFrame, codebooks,
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes = np.array(pdf[code_col].tolist(), dtype=np.int64)
+            codes = _unpack_codes(
+                pdf[code_col].to_numpy(dtype=np.int64), mm)
             c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
             kk = min(k, len(c_ids))
             out = []
             for qi in range(len(q_ids_)):
                 # gather: dist[row] = sum_j lut[qi, j, codes[row, j]]
-                d = lut_[qi, np.arange(codes.shape[1])[None, :],
-                         codes].sum(1)
+                d = lut_[qi, np.arange(mm)[None, :], codes].sum(1)
                 d = np.round(np.sqrt(np.clip(d, 0.0, None)), round_to)
                 order = np.lexsort((c_ids, d))[:kk]
                 out.append(pd.DataFrame({

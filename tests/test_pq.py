@@ -32,13 +32,17 @@ def queries(emb):
 
 
 def test_pq_train_deterministic_and_encode_shape(emb):
+    from python_vector_db___ai_spark.operators.pq import _unpack_codes
+    import numpy as np
+
     m1 = pq_train(emb, m=8, n_codes=16, iters=5)
     m2 = pq_train(emb, m=8, n_codes=16, iters=5)
     assert (m1[2] == m2[2]).all()           # same seed -> same codebooks
-    codes = pq_encode(emb, m1).collect()
-    assert all(len(r.pq_code) == 8 for r in codes)
-    assert all(0 <= c < 16 for r in codes for c in r.pq_code)
-    assert len(codes) == emb.count()
+    rows = pq_encode(emb, m1).collect()
+    packed = np.array([r.pq_code for r in rows], dtype=np.int64)
+    codes = _unpack_codes(packed, 8)
+    assert codes.shape == (emb.count(), 8)
+    assert ((codes >= 0) & (codes < 16)).all()
 
 
 def test_pq_reconstruction_error_shrinks_with_codes(emb):
