@@ -245,6 +245,117 @@ def pq_adc_search(queries: DataFrame, encoded: DataFrame, codebooks,
             .select(query_id, corpus_id, "adc_dist", "rank"))
 
 
+def ivfpq_search(queries: DataFrame, corpus: DataFrame,
+                 encoded_assigned: DataFrame, centroids: DataFrame,
+                 codebooks, nprobe: int = 5, k: int = 10,
+                 overfetch: int = 5, query_id: str = "query_id",
+                 query_vec: str = "query_vec", corpus_id: str = "vec_id",
+                 vec_col: str = "embedding", code_col: str = "pq_code",
+                 cluster_col: str = "cluster_id",
+                 round_to: int = 6) -> DataFrame:
+    """IVF + PQ composed (the FAISS ``IndexIVFPQ``): the coarse
+    quantizer prunes the scan to ``nprobe`` clusters per query, the
+    ADC lookup tables score only the pruned *codes*, and the final
+    exact re-rank touches ``k × overfetch`` full vectors per query.
+
+    ``encoded_assigned``: ``(corpus_id, cluster_col, code_col)`` —
+    ``ivf.assign_clusters`` output joined with :func:`pq_encode`
+    (write it partitioned by ``cluster_col``; the cluster filter then
+    prunes at the scan).  Scan cost per query:
+    ``nprobe/nlist × n × 8 bytes`` of codes + ``k × overfetch``
+    vectors — at 100 TB, the only full-width reads are the re-rank's.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from python_vector_db___ai_spark.operators.ivf import (
+        _probe_rows_driver,
+        _score_pairs_blas,
+    )
+
+    m, _, books, normalize = codebooks
+    probe_rows = _probe_rows_driver(queries, centroids, nprobe,
+                                    query_id, query_vec, cluster_col,
+                                    round_to)
+    # per-cluster -> which queries probe it
+    probing: dict = {}
+    qvecs: dict = {}
+    for r in probe_rows:
+        probing.setdefault(r[cluster_col], []).append(r[query_id])
+        qvecs[r[query_id]] = r[query_vec]
+    q_ids = np.array(sorted(qvecs), dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+    Q = _maybe_normalize(
+        np.array([qvecs[int(q)] for q in q_ids], dtype=np.float64),
+        normalize)
+    mm, n_codes, sub = books.shape
+    lut = np.empty((len(Q), mm, n_codes))
+    for j in range(mm):
+        Xj = Q[:, j * sub:(j + 1) * sub]
+        lut[:, j, :] = (((Xj[:, None, :] - books[j][None, :, :]) ** 2)
+                        .sum(-1))
+    kk = k * overfetch
+    labels = sorted(probing)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((probing, qpos, lut))
+
+    def kernel(batches):
+        probing_, qpos_, lut_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for lab, sub_pdf in pdf.groupby(cluster_col, sort=False):
+                qs = probing_.get(lab)
+                if not qs:
+                    continue
+                codes = _unpack_codes(
+                    sub_pdf[code_col].to_numpy(dtype=np.int64), mm)
+                c_ids = sub_pdf[corpus_id].to_numpy(dtype=np.int64)
+                take = min(kk, len(c_ids))
+                for q in qs:
+                    d = lut_[qpos_[q], np.arange(mm)[None, :],
+                             codes].sum(1)
+                    d = np.round(np.sqrt(np.clip(d, 0.0, None)),
+                                 round_to)
+                    order = np.lexsort((c_ids, d))[:take]
+                    out.append(pd.DataFrame({
+                        query_id: np.full(len(order), q),
+                        corpus_id: c_ids[order],
+                        "adc_dist": d[order]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    pruned = (encoded_assigned
+              .filter(F.col(cluster_col).isin(labels))
+              .select(cluster_col, corpus_id, code_col))
+    local = pruned.mapInPandas(
+        kernel, schema=f"{query_id} long, {corpus_id} long, adc_dist double")
+    wc = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(corpus_id).asc())
+    cand = (local
+            # spill assignment can surface a vector from two probed
+            # clusters with the same code distance — key-dedup first
+            .dropDuplicates([query_id, corpus_id])
+            .withColumn("_r", F.row_number().over(wc))
+            .filter(F.col("_r") <= kk)
+            .select(query_id, corpus_id))
+    pairs = (corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
+             .join(F.broadcast(cand), corpus_id)
+             .join(F.broadcast(queries.select(query_id, query_vec)),
+                   query_id))
+    scored = _score_pairs_blas(
+        pairs.select(query_id, corpus_id, query_vec, "_cvec"),
+        k, "cosine" if normalize else "l2", query_id, query_vec,
+        corpus_id, "_cvec", round_to, bool(normalize))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc() if normalize else F.col("score").asc(),
+        F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "score", "rank"))
+
+
 def pq_search_rerank(queries: DataFrame, corpus: DataFrame, encoded,
                      codebooks, k: int = 10, overfetch: int = 5,
                      metric: str = "l2", query_id: str = "query_id",

@@ -109,3 +109,43 @@ def test_pq_rerank_end_to_end(emb, queries):
     for r in rows:                       # re-ranked scores are true L2
         assert exact[(r.query_id, r.vec_id)] == pytest.approx(
             r.score, abs=1e-6)
+
+
+def test_ivfpq_full_probe_equals_flat_pq(emb, queries):
+    """Probing every cluster makes IVFPQ degenerate to flat PQ+re-rank
+    — identical results; with few probes it returns a valid per-query
+    top-k with true scores and the self-hit at rank 1."""
+    from python_vector_db___ai_spark.operators.ivf import (
+        assign_clusters,
+        kmeans_centroids,
+    )
+    from python_vector_db___ai_spark.operators.pq import (
+        ivfpq_search,
+        pq_search_rerank,
+    )
+
+    books = pq_train(emb, m=8, n_codes=64, iters=8, normalize=True)
+    encoded = pq_encode(emb, books).cache()
+    cents = kmeans_centroids(emb, nlist=8, seed=42).cache()
+    assigned = assign_clusters(emb, cents, spill=2,
+                               cluster_col="cluster_id")
+    ea = assigned.select("vec_id", "cluster_id") \
+        .join(encoded, "vec_id").cache()
+
+    flat = {(r.query_id, r.rank): (r.vec_id, r.score) for r in
+            pq_search_rerank(queries, emb, encoded, books, k=5,
+                             overfetch=6, metric="cosine").collect()}
+    full = {(r.query_id, r.rank): (r.vec_id, r.score) for r in
+            ivfpq_search(queries, emb, ea, cents, books, nprobe=8,
+                         k=5, overfetch=6).collect()}
+    assert flat == full
+
+    few = ivfpq_search(queries, emb, ea, cents, books, nprobe=3,
+                       k=5, overfetch=6).collect()
+    by_q = {}
+    for r in few:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        top = min(rs, key=lambda r: r.rank)
+        assert top.vec_id == q and top.score == pytest.approx(1.0, 1e-6)
