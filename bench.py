@@ -403,6 +403,26 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
             recall_against_exact(pq_df, exact_cached, corpus_id="vec_id")
             .agg(F.avg("recall")).collect()[0][0], 4)
         entry["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
+
+        # Composed IVFPQ: coarse pruning (reusing the factor's cluster
+        # assignment) + ADC over the pruned codes + exact re-rank —
+        # per query: nprobe/nlist of the 8-byte codes, k x overfetch
+        # vectors.
+        from python_vector_db___ai_spark.operators.pq import ivfpq_search
+
+        ea = (assigned.select("vec_id", "cluster_id")
+              .join(enc, "vec_id").cache())
+        ea.count()
+        t0 = time.perf_counter()
+        ipq = ivfpq_search(queries, corpus, ea, cents, books,
+                           nprobe=nprobe, k=10, overfetch=overfetch)
+        ipq_rows = ipq.collect()
+        entry["ivfpq_sec"] = round(time.perf_counter() - t0, 3)
+        ipq_df = spark.createDataFrame(ipq_rows, ipq.schema)
+        entry["ivfpq_recall"] = round(
+            recall_against_exact(ipq_df, exact_cached, corpus_id="vec_id")
+            .agg(F.avg("recall")).collect()[0][0], 4)
+        ea.unpersist()
         corpus.unpersist()
         assigned.unpersist()
         cb.unpersist()
