@@ -249,18 +249,20 @@ def _unpack_bits(words, n_bits: int):
 def sketch_build(corpus: DataFrame, n_bits: int = 256, seed: int = 42,
                  corpus_id: str = "vec_id", vec_col: str = "embedding",
                  dim: int | None = None):
-    """Attach a packed ``n_bits``-bit SRP sketch column to the corpus.
-
-    Returns ``(H, corpus_with_sketch)`` where ``sketch`` is
-    ``array<long>`` of ``n_bits/64`` words — 32 bytes/row at 256 bits.
-    Persist the frame (ideally as a parquet column next to the
-    vectors) and reuse across query batches; the sketch pass is the
-    index build.
+    """Attach a packed ``n_bits``-bit SRP sketch to the corpus as
+    ``n_bits/64`` FLAT bigint columns ``_sk0.._sk{w-1}`` — 32
+    bytes/row at 256 bits.  Flat fixed-width columns, not an
+    ``array<long>``: the Hamming scan then transfers plain int64
+    vectors through Arrow with no per-row list materialization (the
+    same trap the packed PQ codes avoid).  Persist the frame (ideally
+    as parquet columns next to the vectors) and reuse across query
+    batches; the sketch pass is the index build.
     """
     import numpy as np
 
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
+    n_words = n_bits // 64
     rng = np.random.default_rng(seed)
     d = _infer_dim(corpus, vec_col, dim)
     H = rng.standard_normal((n_bits, d))
@@ -268,7 +270,6 @@ def sketch_build(corpus: DataFrame, n_bits: int = 256, seed: int = 42,
     bc = sc.broadcast(H)
 
     def op(batches):
-        import pandas as pd
         Hm = bc.value
         for pdf in batches:
             if pdf.empty:
@@ -276,12 +277,14 @@ def sketch_build(corpus: DataFrame, n_bits: int = 256, seed: int = 42,
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             words = _pack_bits(V @ Hm.T > 0)
             out = pdf.copy()
-            out["sketch"] = list(words)
+            for w in range(n_words):
+                out[f"_sk{w}"] = words[:, w]
             yield out
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in corpus.schema.fields)
-    sk = corpus.mapInPandas(op, schema=f"{fields}, sketch array<long>")
+    sk_fields = ", ".join(f"_sk{w} long" for w in range(n_words))
+    sk = corpus.mapInPandas(op, schema=f"{fields}, {sk_fields}")
     return H, sk
 
 
@@ -334,12 +337,16 @@ def sketch_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, qbits, qsum))
 
+    n_words = n_bits // 64
+
     def local_toplmap(batches):
         q_ids_, qb_, qs_ = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            words = np.array(pdf["sketch"].tolist(), dtype=np.int64)
+            words = np.stack(
+                [pdf[f"_sk{w}"].to_numpy(dtype=np.int64)
+                 for w in range(n_words)], axis=1)
             cb = _unpack_bits(words, n_bits).astype(np.float32)
             c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
             # hamming = |q| + |c| - 2 q·c  (0/1 vectors)
@@ -355,7 +362,8 @@ def sketch_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     "_ham": ham[qi][order]}))
             yield pd.concat(out, ignore_index=True)
 
-    local = sk.select(corpus_id, "sketch").mapInPandas(
+    local = sk.select(corpus_id,
+                      *[f"_sk{w}" for w in range(n_words)]).mapInPandas(
         local_toplmap, schema=f"{query_id} long, {corpus_id} long, _ham long")
     wham = Window.partitionBy(query_id).orderBy(
         F.col("_ham").asc(), F.col(corpus_id).asc())
