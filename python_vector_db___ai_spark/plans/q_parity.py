@@ -1,71 +1,14 @@
-"""Remaining reference-parity queries: day-6 perturbed query
-generation, day-3 dummy predictors."""
+"""Remaining reference-parity queries: day-3 dummy predictors.
+(The day-6 perturbed-query parity lives as the cosine_perturbed
+branch of knn_exact_batch in q_vector.py.)"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_vector_db___ai_spark.functions.hashing import stable_hash_sql, stable_hash64
-from python_vector_db___ai_spark.operators.search import knn_join_blas
-from python_vector_db___ai_spark.plans.q_vector import _cos_sql
 from python_vector_db___ai_spark.plans.queries import register
 from python_vector_db___ai_spark.session import load_table
-
-_NQ = 10
-_NOISE = 0.1
-_DIM = 64
-_K = 10
-
-
-def _noise_sql(qid: str, i: str) -> str:
-    h = stable_hash_sql(f"concat({qid}, ':', {i})")
-    return f"(({h} % 2000) / 1000.0 - 1.0) * {_NOISE}"
-
-
-@register(
-    "knn_perturbed_queries",
-    oracle=f"""
-WITH q AS (
-  SELECT vec_id AS query_id,
-         list_transform(range(1, {_DIM} + 1),
-                        i -> embedding[i]::DOUBLE + {_noise_sql('vec_id', 'i')})
-           AS qv
-  FROM embeddings WHERE vec_id < {_NQ}
-), scored AS (
-  SELECT q.query_id, c.vec_id,
-         round({_cos_sql('qv', 'cv')}, 6) AS score
-  FROM q CROSS JOIN
-       (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
-), ranked AS (
-  SELECT query_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {_K}
-""",
-    doc="day-6 query generation parity: queries are corpus vectors "
-        "perturbed by deterministic noise (day_6/day6_complete.py:54-63), "
-        "then exact kNN — the perturbed source should surface near rank 1",
-)
-def knn_perturbed_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    def noise(i):
-        return ((stable_hash64(
-            F.concat(F.col("vec_id").cast("string"), F.lit(":"),
-                     i.cast("string"))) % 2000) / F.lit(1000.0) - 1.0) * _NOISE
-
-    perturbed = (emb.filter(F.col("vec_id") < _NQ)
-                 .select(F.col("vec_id").alias("query_id"),
-                         F.transform(
-                             F.sequence(F.lit(1), F.lit(_DIM)),
-                             lambda i: F.element_at(
-                                 F.col("embedding"), i).cast("double")
-                             + noise(i)).alias("query_vec")))
-    return knn_join_blas(perturbed, emb, k=_K, metric="cosine",
-                         corpus_id="vec_id")
 
 
 @register(

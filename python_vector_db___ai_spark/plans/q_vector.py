@@ -59,6 +59,39 @@ SELECT '{metric}' AS metric, query_id, vec_id, score, rank FROM (
 """
 
 
+# day-6 perturbed-query parity (day_6/day6_complete.py:54-63): queries
+# are corpus vectors plus deterministic md5-derived noise, folded into
+# the batch-kNN check as a fourth metric branch.
+_PERT_NQ = 10
+_PERT_NOISE = 0.1
+_PERT_DIM = 64
+
+
+def _pert_noise_sql(qid: str, i: str) -> str:
+    from python_vector_db___ai_spark.functions.hashing import stable_hash_sql
+
+    h = stable_hash_sql(f"concat({qid}, ':', {i})")
+    return f"(({h} % 2000) / 1000.0 - 1.0) * {_PERT_NOISE}"
+
+
+def _perturbed_queries_df(emb: DataFrame) -> DataFrame:
+    from python_vector_db___ai_spark.functions.hashing import stable_hash64
+
+    def noise(i):
+        return ((stable_hash64(
+            F.concat(F.col("vec_id").cast("string"), F.lit(":"),
+                     i.cast("string"))) % 2000) / F.lit(1000.0) - 1.0) \
+            * _PERT_NOISE
+
+    return (emb.filter(F.col("vec_id") < _PERT_NQ)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(_PERT_DIM)),
+                        lambda i: F.element_at(
+                            F.col("embedding"), i).cast("double")
+                        + noise(i)).alias("query_vec")))
+
+
 @register(
     "knn_exact_batch",
     oracle=f"""
@@ -71,10 +104,29 @@ UNION ALL
 {_knn_metric_sql('l2', 'list_distance(qv, cv)', 'ASC')}
 UNION ALL
 {_knn_metric_sql('dot', 'list_dot_product(qv, cv)', 'DESC')}
+UNION ALL
+SELECT 'cosine_perturbed' AS metric, query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM (
+    SELECT p.query_id, c.vec_id, round({_cos_sql('p.qv', 'c.cv')}, 6) AS score
+    FROM (
+      SELECT vec_id AS query_id,
+             list_transform(range(1, {_PERT_DIM} + 1),
+                            i -> embedding[i]::DOUBLE
+                                 + {_pert_noise_sql('vec_id', 'i')}) AS qv
+      FROM embeddings WHERE vec_id < {_PERT_NQ}
+    ) p CROSS JOIN
+        (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+  )
+) WHERE rank <= {K}
 """,
     doc="J1/T2 exact flat batch kNN under cosine / L2 / inner-product "
         "(day_6/day6_complete.py:86-99; pgvector <->, <#> "
-        "day_9/database/vector_ops.py:143-147) — three metrics, one check",
+        "day_9/database/vector_ops.py:143-147) plus the day-6 "
+        "perturbed-query parity branch (deterministic noise; the "
+        "perturbed source surfaces near rank 1) — four branches, one check",
 )
 def knn_exact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -86,7 +138,10 @@ def knn_exact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = knn_join_blas(q, emb, k=K, metric="inner_product",
                         corpus_id="vec_id") \
         .withColumn("metric", F.lit("dot"))
-    return (cos.unionByName(l2).unionByName(dot)
+    pert = knn_join_blas(_perturbed_queries_df(emb), emb, k=K,
+                         metric="cosine", corpus_id="vec_id") \
+        .withColumn("metric", F.lit("cosine_perturbed"))
+    return (cos.unionByName(l2).unionByName(dot).unionByName(pert)
             .select("metric", "query_id", "vec_id", "score", "rank"))
 
 

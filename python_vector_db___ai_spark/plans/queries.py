@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         q_metrics,
         q_misc,
         q_olap,
+        q_pack,
         q_parity,
         q_pipeline,
         q_text,
