@@ -147,11 +147,15 @@ def _probe_rows_driver(queries: DataFrame, centroids: DataFrame,
                        nprobe: int, query_id: str, query_vec: str,
                        cluster_col: str,
                        round_to: int | None) -> list[dict]:
-    """Driver-side cosine probe ranking — bit-identical to
-    probe_clusters (rounded scores, stable (score desc, cluster asc)
-    ordering via stable argsort over id-sorted centroids), computed as
-    one numpy matmul instead of a crossJoin + window Spark job.  Both
-    inputs are small by contract (guarded)."""
+    """Driver-side cosine probe ranking — same convention as
+    probe_clusters and every BLAS kernel in this repo: round-to-6
+    scores ranked with a stable (score desc, cluster asc) order via
+    stable argsort over id-sorted centroids, computed as one numpy
+    matmul instead of a crossJoin + window Spark job.  Both inputs
+    are small by contract (guarded).  (As with the other kernels,
+    numpy and JVM summation/rounding agree at 6 decimals in practice;
+    a value landing exactly on a rounding boundary is the shared
+    theoretical caveat, not specific to this path.)"""
     import numpy as np
 
     from python_vector_db___ai_spark.operators._guards import collect_small

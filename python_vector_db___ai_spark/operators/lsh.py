@@ -330,6 +330,10 @@ def sketch_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
         queries.select(query_id, query_vec), "sketch_knn queries",
         hint="Batch the query set, or use the bucketed srp_lsh_knn for "
              "query-corpus joins of this size.")
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score double, "
+                "rank long")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     qbits = (Q @ H.T > 0).astype(np.float32)      # (nq, n_bits) in {0,1}

@@ -41,7 +41,6 @@ def mixture_gate(id_col: Column, source: Column,
     would-be-kept rows without filtering."""
     h = stable_hash64(F.concat(id_col.cast("string"),
                                F.lit(f":mix{seed}"))) % _SCALE
-    gate = F.lit(None).cast("boolean")
     expr = None
     for src, w in sorted(weights.items()):
         cond = source == src

@@ -51,13 +51,21 @@ def _lloyd(X, n_codes: int, iters: int, seed: int):
     for _ in range(iters):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
+        empties = []
         for c in range(n_codes):
             members = X[assign == c]
             if len(members):
                 C[c] = members.mean(0)
             else:
-                far = d.min(1).argmax()
-                C[c] = X[far]
+                empties.append(c)
+        if empties:
+            # each empty cluster re-seeds from a DISTINCT far point
+            # (farthest-first order) — seeding them all from the same
+            # argmax would collapse them into permanently-dead
+            # duplicate codes
+            far_order = np.argsort(-d.min(1), kind="stable")
+            for e, c in enumerate(empties):
+                C[c] = X[far_order[e % len(far_order)]]
     return C
 
 
@@ -202,6 +210,10 @@ def pq_adc_search(queries: DataFrame, encoded: DataFrame, codebooks,
     qrows = collect_small(
         queries.select(query_id, query_vec), "pq_adc_search queries",
         hint="Batch the query set; the LUTs are per-query.")
+    if not qrows:
+        return encoded.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, adc_dist double, "
+                "rank long")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = _maybe_normalize(
         np.array([r[1] for r in qrows], dtype=np.float64), normalize)

@@ -218,3 +218,12 @@ def test_estimate_knn_radius_excludes_self_and_clamps(spark):
     one = spark.createDataFrame([(0, [1.0, 0.0])],
                                 "vec_id long, embedding array<double>")
     assert estimate_knn_radius(one, k=3) > 0.0
+
+
+def test_sketch_knn_empty_queries_returns_empty(emb, queries):
+    from python_vector_db___ai_spark.operators.lsh import sketch_knn
+
+    none = queries.filter(F.col("query_id") < 0)
+    out = sketch_knn(none, emb, k=5, n_bits=128, L=10)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "score", "rank"]

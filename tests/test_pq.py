@@ -149,3 +149,12 @@ def test_ivfpq_full_probe_equals_flat_pq(emb, queries):
         assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
         top = min(rs, key=lambda r: r.rank)
         assert top.vec_id == q and top.score == pytest.approx(1.0, 1e-6)
+
+
+def test_pq_adc_empty_queries_returns_empty(emb, queries):
+    books = pq_train(emb, m=8, n_codes=16, iters=3)
+    encoded = pq_encode(emb, books)
+    none = queries.filter(F.col("query_id") < 0)
+    out = pq_adc_search(none, encoded, books, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "adc_dist", "rank"]

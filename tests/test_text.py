@@ -106,7 +106,9 @@ def test_pii_unseparated_phone_and_ip_ordering(spark):
     df = spark.createDataFrame(
         [(1, "call 4155551234 now"),
          (2, "host 10.123.45.78 up"),
-         (3, "year 2023 and 123456789 are not phones")],
+         (3, "year 2023 and 123456789 are not phones"),
+         (4, "call (415) 555-1234 now"),
+         (5, "call +1-415-555-1234 now")],
         ["doc_id", "text"])
     counts = pii_counts(F.col("text"))
     got = {r.doc_id: r for r in df.select(
@@ -118,3 +120,7 @@ def test_pii_unseparated_phone_and_ip_ordering(spark):
     assert got[2].clean == "host [ipv4] up"      # no phone bite into the IP
     assert got[3].phone == 0
     assert got[3].clean == "year 2023 and 123456789 are not phones"
+    # parenthesized and +country forms redact from the FIRST char —
+    # no '(' or '+' remnant left behind
+    assert got[4].clean == "call [phone] now"
+    assert got[5].clean == "call [phone] now"
