@@ -176,6 +176,99 @@ def knn_join_blas(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .select(query_id, corpus_id, "score", "rank"))
 
 
+def knn_join_blas_multi(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                        metric_labels=(("cosine", "cosine"), ("l2", "l2"),
+                                       ("inner_product", "dot")),
+                        query_id: str = "query_id",
+                        query_vec: str = "query_vec",
+                        corpus_id: str = "id",
+                        corpus_vec: str = "embedding",
+                        round_to: int = 6) -> DataFrame:
+    """Batch kNN under SEVERAL metrics from ONE corpus pass.
+
+    cosine, L2 and inner-product all derive from the same ``Q @ C.T``
+    matrix (cosine divides by norms, L2 completes the square), so one
+    Arrow scan + one matmul per batch serves every metric — versus one
+    full corpus pass per metric with separate :func:`knn_join_blas`
+    calls.  Per-metric results are identical to the single-metric path
+    (same rounding, same id tie-break); the final merge is one window
+    over ``(metric, query)`` using a direction-normalized sort key.
+
+    ``metric_labels``: (metric, output label) pairs; returns
+    ``(metric, query_id, corpus_id, score, rank)`` with ``metric`` set
+    to the label.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    for m, _ in metric_labels:
+        if m not in ("cosine", "l2", "inner_product", "neg_inner_product"):
+            raise ValueError(f"metric {m!r} not supported by the BLAS path")
+
+    qrows = collect_small(
+        queries.select(query_id, query_vec), "knn_join_blas_multi queries",
+        hint="Query batches are small by contract; batch the queries.")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(Q, axis=1)
+    qsq = np.einsum("ij,ij->i", Q, Q)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            dot = Q @ C.T                      # the one matmul
+            cnorm = np.linalg.norm(C, axis=1)
+            csq = np.einsum("ij,ij->i", C, C)
+            kk = min(k, len(c_ids))
+            frames = []
+            for metric, label in metric_labels:
+                if metric == "cosine":
+                    denom = np.outer(qnorm, cnorm)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = dot / denom
+                    S[(np.outer(qnorm <= 1e-12, np.ones(len(C), bool)))
+                      | (np.outer(np.ones(len(Q), bool),
+                                  cnorm <= 1e-12))] = 0.0
+                    desc = True
+                elif metric == "l2":
+                    S = np.sqrt(np.clip(
+                        qsq[:, None] + csq[None, :] - 2.0 * dot, 0.0, None))
+                    desc = False
+                elif metric == "neg_inner_product":
+                    S = -dot
+                    desc = False
+                else:
+                    S = dot
+                    desc = True
+                S = np.round(S, round_to)
+                for qi in range(len(q_ids)):
+                    keys = -S[qi] if desc else S[qi]
+                    order = np.lexsort((c_ids, keys))[:kk]
+                    frames.append(pd.DataFrame({
+                        "metric": label,
+                        query_id: np.full(len(order), q_ids[qi]),
+                        corpus_id: c_ids[order],
+                        "score": S[qi][order],
+                        "_okey": keys[order]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        local_topk,
+        schema=f"metric string, {query_id} long, {corpus_id} long, "
+               "score double, _okey double")
+    w = Window.partitionBy("metric", query_id).orderBy(
+        F.col("_okey").asc(), F.col(corpus_id).asc())
+    return (local
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("metric", query_id, corpus_id, "score", "rank"))
+
+
 def search(corpus: DataFrame, query_vec_lit, k: int = 10, metric: str = "cosine",
            metadata_filter: Mapping[str, str] | None = None,
            corpus_id: str = "id", corpus_vec: str = "embedding",

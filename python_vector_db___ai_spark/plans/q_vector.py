@@ -129,20 +129,23 @@ SELECT 'cosine_perturbed' AS metric, query_id, vec_id, score, rank FROM (
         "perturbed source surfaces near rank 1) — four branches, one check",
 )
 def knn_exact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.search import (
+        knn_join_blas_multi,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = _queries_df(spark, sf_dir)
-    cos = knn_join_blas(q, emb, k=K, metric="cosine", corpus_id="vec_id") \
-        .withColumn("metric", F.lit("cosine"))
-    l2 = knn_join_blas(q, emb, k=K, metric="l2", corpus_id="vec_id") \
-        .withColumn("metric", F.lit("l2"))
-    dot = knn_join_blas(q, emb, k=K, metric="inner_product",
-                        corpus_id="vec_id") \
-        .withColumn("metric", F.lit("dot"))
+    # cosine / L2 / dot share one corpus pass and one matmul
+    shared = knn_join_blas_multi(
+        q, emb, k=K,
+        metric_labels=(("cosine", "cosine"), ("l2", "l2"),
+                       ("inner_product", "dot")),
+        corpus_id="vec_id")
     pert = knn_join_blas(_perturbed_queries_df(emb), emb, k=K,
                          metric="cosine", corpus_id="vec_id") \
         .withColumn("metric", F.lit("cosine_perturbed"))
-    return (cos.unionByName(l2).unionByName(dot).unionByName(pert)
-            .select("metric", "query_id", "vec_id", "score", "rank"))
+    return (shared.unionByName(
+        pert.select("metric", "query_id", "vec_id", "score", "rank")))
 
 
 _PAIRS_N = 200

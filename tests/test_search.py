@@ -76,3 +76,29 @@ def test_similarity_matrix_invariants(spark, emb):
         assert m[(i, i)] == pytest.approx(1.0, abs=1e-9)
         for j in range(10):
             assert m[(i, j)] == pytest.approx(m[(j, i)], abs=1e-9)
+
+
+def test_knn_multi_metric_equals_single_metric(spark):
+    """One-matmul multi-metric kNN is row-identical to three separate
+    single-metric BLAS scans."""
+    from python_vector_db___ai_spark.operators.search import (
+        knn_join_blas,
+        knn_join_blas_multi,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    multi = {(r.metric, r.query_id, r.rank): (r.vec_id, r.score) for r in
+             knn_join_blas_multi(q, emb, k=7, corpus_id="vec_id").collect()}
+    for metric, label in (("cosine", "cosine"), ("l2", "l2"),
+                          ("inner_product", "dot")):
+        single = {(label, r.query_id, r.rank): (r.vec_id, r.score) for r in
+                  knn_join_blas(q, emb, k=7, metric=metric,
+                                corpus_id="vec_id").collect()}
+        for key, val in single.items():
+            assert multi[key] == val, (key, val, multi.get(key))
+    assert len(multi) == 3 * 5 * 7
