@@ -192,17 +192,25 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
 def simhash_fingerprints(df: DataFrame, bits: int = 16,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
-    """Per-doc SimHash via explode + groupBy — one shuffle, arbitrary
-    document length.  Returns ``(id_col, simhash)``."""
+    """Per-doc SimHash via explode + groupBy — arbitrary document
+    length.  Returns ``(id_col, simhash)``.
+
+    The md5-derived hash is computed once per DISTINCT (doc, word) and
+    its ±1 bit contributions weighted by the occurrence count —
+    algebraically identical to hashing every occurrence (exact integer
+    sums), at one md5 per vocabulary entry instead of per token.
+    """
     ws = df.select(F.col(id_col),
                    F.explode(words_col(F.col(text_col))).alias("w"))
-    ws = ws.withColumn("h", stable_hash64(F.col("w")))
+    counted = (ws.groupBy(id_col, "w")
+               .agg(F.count("*").alias("_cnt"))
+               .withColumn("h", stable_hash64(F.col("w"))))
     aggs = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, 1)
-              .otherwise(-1)).alias(f"b{j}")
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0,
+                     F.col("_cnt")).otherwise(-F.col("_cnt"))).alias(f"b{j}")
         for j in range(bits)
     ]
-    sums = ws.groupBy(id_col).agg(*aggs)
+    sums = counted.groupBy(id_col).agg(*aggs)
     fp = sum(
         (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
          for j in range(bits)),

@@ -269,6 +269,57 @@ def knn_join_blas_multi(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .select("metric", query_id, corpus_id, "score", "rank"))
 
 
+def pairwise_metrics_blas(vectors: DataFrame, id_col: str = "id",
+                          vec_col: str = "embedding",
+                          round_to: int = 6) -> DataFrame:
+    """All (i < j) pairs with BOTH rounded cosine and L2 distance from
+    one broadcast matmul per partition — the vectorized form of the
+    upper-triangle θ-join (small-by-contract corpora; guarded).
+    Returns ``(i, j, cos_score, dist)``."""
+    import numpy as np
+    import pandas as pd
+
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    rows = collect_small(
+        vectors.select(id_col, vec_col).orderBy(id_col),
+        "pairwise_metrics_blas corpus",
+        hint="All-pairs output is quadratic; use the pruned/blocked "
+             "near-dup operators for large corpora.")
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    V = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    vn = np.linalg.norm(V, axis=1)
+    vsq = np.einsum("ij,ij->i", V, V)
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((ids, V, vn, vsq))
+
+    def op(batches):
+        ids_, V_, vn_, vsq_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            an = np.linalg.norm(A, axis=1)
+            asq = np.einsum("ij,ij->i", A, A)
+            dot = A @ V_.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = dot / np.outer(an, vn_)
+            S[(np.outer(an <= 1e-12, np.ones(len(V_), bool)))
+              | (np.outer(np.ones(len(A), bool), vn_ <= 1e-12))] = 0.0
+            D = np.sqrt(np.clip(
+                asq[:, None] + vsq_[None, :] - 2.0 * dot, 0.0, None))
+            keep = ids_[None, :] > a_ids[:, None]          # i < j only
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame({
+                "i": a_ids[r], "j": ids_[c],
+                "cos_score": np.round(S[r, c], round_to),
+                "dist": D[r, c]})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        op, schema="i long, j long, cos_score double, dist double")
+
+
 def search(corpus: DataFrame, query_vec_lit, k: int = 10, metric: str = "cosine",
            metadata_filter: Mapping[str, str] | None = None,
            corpus_id: str = "id", corpus_vec: str = "embedding",

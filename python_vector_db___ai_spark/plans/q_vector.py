@@ -185,26 +185,21 @@ SELECT * FROM cos_pairs UNION ALL SELECT * FROM eu_pairs
         "normalized euclidean similarity (V4/A10) — one union, one check",
 )
 def topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_vector_db___ai_spark.functions.vector import (
-        cosine_similarity,
-        l2_distance,
+    from python_vector_db___ai_spark.operators.search import (
+        pairwise_metrics_blas,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.filter(F.col("vec_id") < _PAIRS_N)
-    a = v.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
-    b = v.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
-    # ONE upper-triangle pair join computes both metrics; cache() makes
+    # ONE upper-triangle pass computes both metrics (one matmul per
+    # partition against the broadcast matrix — the θ-join's per-pair
+    # interpreted expressions don't survive 20k pairs); cache() makes
     # the three consumers (cosine top-k, the global-max aggregate, the
     # normalized-euclidean top-k) share a single physical evaluation,
     # and the max folds back in as a broadcast scalar — no second pass
     # over the pairs.
-    pairs = (a.join(b, F.col("i") < F.col("j"))
-             .select("i", "j",
-                     F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
-                     .alias("cos_score"),
-                     l2_distance(F.col("va"), F.col("vb")).alias("dist"))
-             .cache())
+    pairs = pairwise_metrics_blas(v, id_col="vec_id",
+                                  vec_col="embedding").cache()
     cos = (pairs
            .orderBy(F.col("cos_score").desc(), F.col("i").asc(),
                     F.col("j").asc())
