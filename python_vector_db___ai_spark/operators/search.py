@@ -123,6 +123,10 @@ def knn_join_blas(queries: DataFrame, corpus: DataFrame, k: int = 10,
         queries.select(query_id, query_vec), "knn_join_blas queries",
         hint="Query batches are small by contract; for a large query "
              "side use knn_join (broadcast join) or batch the queries.")
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score double, "
+                "rank long")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(Q, axis=1)
@@ -210,6 +214,10 @@ def knn_join_blas_multi(queries: DataFrame, corpus: DataFrame, k: int = 10,
     qrows = collect_small(
         queries.select(query_id, query_vec), "knn_join_blas_multi queries",
         hint="Query batches are small by contract; batch the queries.")
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"metric string, {query_id} long, {corpus_id} long, "
+                "score double, rank long")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(Q, axis=1)
@@ -286,6 +294,9 @@ def pairwise_metrics_blas(vectors: DataFrame, id_col: str = "id",
         "pairwise_metrics_blas corpus",
         hint="All-pairs output is quadratic; use the pruned/blocked "
              "near-dup operators for large corpora.")
+    if not rows:
+        return vectors.sparkSession.createDataFrame(
+            [], "i long, j long, cos_score double, dist double")
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     V = np.array([r[vec_col] for r in rows], dtype=np.float64)
     vn = np.linalg.norm(V, axis=1)

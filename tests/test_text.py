@@ -124,3 +124,19 @@ def test_pii_unseparated_phone_and_ip_ordering(spark):
     # no '(' or '+' remnant left behind
     assert got[4].clean == "call [phone] now"
     assert got[5].clean == "call [phone] now"
+
+
+def test_pii_letter_adjacent_separated_phone_still_redacts(spark):
+    """Separated phones glued to letters (where \\b can't match) are
+    still scrubbed — prefer a false positive over a leak."""
+    from python_vector_db___ai_spark.functions.text import redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "id415-555-1234"), (2, "call 415-555-1234now")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.clean for r in
+           df.select("doc_id",
+                     redact_pii(F.col("text")).alias("clean")).collect()}
+    assert got[1] == "id[phone]"
+    assert got[2] == "call [phone]now"
