@@ -349,6 +349,74 @@ def dedup_components(pairs: DataFrame, ids: DataFrame, rounds: int = 5,
                     (F.col("_a") == F.col("_label")).alias("is_canonical")))
 
 
+def semantic_decontaminate(train: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           round_to: int = 6) -> DataFrame:
+    """Semantic decontamination: flag training vectors whose embedding
+    is within ``threshold`` cosine of ANY benchmark/eval vector — the
+    embedding-space complement of the n-gram :func:`decontaminate`
+    (catches paraphrased eval leakage that shingle overlap misses).
+
+    The benchmark side is small by contract (an eval set), so it
+    broadcasts and each training partition scores its rows against the
+    benchmark matrix in one matmul, emitting one row per contaminated
+    training vector: ``(id_col, n_benchmark_hits, max_cosine,
+    nearest_benchmark_id)``.  Training side streams — never shuffles,
+    never pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    brows = collect_small(
+        benchmark.select(id_col, vec_col).orderBy(id_col),
+        "semantic_decontaminate benchmark",
+        hint="The benchmark side is an eval set; batch it if larger.")
+    if not brows:
+        return train.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_benchmark_hits long, "
+                "max_cosine double, nearest_benchmark_id long")
+    b_ids = np.array([r[id_col] for r in brows], dtype=np.int64)
+    B = np.array([r[vec_col] for r in brows], dtype=np.float64)
+    bn = np.linalg.norm(B, axis=1)
+    sc = train.sparkSession.sparkContext
+    bc = sc.broadcast((b_ids, B, bn))
+
+    def op(batches):
+        b_ids_, B_, bn_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            T = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            t_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            tn = np.linalg.norm(T, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (T @ B_.T) / np.outer(tn, bn_)
+            S[(np.outer(tn <= 1e-12, np.ones(len(B_), bool)))
+              | (np.outer(np.ones(len(T), bool), bn_ <= 1e-12))] = 0.0
+            S = np.round(S, round_to)
+            hit = S >= threshold
+            n_hits = hit.sum(1)
+            keep = n_hits > 0
+            if not keep.any():
+                continue
+            # nearest = max cosine, ties to the lower benchmark id
+            # (stable argmax over id-sorted columns)
+            nearest = np.argmax(S[keep], axis=1)
+            yield pd.DataFrame({
+                id_col: t_ids[keep],
+                "n_benchmark_hits": n_hits[keep].astype(np.int64),
+                "max_cosine": S[keep, nearest],
+                "nearest_benchmark_id": b_ids_[nearest]})
+
+    return train.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, n_benchmark_hits long, "
+                   "max_cosine double, nearest_benchmark_id long")
+
+
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

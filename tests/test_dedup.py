@@ -167,3 +167,46 @@ def test_embedding_neardup_blas_equals_expr(spark):
     assert set(expr) == set(blas)
     for k in expr:
         assert expr[k] == pytest.approx(blas[k], abs=1e-9)
+
+
+def test_semantic_decontaminate(spark):
+    """Embedding-space decontamination flags exactly the training
+    vectors within threshold of a benchmark vector, with correct hit
+    counts and nearest ids (verified against a numpy replay)."""
+    import numpy as np
+
+    from python_vector_db___ai_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bench = emb.filter(F.col("vec_id") % 17 == 3)
+    train = emb.filter(F.col("vec_id") % 17 != 3)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    is_b = ids % 17 == 3
+    S = np.round(V[~is_b] @ V[is_b].T, 6)
+    t_ids, b_ids = ids[~is_b], ids[is_b]
+    order = np.argsort(b_ids)
+    S, b_ids = S[:, order], b_ids[order]
+    # threshold below the observed max so a non-trivial subset flags
+    thr = float(np.quantile(S.max(axis=1), 0.9))
+
+    got = {r.vec_id: r for r in
+           semantic_decontaminate(train, bench, threshold=thr).collect()}
+    want_flagged = {int(t_ids[i]) for i in range(len(t_ids))
+                    if (S[i] >= thr).any()}
+    assert set(got) == want_flagged
+    assert want_flagged            # threshold chosen so hits exist
+    for i, t in enumerate(t_ids):
+        if int(t) in got:
+            r = got[int(t)]
+            assert r.n_benchmark_hits == int((S[i] >= thr).sum())
+            j = int(np.argmax(S[i]))
+            assert r.nearest_benchmark_id == int(b_ids[j])
+            assert r.max_cosine == pytest.approx(S[i, j], abs=1e-9)
