@@ -16,9 +16,10 @@ candidate set per query *by construction*:
 * :func:`sketch_knn` — the high-recall tier: a wide (e.g. 256-bit)
   SRP **sketch** per vector, Hamming-distance pre-ranking, and exact
   scoring of only the global top-``L`` candidates per query.  The
-  Hamming pass reads ``n_bits/8`` bytes per row (a 4-long column, not
-  the vector) and reduces to one ±1 matmul per Arrow batch with local
-  top-L, so the shuffle carries ``n_queries × L`` rows per partition;
+  Hamming pass reads ``n_bits/8`` bytes per row (flat ``_sk0..``
+  bigint columns, not the vector) and reduces to one 0/1 matmul per
+  Arrow batch with local top-L, so the shuffle carries
+  ``n_queries × L`` rows per partition;
   the exact (full-vector) scan fraction is exactly ``L / n`` — the
   same candidate accounting ``ivf_scan_frac`` uses.  On the
   unstructured sf0.1 corpus this reaches recall ~0.96 at a 10% exact
