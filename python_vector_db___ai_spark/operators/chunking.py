@@ -42,16 +42,21 @@ def chunk_chars_fixed(df: DataFrame, size: int = 1000, overlap: int = 200,
     if overlap >= size:
         raise ValueError("overlap must be < size")
     stride = size - overlap
+    # length 0 -> no chunks (the reference's `while start < n` loop
+    # emits nothing for an empty text; the boundary chunker agrees)
     n_chunks = F.when(
+        F.length(text_col) <= 0, F.lit(0)
+    ).when(
         F.length(text_col) <= size, F.lit(1)
     ).otherwise(
         F.ceil((F.length(text_col) - size).cast("double") / stride) + 1
     ).cast("int")
-    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+    starts = F.transform(F.sequence(F.lit(0), F.greatest(n_chunks - 1,
+                                                         F.lit(0))),
                          lambda i: i * stride)
     # posexplode carries the text column along — no join, no shuffle:
     # the whole chunker is one narrow codegen'd stage.
-    exploded = df.select(
+    exploded = df.filter(F.length(text_col) > 0).select(
         F.col(id_col), F.col(text_col),
         F.posexplode(starts).alias("chunk_id", "start_char"))
     return (exploded
@@ -61,7 +66,7 @@ def chunk_chars_fixed(df: DataFrame, size: int = 1000, overlap: int = 200,
                 F.col("start_char").cast("long").alias("start_char"),
                 F.least(F.col("start_char") + size, F.length(text_col))
                  .cast("long").alias("end_char"),
-                F.expr(f"substr({text_col}, start_char + 1, {size})")
+                F.col(text_col).substr(F.col("start_char") + 1, F.lit(size))
                  .alias("chunk_text"))
             .withColumn("chunk_chars", F.length("chunk_text").cast("long")))
 
@@ -79,6 +84,8 @@ def chunk_sentences_fixed(df: DataFrame, max_sentences: int = 5,
     oracle reproduces it; sentences under ``min_sentence_chars`` are
     dropped (P9).
     """
+    if overlap >= max_sentences:
+        raise ValueError("overlap must be < max_sentences")
     stride = max_sentences - overlap
     sents = F.filter(
         F.transform(F.split(F.col(text_col), r"[.!?]\s+"), lambda s: F.trim(s)),
@@ -165,6 +172,8 @@ def chunk_tokens_fixed(df: DataFrame, max_tokens: int = 1000,
     expressions.  Chunk text is the tokens re-joined with single spaces
     (original inter-token whitespace is not preserved — the reference
     reconstructs from tokens too)."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
     stride = max_tokens - overlap
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     with_ws = df.select(F.col(id_col), ws.alias("toks"))

@@ -44,6 +44,8 @@ def delete_ids(df: DataFrame, ids: DataFrame | Sequence,
                key: str = "doc_id") -> DataFrame:
     """S11/J5: anti-join delete (day_8/database.py:86-92)."""
     if not isinstance(ids, DataFrame):
+        if not ids:
+            return df                      # empty deletion list: no-op
         ids = df.sparkSession.createDataFrame([(i,) for i in ids], [key])
     return df.join(F.broadcast(ids.select(key)), key, "left_anti")
 

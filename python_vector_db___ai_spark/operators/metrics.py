@@ -74,15 +74,27 @@ def ranking_metrics(results: DataFrame, relevant: DataFrame, k: int = 10,
                   ).alias("dcg"),
             F.max(F.when(at_k, rel_d).otherwise(F.lit(0.0))).alias("hit_raw"),
         )
-        .join(F.broadcast(n_rel), query_col, "left")
+        # FULL join: a query with ground truth but zero retrieved rows
+        # must still produce an (all-zero) metrics row — dropping it
+        # would inflate the means (the reference's np.mean runs over
+        # every query, day_13/src/main.py:210-237).
+        .join(n_rel, query_col, "full")
         .withColumn("n_relevant", F.coalesce(F.col("n_relevant"), F.lit(0)))
+        .withColumn("rel_at_k", F.coalesce(F.col("rel_at_k"), F.lit(0)))
+        .withColumn("n_at_k", F.coalesce(F.col("n_at_k"), F.lit(0)))
+        .withColumn("hit_raw", F.coalesce(F.col("hit_raw"), F.lit(0.0)))
     )
 
-    idcg = F.aggregate(
-        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
-        F.lit(0.0),
-        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
-    )
+    # Guarded: Spark's sequence(1, x) counts DOWN for x < 1, so an
+    # unguarded closed form would evaluate 1/log2(1) for a query with
+    # no relevant docs (ANSI mode: DIVIDE_BY_ZERO crash).
+    idcg = F.when(
+        F.col("n_relevant") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+        )).otherwise(F.lit(0.0))
     # The reference divides by len(top_k_docs) = min(k, n_retrieved),
     # not by k (day_13/src/main.py:143) — required to reproduce its
     # committed P@10 = 0.35 over 5-doc result lists.

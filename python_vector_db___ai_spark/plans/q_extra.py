@@ -217,7 +217,8 @@ WITH chunks AS (
          substr(text, i, 200) AS chunk_text, text
   FROM documents,
        unnest(list_transform(
-         range(0, CASE WHEN length(text) <= 200 THEN 1
+         range(0, CASE WHEN length(text) <= 0 THEN 0
+                       WHEN length(text) <= 200 THEN 1
                        ELSE CAST(ceil((length(text) - 200) / 150.0) AS INT) + 1
                   END),
          k -> k * 150 + 1)) AS u(i)

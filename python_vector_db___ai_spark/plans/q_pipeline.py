@@ -32,7 +32,8 @@ _STRIDE = _SIZE - _OVL
 _CHUNK_CTE = f"""
 WITH n AS (
   SELECT doc_id, text, length(text) AS len,
-         CASE WHEN length(text) <= {_SIZE} THEN 1
+         CASE WHEN length(text) <= 0 THEN 0
+              WHEN length(text) <= {_SIZE} THEN 1
               ELSE CAST(ceil((length(text) - {_SIZE}) * 1.0 / {_STRIDE}) AS INT) + 1
          END AS n_chunks
   FROM documents

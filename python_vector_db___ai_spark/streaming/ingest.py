@@ -60,16 +60,22 @@ def run_stream_to_completion(streaming_df: DataFrame,
                              query_name: str | None = None) -> DataFrame:
     """Drain a streaming aggregation with availableNow into a memory
     sink and return the final result as a batch DataFrame."""
+    import shutil
+
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (streaming_df.writeStream
-         .format("memory")
-         .queryName(name)
-         .outputMode("complete")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    try:
+        q = (streaming_df.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        # the drained memory sink no longer needs its checkpoint
+        shutil.rmtree(ckpt, ignore_errors=True)
     return streaming_df.sparkSession.table(name)
 
 
@@ -93,13 +99,20 @@ def ingest_foreachbatch(spark: SparkSession, sf_dir: str,
         n_emb = embedded.filter(F.size("embedding") == embed_dim).count()
         results.append((int(batch_id), int(n), int(n_emb)))
 
+    import shutil
+
     stream = read_events_stream(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (stream.writeStream
-         .foreachBatch(handle)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    try:
+        q = (stream.writeStream
+             .foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # no micro-batches -> an EMPTY typed frame, not a fabricated row
+    # indistinguishable from a real zero-row batch 0
     return spark.createDataFrame(
-        results or [(0, 0, 0)], "batch_id long, n_rows long, n_embedded long")
+        results, "batch_id long, n_rows long, n_embedded long")

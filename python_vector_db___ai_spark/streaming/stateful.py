@@ -54,16 +54,21 @@ def run_stateful_to_completion(stateful_df: DataFrame,
     final running totals) as a batch DataFrame."""
     from pyspark.sql import functions as F
 
+    import shutil
+
     name = query_name or f"st_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
-    q = (stateful_df.writeStream
-         .format("memory")
-         .queryName(name)
-         .outputMode("update")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    try:
+        q = (stateful_df.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     spark = stateful_df.sparkSession
     all_updates = spark.table(name)
     # keep the final (max n_events) update per user

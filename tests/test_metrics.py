@@ -75,3 +75,32 @@ def test_mean_metrics(spark):
     # q1: P@2=0.5 RR=1; q2: P@2=0.5 RR=0.5
     assert row.mean_precision_at_k == pytest.approx(0.5)
     assert row.mean_reciprocal_rank == pytest.approx(0.75)
+
+
+def test_zero_relevant_and_zero_retrieved_queries(spark):
+    """A query with no ground truth must not crash the IDCG closed
+    form (ANSI divide-by-zero), and a query with ground truth but no
+    retrieved rows must still emit an all-zero row so means are not
+    inflated."""
+    from python_vector_db___ai_spark.operators.metrics import (
+        mean_metrics,
+        ranking_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),       # q1: retrieved, has truth
+         (2, 20, 1)],                  # q2: retrieved, NO truth
+        "query_id long, doc_id long, rank long")
+    relevant = spark.createDataFrame(
+        [(1, 10), (3, 30)],            # q3: truth, NOTHING retrieved
+        "query_id long, doc_id long")
+    rows = {r.query_id: r for r in
+            ranking_metrics(results, relevant, k=5).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].ndcg_at_k == 0.0 and rows[2].n_relevant == 0
+    assert rows[3].precision_at_k == 0.0
+    assert rows[3].recall_at_k == 0.0
+    assert rows[3].n_relevant == 1
+    assert rows[1].precision_at_k == 0.5
+    mean = mean_metrics(ranking_metrics(results, relevant, k=5)).collect()[0]
+    assert mean.n_queries == 3          # zero-retrieved query counted

@@ -130,3 +130,27 @@ def test_collection_stats(spark):
     assert s.total_documents == 2 and s.unique_ids == 2
     assert s.avg_content_length == 3.0
     assert (s.min_content_length, s.max_content_length) == (2, 4)
+
+
+def test_chunker_guards_and_empty_text(spark):
+    """Sentence/token chunkers reject overlap >= window like the char
+    chunker; empty text yields zero chunks (reference loop parity)."""
+    import pytest as _pytest
+
+    from python_vector_db___ai_spark.operators.chunking import (
+        chunk_chars_fixed,
+        chunk_sentences_fixed,
+        chunk_tokens_fixed,
+    )
+    from python_vector_db___ai_spark.operators.crud import delete_ids
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "short text here")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_sentences_fixed(df, max_sentences=3, overlap=3)
+    with _pytest.raises(ValueError):
+        chunk_tokens_fixed(df, max_tokens=4, overlap=5)
+    rows = chunk_chars_fixed(df, size=10, overlap=2).collect()
+    assert {r.doc_id for r in rows} == {2}      # no empty chunk for ""
+    # empty deletion list is a no-op, not a schema-inference crash
+    assert delete_ids(df, []).count() == 2
