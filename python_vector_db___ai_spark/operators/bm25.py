@@ -58,8 +58,20 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
                         F.avg("dl").alias("avgdl"))
 
-    terms = [t.lower() for t in query_terms]
+    from collections import Counter
+
+    # bag semantics: a term repeated in the query contributes once per
+    # occurrence (the classic sum over query terms), via a multiplicity
+    # weight on the distinct-term postings match
+    qtf = Counter(t.lower() for t in query_terms)
+    terms = sorted(qtf)
     matched = postings.filter(F.col("term").isin(terms))
+    weight = None
+    for t in terms:
+        cond = F.col("term") == t
+        weight = (F.when(cond, float(qtf[t])) if weight is None
+                  else weight.when(cond, float(qtf[t])))
+    weight = F.lit(1.0) if weight is None else weight.otherwise(F.lit(1.0))
     df_counts = (matched.groupBy("term")
                  .agg(F.countDistinct(id_col).cast("double").alias("df")))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
@@ -70,7 +82,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
               .crossJoin(F.broadcast(stats))
               .withColumn(
                   "term_score",
-                  idf * (F.col("tf") * (k1 + 1))
+                  weight * idf * (F.col("tf") * (k1 + 1))
                   / (F.col("tf")
                      + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))))
     return (scored.groupBy(id_col)

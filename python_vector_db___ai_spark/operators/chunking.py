@@ -262,30 +262,29 @@ _SEM_SCHEMA = T.ArrayType(T.StructType([
 
 def chunk_semantic(df: DataFrame, threshold: float = 0.7,
                    text_col: str = "text", id_col: str = "doc_id",
-                   dim: int = 8) -> DataFrame:
+                   dim: int | None = None) -> DataFrame:
     """F14 semantic sentence grouping
     (day_10/chunkers/sentence_chunker.py:257-362): greedy seed-and-grow
     clustering of sentences by embedding cosine >= threshold.
 
     Greedy and stateful => sequential per document (SURVEY §7 hard
     parts), so it runs inside a pandas UDF with the deterministic mock
-    embedder; parallelism is across documents.
+    embedder (the shared ``mock_embedding_py``, so the vectors are
+    exactly the engine's mock embeddings); parallelism is across
+    documents.  ``dim`` defaults to ``embedding.MOCK_DIM``.
     """
     import numpy as np
 
-    from python_vector_db___ai_spark.operators.embedding import MOCK_DIM  # noqa: F401
+    from python_vector_db___ai_spark.operators.embedding import (
+        MOCK_DIM,
+        mock_embedding_py,
+    )
+
+    if dim is None:
+        dim = MOCK_DIM
 
     def _mock_vec(s: str) -> "np.ndarray":
-        import hashlib
-
-        comps = []
-        for i in range(dim):
-            # same keying as operators.embedding.mock_embedding
-            h = hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:15]
-            comps.append((int(h, 16) % 2000) / 1000.0 - 1.0)
-        v = np.array(comps)
-        n = np.linalg.norm(v)
-        return v / n if n > 1e-12 else v
+        return mock_embedding_py(s, dim=dim)
 
     def _group(text: str) -> list[tuple[int, str, int]]:
         import re

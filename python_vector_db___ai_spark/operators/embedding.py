@@ -42,6 +42,27 @@ def mock_embedding(text: Column, dim: int = MOCK_DIM,
     return l2_normalize(comps) if normalize else comps
 
 
+def mock_embedding_py(s: str, dim: int = MOCK_DIM,
+                      normalize: bool = True) -> list:
+    """Python-scalar replica of :func:`mock_embedding` (identical md5
+    keying and normalization) for kernels that embed inside a pandas
+    UDF — ONE definition, so the Column, SQL, and Python forms cannot
+    drift apart."""
+    import hashlib
+
+    import numpy as np
+
+    comps = []
+    for i in range(dim):
+        h = hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:15]
+        comps.append((int(h, 16) % 2000) / 1000.0 - 1.0)
+    v = np.array(comps)
+    if not normalize:
+        return v
+    n = np.linalg.norm(v)
+    return v / n if n > 1e-12 else v
+
+
 def mock_embedding_sql(expr: str, dim: int = MOCK_DIM,
                        normalize: bool = True) -> str:
     """DuckDB rendering of :func:`mock_embedding` for oracles."""

@@ -57,3 +57,16 @@ def test_rrf_fusion(spark):
     assert got[3] == pytest.approx(round(1 / 62, 6))
     # doc in both systems outranks single-system docs
     assert got[2] > got[1] > got[3]
+
+
+def test_bm25_duplicate_query_terms_weighted(spark):
+    """A repeated query term contributes once per occurrence (classic
+    bag-of-terms BM25): ['fast','fast'] doubles the term's score."""
+    from python_vector_db___ai_spark.operators.bm25 import bm25_scores
+    df = spark.createDataFrame(
+        [(1, "fast cars go fast"), (2, "slow boats")],
+        ["doc_id", "text"])
+    one = {r.doc_id: r.bm25 for r in bm25_scores(df, ["fast"]).collect()}
+    two = {r.doc_id: r.bm25 for r in
+           bm25_scores(df, ["fast", "fast"]).collect()}
+    assert two[1] == pytest.approx(2 * one[1], rel=1e-9)
