@@ -13,6 +13,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_topk_ranked(scored: DataFrame, k: int, score_col: str,
+                       id_col: str, desc: bool = True) -> DataFrame:
+    """Global (corpus-wide) top-k with ranks attached, scale-safely.
+
+    An unpartitioned ``Window.orderBy`` funnels every row through one
+    task; ``orderBy().limit(k)`` instead compiles to
+    TakeOrderedAndProject — each partition keeps its local k, the
+    driver merges k·P candidates — and the rank window then runs over
+    at most k survivors, which is free.  Ordering contract is the
+    engine-wide one: score (``desc`` direction), ascending id
+    tie-break.
+    """
+    order = [F.col(score_col).desc() if desc else F.col(score_col).asc(),
+             F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def topk_window(scored: DataFrame, k: int, query_id: str, corpus_id: str,
                 score_col: str = "score", desc: bool = True) -> DataFrame:
     """(query, candidate, score) -> per-query top-k with dense ranks:

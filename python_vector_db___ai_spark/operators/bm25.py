@@ -17,8 +17,10 @@ Deterministic (md5-free, plain arithmetic) and fully oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators._ranking import global_topk_ranked
 
 
 def term_postings(docs: DataFrame, text_col: str = "text",
@@ -93,12 +95,17 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id",
               round_to: int = 6) -> DataFrame:
-    """Ranked BM25 top-k with the engine's deterministic tie-break."""
+    """Ranked BM25 top-k with the engine's deterministic tie-break.
+
+    Scale note: top-k is ``orderBy().limit(k)`` (TakeOrderedAndProject,
+    distributed partial top-k per partition) — NOT an unpartitioned
+    window over the full score table, which would sort every matching
+    document in a single task at 100 TB.  Ranks attach to the <= k
+    survivors only.
+    """
     scores = bm25_scores(docs, query_terms, k1, b, text_col, id_col)
     scores = scores.withColumn("bm25", F.round("bm25", round_to))
-    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
-    return (scores.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
+    return (global_topk_ranked(scores, k, "bm25", id_col)
             .select(id_col, "bm25", "rank"))
 
 
@@ -116,7 +123,5 @@ def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k0: int = 60,
                  F.coalesce(1.0 / (k0 + F.col("rank_a")), F.lit(0.0))
                  + F.coalesce(1.0 / (k0 + F.col("rank_b")), F.lit(0.0))))
     fused = fused.withColumn("rrf", F.round("rrf", round_to))
-    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
-    return (fused.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
+    return (global_topk_ranked(fused, k, "rrf", id_col)
             .select(id_col, "rrf", "rank"))

@@ -80,3 +80,30 @@ def test_text_profile_has_no_window(spark):
     plan = formatted_plan(df)
     assert "Window" not in plan, plan[:2000]
     assert has_broadcast_join(df)
+
+
+def test_bm25_topk_is_take_ordered(docs):
+    """BM25 global top-k must be TakeOrderedAndProject (distributed
+    partial top-k) — not an unpartitioned Window over every scored
+    document, which funnels the full postings output through one task
+    at scale.  The rank window may only run over the <= k survivors
+    (so no WindowGroupLimit rewrite of a rank<=k filter either)."""
+    from python_vector_db___ai_spark.operators.bm25 import bm25_topk
+
+    out = bm25_topk(docs, ["fast", "key"], k=10)
+    plan = formatted_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "WindowGroupLimit" not in plan, plan[:3000]
+
+
+def test_rrf_fuse_is_take_ordered(spark):
+    from python_vector_db___ai_spark.operators.bm25 import rrf_fuse
+
+    a = spark.range(100).select(F.col("id").alias("doc_id"),
+                                (F.col("id") % 17 + 1).alias("rank"))
+    b = spark.range(100).select(F.col("id").alias("doc_id"),
+                                (F.col("id") % 13 + 1).alias("rank"))
+    out = rrf_fuse(a, b, k=10)
+    plan = formatted_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "WindowGroupLimit" not in plan, plan[:3000]
