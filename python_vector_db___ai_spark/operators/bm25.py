@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from python_vector_db___ai_spark.operators._ranking import global_topk_ranked
+from python_vector_db___ai_spark.operators._ranking import (
+    global_topk_ranked,
+    topk_window,
+)
 
 
 def term_postings(docs: DataFrame, text_col: str = "text",
@@ -107,6 +110,89 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     scores = scores.withColumn("bm25", F.round("bm25", round_to))
     return (global_topk_ranked(scores, k, "bm25", id_col)
             .select(id_col, "bm25", "rank"))
+
+
+def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
+                      k1: float = 1.2, b: float = 0.75,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      query_id: str = "query_id",
+                      terms_col: str = "terms") -> DataFrame:
+    """BM25 over a *table* of queries — the batch form matching the
+    reference's per-query evaluation surface (day_13/src/main.py:126-237)
+    and this engine's batch-everything convention.
+
+    ``queries`` is ``(query_id, terms array<string>)``.  Plan shape:
+    explode the query terms to ``(query_id, term, qtf)`` (bag semantics
+    — a repeated term weights by its multiplicity, same as the
+    single-query path), equi-join the corpus postings on ``term`` with
+    the query table **broadcast**, aggregate per ``(query_id, doc)``.
+    The corpus side only ever shuffles on its own keys (doc for the
+    length join, (query, doc) for the final agg); the postings table is
+    the classic inverted-index layout, term-partitioned at 100 TB.
+    Returns ``(query_id, id_col, bm25)`` for (query, doc) pairs
+    matching >= 1 term.
+    """
+    postings = term_postings(docs, text_col, id_col)
+    lengths = doc_lengths(docs, text_col, id_col)
+    stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    qterms = (queries
+              .select(F.col(query_id),
+                      F.explode(F.col(terms_col)).alias("term"))
+              .withColumn("term", F.lower(F.col("term")))
+              .groupBy(query_id, "term")
+              .agg(F.count("*").cast("double").alias("qtf")))
+    bterms = qterms.select("term").distinct()
+    matched = postings.join(F.broadcast(bterms), "term")
+    df_counts = (matched.groupBy("term")
+                 .agg(F.countDistinct(id_col).cast("double").alias("df")))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    scored = (matched
+              .join(F.broadcast(qterms), "term")
+              .join(F.broadcast(df_counts), "term")
+              .join(lengths, id_col)
+              .crossJoin(F.broadcast(stats))
+              .withColumn(
+                  "term_score",
+                  F.col("qtf") * idf * (F.col("tf") * (k1 + 1))
+                  / (F.col("tf")
+                     + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))))
+    return (scored.groupBy(query_id, id_col)
+            .agg(F.sum("term_score").alias("bm25")))
+
+
+def bm25_topk_batch(docs: DataFrame, queries: DataFrame, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    query_id: str = "query_id", terms_col: str = "terms",
+                    round_to: int = 6) -> DataFrame:
+    """Per-query ranked BM25 top-k: the standard per-query window
+    (WindowGroupLimit trims each partition to k before the shuffle),
+    round-before-rank, ascending-id tie-break.  Returns
+    ``(query_id, id_col, bm25, rank)``."""
+    scores = bm25_scores_batch(docs, queries, k1, b, text_col, id_col,
+                               query_id, terms_col)
+    scores = scores.withColumn("bm25", F.round("bm25", round_to))
+    return topk_window(scores, k, query_id, id_col, score_col="bm25")
+
+
+def rrf_fuse_batch(rank_a: DataFrame, rank_b: DataFrame, k0: int = 60,
+                   query_id: str = "query_id", id_col: str = "doc_id",
+                   k: int = 10, round_to: int = 6) -> DataFrame:
+    """Per-query reciprocal-rank fusion of two batch rankings (columns:
+    query_id, id_col, rank).  Full outer join on (query, doc); missing-
+    in-one-system docs contribute only the other system's term.
+    Returns ``(query_id, id_col, rrf, rank)``."""
+    a = rank_a.select(query_id, id_col, F.col("rank").alias("rank_a"))
+    b = rank_b.select(query_id, id_col, F.col("rank").alias("rank_b"))
+    fused = (a.join(b, [query_id, id_col], "outer")
+             .withColumn(
+                 "rrf",
+                 F.coalesce(1.0 / (k0 + F.col("rank_a")), F.lit(0.0))
+                 + F.coalesce(1.0 / (k0 + F.col("rank_b")), F.lit(0.0))))
+    fused = fused.withColumn("rrf", F.round("rrf", round_to))
+    return topk_window(fused, k, query_id, id_col, score_col="rrf")
 
 
 def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k0: int = 60,

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_vector_db___ai_spark.operators.bm25 import bm25_topk, rrf_fuse
+from python_vector_db___ai_spark.operators.bm25 import (
+    bm25_topk,
+    bm25_topk_batch,
+    rrf_fuse,
+    rrf_fuse_batch,
+)
 from python_vector_db___ai_spark.operators.search import knn_join_blas
 from python_vector_db___ai_spark.plans.q_vector import _cos_sql
 from python_vector_db___ai_spark.plans.queries import register
@@ -17,7 +22,17 @@ _K = 10
 _K1, _B = 1.2, 0.75
 _RRF_K0 = 60
 
+# batch evaluation surface: a query TABLE, matching day_13's per-query
+# shape; query 1 repeats "stream" to exercise bag-of-terms weighting
+_BATCH = [(0, ["fast", "key", "order", "vector"]),
+          (1, ["data", "stream", "stream", "join"]),
+          (2, ["hash", "scan", "merge"])]
+_BATCH_VEC_IDS = [0, 1, 2]
+
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
+_BATCH_VALUES_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BATCH for t in terms)
+_BATCH_VEC_SQL = ", ".join(str(v) for v in _BATCH_VEC_IDS)
 
 _BM25_CTE = f"""
 WITH words AS (
@@ -80,19 +95,86 @@ WITH words AS (
   SELECT 'rrf' AS system, doc_id, rrf AS score,
          row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
   FROM fused QUALIFY rank <= {_K}
+), qterms AS (
+  SELECT query_id, term, count(*)::DOUBLE AS qtf
+  FROM (VALUES {_BATCH_VALUES_SQL}) AS t(query_id, term)
+  GROUP BY query_id, term
+), bterms AS (
+  SELECT DISTINCT term FROM qterms
+), bmatched AS (
+  SELECT p.* FROM postings p JOIN bterms USING (term)
+), bdfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM bmatched GROUP BY term
+), bscored AS (
+  SELECT q.query_id, m.doc_id,
+         q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * ({_K1} + 1))
+           / (m.tf + {_K1} * (1 - {_B} + {_B} * l.dl / s.avgdl)) AS term_score
+  FROM bmatched m
+  JOIN qterms q USING (term)
+  JOIN bdfreq d USING (term)
+  JOIN lengths l USING (doc_id)
+  CROSS JOIN stats s
+), bbm AS (
+  SELECT query_id, doc_id, round(sum(term_score), 6) AS bm25
+  FROM bscored GROUP BY query_id, doc_id
+), bbm_top AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM bbm QUALIFY rank <= {_K}
+), bq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({_BATCH_VEC_SQL})
+), bvec_ranked AS (
+  SELECT bq.query_id, e.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY bq.query_id
+           ORDER BY round({_cos_sql('bq.qv', 'e.embedding::DOUBLE[]')}, 6)
+                      DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN bq
+), bvec_top AS (
+  SELECT query_id, doc_id, rank FROM bvec_ranked WHERE rank <= {_K}
+), bfused AS (
+  SELECT coalesce(v.query_id, b.query_id) AS query_id,
+         coalesce(v.doc_id, b.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K0} + v.rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K0} + b.rank), 0.0), 6) AS rrf
+  FROM bvec_top v FULL OUTER JOIN bbm_top b
+    ON v.query_id = b.query_id AND v.doc_id = b.doc_id
+), brrf_top AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM bfused QUALIFY rank <= {_K}
 )
-SELECT 'bm25' AS system, doc_id, bm25 AS score, rank FROM bm_top
+SELECT 'bm25' AS system, 0::BIGINT AS query_id, doc_id, bm25 AS score, rank
+FROM bm_top
 UNION ALL
-SELECT system, doc_id, score, rank FROM rrf_top
+SELECT system, 0::BIGINT AS query_id, doc_id, score, rank FROM rrf_top
+UNION ALL
+SELECT 'bm25_batch' AS system, query_id::BIGINT AS query_id, doc_id,
+       bm25 AS score, rank
+FROM bbm_top
+UNION ALL
+SELECT 'rrf_batch' AS system, query_id::BIGINT AS query_id, doc_id,
+       rrf AS score, rank
+FROM brrf_top
 """,
     doc="BM25 keyword retrieval (postings explode + two hash aggs; "
         "inverted-index layout at scale) UNION its reciprocal-rank "
-        "fusion with vector kNN — the lexical + hybrid halves the "
-        "reference lacks, one check",
+        "fusion with vector kNN, in BOTH the single-query form "
+        "(TakeOrderedAndProject global top-k) and the batch query-table "
+        "form (day_13/src/main.py:126-237 evaluation shape: terms "
+        "exploded, postings equi-join, per-query window) — one check",
 )
 def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- single-query branches (global top-k path) ---
     bm = bm25_topk(docs, _TERMS, k=_K, k1=_K1, b=_B)
     queries = (emb.filter(F.col("vec_id") == 0)
                .select(F.col("vec_id").alias("query_id"),
@@ -101,11 +183,33 @@ def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
                          corpus_id="vec_id")
            .select(F.col("vec_id").alias("doc_id"), "rank"))
     fused = rrf_fuse(vec, bm, k0=_RRF_K0, k=_K)
-    bm_part = bm.select(F.lit("bm25").alias("system"), "doc_id",
-                        F.col("bm25").alias("score"), "rank")
-    rrf_part = fused.select(F.lit("rrf").alias("system"), "doc_id",
-                            F.col("rrf").alias("score"), "rank")
-    return bm_part.unionByName(rrf_part)
+    bm_part = bm.select(
+        F.lit("bm25").alias("system"), F.lit(0).cast("long").alias("query_id"),
+        "doc_id", F.col("bm25").alias("score"), "rank")
+    rrf_part = fused.select(
+        F.lit("rrf").alias("system"), F.lit(0).cast("long").alias("query_id"),
+        "doc_id", F.col("rrf").alias("score"), "rank")
+
+    # --- batch branches (query-table join form) ---
+    qtable = spark.createDataFrame(
+        _BATCH, "query_id long, terms array<string>")
+    bmb = bm25_topk_batch(docs, qtable, k=_K, k1=_K1, b=_B)
+    vecq = (emb.filter(F.col("vec_id").isin(_BATCH_VEC_IDS))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+    vecb = (knn_join_blas(vecq, emb, k=_K, metric="cosine",
+                          corpus_id="vec_id")
+            .select("query_id", F.col("vec_id").alias("doc_id"), "rank"))
+    rrfb = rrf_fuse_batch(vecb, bmb, k0=_RRF_K0, k=_K)
+    bmb_part = bmb.select(
+        F.lit("bm25_batch").alias("system"), "query_id", "doc_id",
+        F.col("bm25").alias("score"), "rank")
+    rrfb_part = rrfb.select(
+        F.lit("rrf_batch").alias("system"), "query_id", "doc_id",
+        F.col("rrf").alias("score"), "rank")
+
+    return (bm_part.unionByName(rrf_part)
+            .unionByName(bmb_part).unionByName(rrfb_part))
 
 
 @register(

@@ -70,3 +70,56 @@ def test_bm25_duplicate_query_terms_weighted(spark):
     two = {r.doc_id: r.bm25 for r in
            bm25_scores(df, ["fast", "fast"]).collect()}
     assert two[1] == pytest.approx(2 * one[1], rel=1e-9)
+
+
+def test_bm25_batch_matches_single(docs):
+    """A 1-row query table must reproduce the single-query scores
+    exactly (same weighting, same idf, same length normalization)."""
+    from python_vector_db___ai_spark.operators.bm25 import bm25_scores_batch
+
+    spark = docs.sparkSession
+    terms = ["spark", "engine"]
+    single = {r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()}
+    qtable = spark.createDataFrame([(7, terms)],
+                                   "query_id long, terms array<string>")
+    batch = {r.doc_id: r.bm25
+             for r in bm25_scores_batch(docs, qtable).collect()}
+    assert batch == pytest.approx(single, abs=1e-12)
+
+
+def test_bm25_batch_per_query_isolation(docs):
+    """Each query scores independently: a term in query A must not leak
+    into query B's scores, and repeated terms weight by multiplicity."""
+    from python_vector_db___ai_spark.operators.bm25 import bm25_scores_batch
+
+    spark = docs.sparkSession
+    qtable = spark.createDataFrame(
+        [(0, ["spark"]), (1, ["spark", "spark"]), (2, ["room"])],
+        "query_id long, terms array<string>")
+    rows = bm25_scores_batch(docs, qtable).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.bm25
+    # q0 and q1 match docs 1,2 only; q2 matches doc 4 only
+    assert set(by_q[0]) == {1, 2} and set(by_q[2]) == {4}
+    # doubled term = doubled score (bag-of-terms weighting)
+    for d in (1, 2):
+        assert by_q[1][d] == pytest.approx(2 * by_q[0][d], abs=1e-12)
+
+
+def test_rrf_fuse_batch_per_query(spark):
+    from python_vector_db___ai_spark.operators.bm25 import rrf_fuse_batch
+
+    a = spark.createDataFrame([(0, 10, 1), (0, 11, 2), (1, 20, 1)],
+                              ["query_id", "doc_id", "rank"])
+    b = spark.createDataFrame([(0, 10, 1), (1, 21, 1)],
+                              ["query_id", "doc_id", "rank"])
+    out = rrf_fuse_batch(a, b, k0=60, k=10)
+    got = {(r.query_id, r.doc_id): r.rrf for r in out.collect()}
+    assert got[(0, 10)] == pytest.approx(round(2 / 61, 6))
+    assert got[(0, 11)] == pytest.approx(round(1 / 62, 6))
+    assert got[(1, 20)] == pytest.approx(round(1 / 61, 6))
+    assert got[(1, 21)] == pytest.approx(round(1 / 61, 6))
+    # ranks are per-query: both q1 docs tie on score, id breaks the tie
+    ranks = {(r.query_id, r.doc_id): r.rank for r in out.collect()}
+    assert ranks[(1, 20)] == 1 and ranks[(1, 21)] == 2
