@@ -325,7 +325,7 @@ def pairwise_metrics_blas(vectors: DataFrame, id_col: str = "id",
             yield pd.DataFrame({
                 "i": a_ids[r], "j": ids_[c],
                 "cos_score": np.round(S[r, c], round_to),
-                "dist": D[r, c]})
+                "dist": np.round(D[r, c], round_to)})
 
     return vectors.select(id_col, vec_col).mapInPandas(
         op, schema="i long, j long, cos_score double, dist double")

@@ -134,7 +134,9 @@ SELECT lid.doc_id, lid.lang, lid.pred_lang, lid.stopword_hits, lid.is_match,
        q.n_chars, q.n_words, q.avg_word_len, q.punct_ratio, q.digit_ratio,
        q.stopword_ratio, q.unique_word_ratio, q.quality,
        q.ws_tokens, q.regex_tokens, q.approx_bpe_tokens,
-       ls.lang_n_docs, ls.lang_n_sources, ls.lang_n_unique_contents,
+       coalesce(ls.lang_n_docs, 0) AS lang_n_docs,
+       coalesce(ls.lang_n_sources, 0) AS lang_n_sources,
+       coalesce(ls.lang_n_unique_contents, 0) AS lang_n_unique_contents,
        pc.pii_email, pc.pii_phone, pc.pii_ipv4, pc.pii_ssn,
        pc.pii_redacted_md5
 FROM lid
@@ -143,7 +145,7 @@ JOIN (
   SELECT doc_id, {_pii_sql_cols()}
   FROM (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
 ) pc ON pc.doc_id = lid.doc_id
-JOIN (
+LEFT JOIN (
   SELECT lang, count(*)::BIGINT AS lang_n_docs,
          count(DISTINCT source)::BIGINT AS lang_n_sources,
          count(DISTINCT md5(text))::BIGINT AS lang_n_unique_contents
@@ -202,13 +204,19 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii["ipv4"].alias("pii_ipv4"),
         pii["ssn"].alias("pii_ssn"),
         F.md5(redact_pii(aug)).alias("pii_redacted_md5"))
-    return (profile.join(F.broadcast(lang_stats), "lang")
+    # LEFT join + coalesce-to-0 so a NULL-lang doc still gets a profile
+    # row (an inner join would silently drop it from the audit).
+    return (profile.join(F.broadcast(lang_stats), "lang", "left")
             .select("doc_id", "lang", "pred_lang", "stopword_hits",
                     "is_match", "n_chars", "n_words", "avg_word_len",
                     "punct_ratio", "digit_ratio", "stopword_ratio",
                     "unique_word_ratio", "quality", "ws_tokens",
-                    "regex_tokens", "approx_bpe_tokens", "lang_n_docs",
-                    "lang_n_sources", "lang_n_unique_contents",
+                    "regex_tokens", "approx_bpe_tokens",
+                    F.coalesce("lang_n_docs", F.lit(0)).alias("lang_n_docs"),
+                    F.coalesce("lang_n_sources", F.lit(0))
+                    .alias("lang_n_sources"),
+                    F.coalesce("lang_n_unique_contents", F.lit(0))
+                    .alias("lang_n_unique_contents"),
                     "pii_email", "pii_phone", "pii_ipv4", "pii_ssn",
                     "pii_redacted_md5"))
 

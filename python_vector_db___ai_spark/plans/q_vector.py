@@ -169,7 +169,8 @@ WITH v AS (
     FROM v a JOIN v b ON a.vec_id < b.vec_id
   ) ORDER BY score DESC, i ASC, j ASC LIMIT {_PAIRS_K}
 ), ed AS (
-  SELECT a.vec_id AS i, b.vec_id AS j, list_distance(a.ev, b.ev) AS dist
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         round(list_distance(a.ev, b.ev), 6) AS dist
   FROM ve a JOIN ve b ON a.vec_id < b.vec_id
 ), em AS (SELECT max(dist) AS max_d FROM ed),
 eu_pairs AS (
