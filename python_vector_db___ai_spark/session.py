@@ -50,25 +50,47 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df):
+    """Normalize ``events.ts`` to a session-TZ (UTC) microsecond TIMESTAMP
+    no matter how the generator wrote the parquet.
+
+    The driver's testdata has shipped ``ts`` as both TIMESTAMP(NANOS)
+    (reads as long nanos under ``nanosAsLong``) and plain ``timestamp[us]``
+    (reads as TIMESTAMP_NTZ).  Branch on the dtype actually read so either
+    flavor — and a future plain TIMESTAMP — yields the identical column the
+    DuckDB oracle (naive UTC) sees.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # Integer division: epoch nanos (~1.7e18) exceed double's 53-bit
+        # mantissa, so a float `/ 1000` can land one microsecond off.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # Session TZ is pinned to UTC, so this cast reinterprets the naive
+        # wall-clock as the same UTC instant DuckDB assumes.
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (see TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects — read it as long nanos and convert to a microsecond
-    timestamp column.
+    ``events.ts`` arrives in whatever flavor the generator used that round
+    (int64 nanos or timestamp[us]); ``normalize_events_ts`` maps both onto
+    one canonical microsecond TIMESTAMP column.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Timestamp semantics must match the DuckDB oracle (naive UTC)
     # regardless of which session the driver hands us.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        from pyspark.sql import functions as F
-
+        # Harmless for micro/NTZ files; makes TIMESTAMP(NANOS) readable
+        # (vectorized reader rejects nanos otherwise).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # Integer division: epoch nanos (~1.7e18) exceed double's 53-bit
-        # mantissa, so a float `/ 1000` can land one microsecond off.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

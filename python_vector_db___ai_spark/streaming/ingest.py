@@ -26,9 +26,12 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned from the
-    batch read — streaming sources cannot infer).  The TIMESTAMP(NANOS)
-    column arrives as long nanos (see session.load_table) and is
-    converted to a microsecond timestamp here."""
+    batch read — streaming sources cannot infer).  ``ts`` arrives in
+    whatever flavor the generator wrote (long nanos or TIMESTAMP_NTZ);
+    ``normalize_events_ts`` maps both onto the canonical microsecond
+    TIMESTAMP the batch path produces."""
+    from python_vector_db___ai_spark.session import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = (spark.readStream
@@ -36,9 +39,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
               .format("parquet")
               .option("pathGlobFilter", "events.parquet")
               .load(sf_dir))
-    # Integer division (`div`), not float `/`: epoch nanos exceed
-    # double's 53-bit mantissa and can round to the wrong microsecond.
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(stream)
 
 
 def hourly_event_counts(events: DataFrame,

@@ -82,3 +82,36 @@ def test_memory_estimation():
     assert estimate_index_memory_bytes(50000, 384, "flat") == 50000 * 384 * 4
     assert (estimate_index_memory_bytes(50000, 384, "hnsw")
             == 50000 * 384 * 4 + 50000 * 32 * 4)
+
+
+def test_events_ts_survives_both_parquet_flavors(spark, tmp_path):
+    """Regression: the driver's testdata has flipped events.ts between
+    TIMESTAMP(NANOS) and timestamp[us] across rounds.  load_table must
+    return the identical microsecond TIMESTAMP column for both."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from python_vector_db___ai_spark.session import load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789, 1_699_999_999_000_001]
+    ids = list(range(len(micros)))
+
+    def write(flavor: str, arr: pa.Array) -> str:
+        d = tmp_path / flavor
+        d.mkdir()
+        tbl = pa.table({"event_id": pa.array(ids, pa.int64()), "ts": arr})
+        papq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+        return str(d)
+
+    d_us = write("us", pa.array(micros, pa.timestamp("us")))
+    d_ns = write("ns", pa.array([m * 1000 for m in micros], pa.timestamp("ns")))
+
+    got = {}
+    for flavor, d in (("us", d_us), ("ns", d_ns)):
+        df = load_table(spark, d, "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp", flavor
+        got[flavor] = {
+            r.event_id: r.us
+            for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()
+        }
+    assert got["us"] == got["ns"] == dict(zip(ids, micros))
