@@ -303,7 +303,8 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 5,
 
 
 def dedup_components(pairs: DataFrame, ids: DataFrame, rounds: int = 5,
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     convergence_check: bool = True) -> DataFrame:
     """Connected components of the near-dup pair graph — the step that
     turns pairwise dedup output into actionable *groups* (keep one doc
     per component, drop the rest), which is how MinHash dedup is
@@ -321,8 +322,15 @@ def dedup_components(pairs: DataFrame, ids: DataFrame, rounds: int = 5,
     alternating large-star/small-star scheme drops in here if chain
     diameters ever grow beyond ``rounds``.
 
-    Returns ``(id_col, component_id, component_size, is_canonical)``
-    for every id in ``ids`` (singletons form their own component).
+    With ``convergence_check`` (default), one extra propagation round
+    runs after the loop and a global ``converged`` column reports
+    whether any label would still change — a graph with diameter >
+    ``rounds`` no longer under-merges *silently*; the caller sees the
+    flag and can raise ``rounds``.
+
+    Returns ``(id_col, component_id, component_size, is_canonical[,
+    converged])`` for every id in ``ids`` (singletons form their own
+    component).
     """
     edges = (pairs.select(F.col("i").alias("_a"), F.col("j").alias("_b"))
              .unionByName(
@@ -330,23 +338,38 @@ def dedup_components(pairs: DataFrame, ids: DataFrame, rounds: int = 5,
              .distinct())
     labels = ids.select(F.col(id_col).alias("_a"),
                         F.col(id_col).cast("long").alias("_label"))
-    for _ in range(rounds):
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
         nbr = (edges
-               .join(labels.select(F.col("_a").alias("_b"),
-                                   F.col("_label").alias("_nl")), "_b")
+               .join(lbl.select(F.col("_a").alias("_b"),
+                                F.col("_label").alias("_nl")), "_b")
                .groupBy("_a").agg(F.min("_nl").alias("_mn")))
-        labels = (labels.join(nbr, "_a", "left")
-                  .select("_a",
-                          F.least(F.col("_label"),
-                                  F.coalesce(F.col("_mn"), F.col("_label")))
-                          .alias("_label")))
+        return (lbl.join(nbr, "_a", "left")
+                .select("_a",
+                        F.least(F.col("_label"),
+                                F.coalesce(F.col("_mn"), F.col("_label")))
+                        .alias("_label")))
+
+    for _ in range(rounds):
+        labels = _propagate(labels)
     sizes = labels.groupBy("_label").agg(
         F.count("*").cast("long").alias("component_size"))
-    return (labels.join(sizes, "_label")
-            .select(F.col("_a").alias(id_col),
-                    F.col("_label").alias("component_id"),
-                    "component_size",
-                    (F.col("_a") == F.col("_label")).alias("is_canonical")))
+    out = (labels.join(sizes, "_label")
+           .select(F.col("_a").alias(id_col),
+                   F.col("_label").alias("component_id"),
+                   "component_size",
+                   (F.col("_a") == F.col("_label")).alias("is_canonical")))
+    if not convergence_check:
+        return out
+    # One extra round: if any label would still move, the graph has
+    # diameter > rounds and the grouping is incomplete.  The flag is a
+    # 1-row aggregate broadcast onto every output row — an O(1) join.
+    nxt = (_propagate(labels)
+           .select(F.col("_a"), F.col("_label").alias("_next")))
+    conv = (labels.join(nxt, "_a")
+            .agg(F.min((F.col("_next") == F.col("_label")).cast("boolean"))
+                 .alias("converged")))
+    return out.crossJoin(F.broadcast(conv))
 
 
 def semantic_decontaminate(train: DataFrame, benchmark: DataFrame,

@@ -227,10 +227,17 @@ def _components_oracle() -> str:
     """Unroll the bounded-round min-label propagation: round ``r``
     joins round ``r-1``'s labels over the symmetric edge list and
     takes the min — the exact replay of operators.dedup.
-    dedup_components's Spark loop (fixed rounds, no convergence
-    detection, so both engines stop at the same state)."""
+    dedup_components's Spark loop (fixed rounds, so both engines stop
+    at the same state), plus one extra round whose only job is the
+    global ``converged`` flag (did any label still move?).
+
+    The edge list is the union of the Jaccard-verified MinHash pairs
+    and the exact-dup star edges (each non-canonical doc linked to its
+    content-hash group's min id), so the components — and the keep
+    list derived from them — cover byte-identical and near-dup copies
+    in one pass."""
     steps = []
-    for r in range(1, _CC_ROUNDS + 1):
+    for r in range(1, _CC_ROUNDS + 2):      # +1 convergence-probe round
         steps.append(f"""l{r} AS (
   SELECT l._a, least(l._label, coalesce(min(nb._label), l._label)) AS _label
   FROM l{r - 1} l
@@ -240,45 +247,89 @@ def _components_oracle() -> str:
 )""")
     chain = ",\n".join(steps)
     last = f"l{_CC_ROUNDS}"
+    probe = f"l{_CC_ROUNDS + 1}"
     return f"""
-WITH pairs AS ({_minhash_oracle()}),
+WITH mh_pairs AS ({_minhash_oracle()}),
 ids AS (SELECT doc_id FROM documents WHERE doc_id < {_MH_DOCS}),
+h AS (
+  SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id < {_MH_DOCS}
+),
+g AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY ch),
+ex_edges AS (
+  SELECT g.keep_id AS i, h.doc_id AS j
+  FROM h JOIN g USING (ch) WHERE h.doc_id <> g.keep_id
+),
+all_pairs AS (
+  SELECT i, j FROM mh_pairs UNION SELECT i, j FROM ex_edges
+),
 edges AS (
-  SELECT i AS _a, j AS _b FROM pairs
+  SELECT i AS _a, j AS _b FROM all_pairs
   UNION
-  SELECT j AS _a, i AS _b FROM pairs
+  SELECT j AS _a, i AS _b FROM all_pairs
 ),
 l0 AS (SELECT doc_id AS _a, doc_id AS _label FROM ids),
 {chain},
 sizes AS (
   SELECT _label, count(*)::BIGINT AS component_size
   FROM {last} GROUP BY _label
+),
+conv AS (
+  SELECT coalesce(bool_and(a._label = b._label), true) AS converged
+  FROM {last} a JOIN {probe} b ON a._a = b._a
+),
+doc_sz AS (
+  SELECT doc_id, strlen(text)::BIGINT AS doc_bytes
+  FROM documents WHERE doc_id < {_MH_DOCS}
 )
 SELECT l._a AS doc_id, l._label AS component_id, s.component_size,
-       l._a = l._label AS is_canonical
-FROM {last} l JOIN sizes s USING (_label)
+       l._a = l._label AS is_canonical, c.converged, d.doc_bytes,
+       (CASE WHEN l._a = l._label THEN 0 ELSE d.doc_bytes END)::BIGINT
+         AS reclaimed_bytes
+FROM {last} l
+JOIN sizes s USING (_label)
+CROSS JOIN conv c
+JOIN doc_sz d ON d.doc_id = l._a
 """
 
 
 @register(
     "dedup_components",
     oracle=_components_oracle(),
-    doc="near-dup GROUPS from pairwise output: connected components of "
-        "the Jaccard-verified MinHash pair graph via bounded-round "
+    doc="the end-to-end dedup keep list a pretraining pipeline consumes: "
+        "exact-dup star edges (content hash) UNION Jaccard-verified "
+        "MinHash near-dup pairs -> connected components via bounded-round "
         f"min-label propagation ({_CC_ROUNDS} rounds, one equi-join + "
-        "min-agg per round — the keep-one-doc-per-component step of a "
-        "pretraining dedup pipeline; oracle unrolls the identical "
-        "iteration)",
+        "min-agg per round) -> per-doc keep/drop (is_canonical), a global "
+        "convergence flag (one probe round: did any label still move?), "
+        "and reclaimed_bytes accounting for every dropped doc; oracle "
+        "unrolls the identical iteration",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.functions.hashing import md5_hex
     from python_vector_db___ai_spark.operators.dedup import dedup_components
 
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < _MH_DOCS))
-    pairs = minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
-                              shingle_n=1, verify_threshold=_MH_VERIFY)
-    return dedup_components(pairs, docs.select("doc_id"),
-                            rounds=_CC_ROUNDS)
+    mh = (minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+                            shingle_n=1, verify_threshold=_MH_VERIFY)
+          .select("i", "j"))
+    # Exact dups as star edges (keep_id -> member): O(n) rows, and the
+    # star keeps component diameter at 2 regardless of group size.
+    hashed = docs.select("doc_id", md5_hex(F.col("text")).alias("_ch"))
+    groups = hashed.groupBy("_ch").agg(F.min("doc_id").alias("_keep"))
+    ex_edges = (hashed.join(groups, "_ch")
+                .filter(F.col("doc_id") != F.col("_keep"))
+                .select(F.col("_keep").alias("i"), F.col("doc_id").alias("j")))
+    comp = dedup_components(mh.unionByName(ex_edges).distinct(),
+                            docs.select("doc_id"), rounds=_CC_ROUNDS)
+    doc_sz = docs.select("doc_id",
+                         F.octet_length("text").cast("long").alias("doc_bytes"))
+    return (comp.join(doc_sz, "doc_id")
+            .select("doc_id", "component_id", "component_size",
+                    "is_canonical", "converged", "doc_bytes",
+                    F.when(F.col("is_canonical"), F.lit(0))
+                    .otherwise(F.col("doc_bytes")).cast("long")
+                    .alias("reclaimed_bytes")))
 
 
 _DECON_N = 3          # word-soup corpus: trigram shingles give signal

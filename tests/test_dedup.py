@@ -210,3 +210,25 @@ def test_semantic_decontaminate(spark):
             j = int(np.argmax(S[i]))
             assert r.nearest_benchmark_id == int(b_ids[j])
             assert r.max_cosine == pytest.approx(S[i, j], abs=1e-9)
+
+def test_dedup_components_convergence_flag(spark):
+    """A path graph with diameter > rounds must trip the converged
+    flag; enough rounds must clear it.  (Round-budget under-merge is
+    no longer silent.)"""
+    from python_vector_db___ai_spark.operators.dedup import dedup_components
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "i long, j long")   # path 0-..-7
+
+    short = dedup_components(pairs, ids, rounds=2).collect()
+    assert all(r.converged is False for r in short)
+
+    enough = dedup_components(pairs, ids, rounds=7).collect()
+    assert all(r.converged is True for r in enough)
+    assert all(r.component_id == 0 for r in enough)
+
+    # opt-out keeps the legacy 4-column shape
+    cols = dedup_components(pairs, ids, rounds=2,
+                            convergence_check=False).columns
+    assert "converged" not in cols
