@@ -135,11 +135,17 @@ def lang_scores(c: Column) -> dict[str, Column]:
     }
 
 
-def detect_language(c: Column) -> Column:
+def detect_language(c: Column,
+                    scores: dict[str, Column] | None = None) -> Column:
     """Argmax language with >= MIN_STOPWORD_HITS distinct stopword hits,
     else 'unknown'.  Ties resolve to the alphabetically first language —
-    the same CASE cascade the DuckDB oracle uses."""
-    scores = lang_scores(c)
+    the same CASE cascade the DuckDB oracle uses.
+
+    Pass precomputed ``scores`` (from :func:`lang_scores`) when the
+    caller also projects them — shares the split/intersect subtrees
+    instead of instantiating them twice in the same projection."""
+    if scores is None:
+        scores = lang_scores(c)
     best = F.greatest(*scores.values())
     out = F.lit("unknown")
     # Build the cascade back-to-front so alphabetically-first wins ties.
@@ -186,10 +192,15 @@ def quality_metrics(c: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(c: Column) -> Column:
+def quality_score(c: Column,
+                  metrics: dict[str, Column] | None = None) -> Column:
     """Composite [0,1] quality score: rewards mid-range length, lexical
-    diversity and stopword presence; penalizes punctuation/digit soup."""
-    m = quality_metrics(c)
+    diversity and stopword presence; penalizes punctuation/digit soup.
+
+    Pass precomputed ``metrics`` (from :func:`quality_metrics`) when the
+    caller also projects them — the ratio subtrees (splits, regex
+    strips, higher-order aggregates) are built once instead of twice."""
+    m = metrics if metrics is not None else quality_metrics(c)
     length_score = F.least(m["n_words"].cast("double") / 100.0, F.lit(1.0))
     diversity = m["unique_word_ratio"]
     stopness = F.least(m["stopword_ratio"] * 4, F.lit(1.0))

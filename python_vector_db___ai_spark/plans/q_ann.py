@@ -139,35 +139,29 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lsh_ann_recall",
     oracle=None,   # seeded hyperplanes, engine-internal float packing
-    doc="X3/X4 substitute (the HNSW slot, SURVEY §7): both approximate "
-        "tiers side by side — 256-bit SRP sketch + Hamming top-L filter "
-        "+ exact re-rank (the high-recall path: ~0.96 recall at a 10% "
-        "exact-scan fraction on sf0.1), and query-directed multi-probe "
-        "bucket LSH (Lv et al. VLDB'07) — recall@10 vs the exact scan",
+    doc="X3/X4 substitute (the HNSW slot, SURVEY §7): 256-bit SRP sketch "
+        "+ Hamming top-L filter + exact re-rank — recall@10 vs the exact "
+        "scan (~0.96 at a 10% exact-scan fraction on sf0.1, above the "
+        "reference's weakest HNSW recall).  The query-directed "
+        "multi-probe bucket-LSH tier (Lv et al. VLDB'07) is demoted to "
+        "the bench ANN section: on this corpus it needs a ~29% candidate "
+        "fraction for 0.73 recall, strictly dominated by the sketch "
+        "tier, so it is measured there but not a registered quality "
+        "claim.",
 )
 def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_vector_db___ai_spark.operators.lsh import (
-        sketch_knn,
-        srp_lsh_knn,
-    )
+    from python_vector_db___ai_spark.operators.lsh import sketch_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
-    # Both recall branches consume the exact frame — cache so the
-    # exact scan runs once (n_queries x k rows, tiny).
     exact = knn_join_blas(queries, emb, k=K, metric="cosine",
-                          corpus_id="vec_id").cache()
+                          corpus_id="vec_id")
     sk = sketch_knn(queries, emb, k=K, n_bits=256, L=max(20, n // 10))
-    mp = srp_lsh_knn(queries, emb, k=K, n_tables=12, n_bits=8,
-                     n_probes=80, probe_bits=4)
-    out_sk = (recall_against_exact(sk, exact, corpus_id="vec_id")
-              .withColumn("method", F.lit("sketch_hamming")))
-    out_mp = (recall_against_exact(mp, exact, corpus_id="vec_id")
-              .withColumn("method", F.lit("multiprobe_srp")))
-    return (out_sk.unionByName(out_mp)
+    return (recall_against_exact(sk, exact, corpus_id="vec_id")
+            .withColumn("method", F.lit("sketch_hamming"))
             .select("method", "query_id", "n_exact", "n_hits", "recall"))
 
 

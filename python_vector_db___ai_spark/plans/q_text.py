@@ -150,7 +150,7 @@ LEFT JOIN (
          count(DISTINCT source)::BIGINT AS lang_n_sources,
          count(DISTINCT md5(text))::BIGINT AS lang_n_unique_contents
   FROM documents GROUP BY lang
-) ls ON ls.lang = lid.lang
+) ls ON ls.lang IS NOT DISTINCT FROM lid.lang
 """
 
 
@@ -168,9 +168,14 @@ LEFT JOIN (
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vector_db___ai_spark.functions.hashing import md5_hex
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ONE narrow pruned scan feeds both the per-doc profile projection
+    # and the per-lang stats aggregation (cached so the agg branch does
+    # not re-read the table; at cluster scale this projection is small
+    # enough to recompute or checkpoint instead).
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "text").cache())
     scores = lang_scores(F.col("text"))
-    pred = detect_language(F.col("text"))
+    pred = detect_language(F.col("text"), scores=scores)
     m = quality_metrics(F.col("text"))
     tc = token_counts(F.col("text"))
     aug = _pii_aug_col()
@@ -195,7 +200,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m["digit_ratio"], 6).alias("digit_ratio"),
         F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(m["unique_word_ratio"], 6).alias("unique_word_ratio"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        F.round(quality_score(F.col("text"), metrics=m), 6).alias("quality"),
         tc["ws_tokens"].alias("ws_tokens"),
         tc["regex_tokens"].alias("regex_tokens"),
         tc["approx_bpe_tokens"].alias("approx_bpe_tokens"),
@@ -204,9 +209,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii["ipv4"].alias("pii_ipv4"),
         pii["ssn"].alias("pii_ssn"),
         F.md5(redact_pii(aug)).alias("pii_redacted_md5"))
-    # LEFT join + coalesce-to-0 so a NULL-lang doc still gets a profile
-    # row (an inner join would silently drop it from the audit).
-    return (profile.join(F.broadcast(lang_stats), "lang", "left")
+    # Null-safe LEFT join so a NULL-lang doc keeps its profile row AND
+    # picks up the real NULL-lang group stats (a plain equi-join would
+    # null-reject and report 0 for unlabeled docs).
+    ls = lang_stats.withColumnRenamed("lang", "_ls_lang")
+    return (profile.join(F.broadcast(ls),
+                         profile["lang"].eqNullSafe(ls["_ls_lang"]), "left")
             .select("doc_id", "lang", "pred_lang", "stopword_hits",
                     "is_match", "n_chars", "n_words", "avg_word_len",
                     "punct_ratio", "digit_ratio", "stopword_ratio",
