@@ -47,7 +47,9 @@ def doc_lengths(docs: DataFrame, text_col: str = "text",
 
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 k1: float = 1.2, b: float = 0.75,
-                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                text_col: str = "text", id_col: str = "doc_id",
+                prebuilt: tuple[DataFrame, DataFrame] | None = None,
+                ) -> DataFrame:
     """BM25 score of every document against a bag of query terms.
     IDF uses the standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form
     (always positive).  Returns ``(id_col, bm25)`` for docs matching
@@ -57,9 +59,17 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     1-row aggregate cross-joined broadcast — exactly how the DuckDB
     oracle phrases it — so an empty corpus yields an empty result
     instead of a driver error, and the whole score is a single job.
+
+    ``prebuilt`` hands in a shared ``(postings, lengths)`` pair (from
+    :func:`term_postings` / :func:`doc_lengths`, typically cached or a
+    maintained inverted-index table at scale) so multiple searches
+    tokenize the corpus once.
     """
-    postings = term_postings(docs, text_col, id_col)
-    lengths = doc_lengths(docs, text_col, id_col)
+    if prebuilt is not None:
+        postings, lengths = prebuilt
+    else:
+        postings = term_postings(docs, text_col, id_col)
+        lengths = doc_lengths(docs, text_col, id_col)
     stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
                         F.avg("dl").alias("avgdl"))
 
@@ -97,7 +107,9 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id",
-              round_to: int = 6) -> DataFrame:
+              round_to: int = 6,
+              prebuilt: tuple[DataFrame, DataFrame] | None = None,
+              ) -> DataFrame:
     """Ranked BM25 top-k with the engine's deterministic tie-break.
 
     Scale note: top-k is ``orderBy().limit(k)`` (TakeOrderedAndProject,
@@ -106,7 +118,8 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     document in a single task at 100 TB.  Ranks attach to the <= k
     survivors only.
     """
-    scores = bm25_scores(docs, query_terms, k1, b, text_col, id_col)
+    scores = bm25_scores(docs, query_terms, k1, b, text_col, id_col,
+                         prebuilt=prebuilt)
     scores = scores.withColumn("bm25", F.round("bm25", round_to))
     return (global_topk_ranked(scores, k, "bm25", id_col)
             .select(id_col, "bm25", "rank"))
@@ -116,7 +129,9 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
                       k1: float = 1.2, b: float = 0.75,
                       text_col: str = "text", id_col: str = "doc_id",
                       query_id: str = "query_id",
-                      terms_col: str = "terms") -> DataFrame:
+                      terms_col: str = "terms",
+                      prebuilt: tuple[DataFrame, DataFrame] | None = None,
+                      ) -> DataFrame:
     """BM25 over a *table* of queries — the batch form matching the
     reference's per-query evaluation surface (day_13/src/main.py:126-237)
     and this engine's batch-everything convention.
@@ -130,10 +145,14 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
     length join, (query, doc) for the final agg); the postings table is
     the classic inverted-index layout, term-partitioned at 100 TB.
     Returns ``(query_id, id_col, bm25)`` for (query, doc) pairs
-    matching >= 1 term.
+    matching >= 1 term.  ``prebuilt`` shares a ``(postings, lengths)``
+    pair across searches (see :func:`bm25_scores`).
     """
-    postings = term_postings(docs, text_col, id_col)
-    lengths = doc_lengths(docs, text_col, id_col)
+    if prebuilt is not None:
+        postings, lengths = prebuilt
+    else:
+        postings = term_postings(docs, text_col, id_col)
+        lengths = doc_lengths(docs, text_col, id_col)
     stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
                         F.avg("dl").alias("avgdl"))
     qterms = (queries
@@ -166,13 +185,15 @@ def bm25_topk_batch(docs: DataFrame, queries: DataFrame, k: int = 10,
                     k1: float = 1.2, b: float = 0.75,
                     text_col: str = "text", id_col: str = "doc_id",
                     query_id: str = "query_id", terms_col: str = "terms",
-                    round_to: int = 6) -> DataFrame:
+                    round_to: int = 6,
+                    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+                    ) -> DataFrame:
     """Per-query ranked BM25 top-k: the standard per-query window
     (WindowGroupLimit trims each partition to k before the shuffle),
     round-before-rank, ascending-id tie-break.  Returns
     ``(query_id, id_col, bm25, rank)``."""
     scores = bm25_scores_batch(docs, queries, k1, b, text_col, id_col,
-                               query_id, terms_col)
+                               query_id, terms_col, prebuilt=prebuilt)
     scores = scores.withColumn("bm25", F.round("bm25", round_to))
     return topk_window(scores, k, query_id, id_col, score_col="bm25")
 

@@ -171,17 +171,34 @@ FROM brrf_top
         "exploded, postings equi-join, per-query window) — one check",
 )
 def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.bm25 import (
+        doc_lengths,
+        term_postings,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
+    # Shared inverted index: tokenize + aggregate the corpus ONCE and
+    # hand the cached (postings, lengths) pair to both the single-query
+    # and the batch branch — at scale this pair is the maintained
+    # postings table, not a per-query rebuild.
+    index = (term_postings(docs).cache(), doc_lengths(docs).cache())
+
+    # One batch kNN scores ALL query vectors (the single-query branch's
+    # vector ranking is the batch result filtered to query 0 — same
+    # per-query top-k semantics, one corpus scan instead of two).
+    vecq = (emb.filter(F.col("vec_id").isin(_BATCH_VEC_IDS))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+    vecb = (knn_join_blas(vecq, emb, k=_K, metric="cosine",
+                          corpus_id="vec_id")
+            .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+            .cache())
+
     # --- single-query branches (global top-k path) ---
-    bm = bm25_topk(docs, _TERMS, k=_K, k1=_K1, b=_B)
-    queries = (emb.filter(F.col("vec_id") == 0)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("query_vec")))
-    vec = (knn_join_blas(queries, emb, k=_K, metric="cosine",
-                         corpus_id="vec_id")
-           .select(F.col("vec_id").alias("doc_id"), "rank"))
+    bm = bm25_topk(docs, _TERMS, k=_K, k1=_K1, b=_B, prebuilt=index)
+    vec = vecb.filter(F.col("query_id") == 0).select("doc_id", "rank")
     fused = rrf_fuse(vec, bm, k0=_RRF_K0, k=_K)
     bm_part = bm.select(
         F.lit("bm25").alias("system"), F.lit(0).cast("long").alias("query_id"),
@@ -193,13 +210,7 @@ def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- batch branches (query-table join form) ---
     qtable = spark.createDataFrame(
         _BATCH, "query_id long, terms array<string>")
-    bmb = bm25_topk_batch(docs, qtable, k=_K, k1=_K1, b=_B)
-    vecq = (emb.filter(F.col("vec_id").isin(_BATCH_VEC_IDS))
-            .select(F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("query_vec")))
-    vecb = (knn_join_blas(vecq, emb, k=_K, metric="cosine",
-                          corpus_id="vec_id")
-            .select("query_id", F.col("vec_id").alias("doc_id"), "rank"))
+    bmb = bm25_topk_batch(docs, qtable, k=_K, k1=_K1, b=_B, prebuilt=index)
     rrfb = rrf_fuse_batch(vecb, bmb, k0=_RRF_K0, k=_K)
     bmb_part = bmb.select(
         F.lit("bm25_batch").alias("system"), "query_id", "doc_id",
