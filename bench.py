@@ -239,6 +239,22 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     out["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
     enc.unpersist()
 
+    # Distributed HNSW (X3/X4): partition-local graphs (diversity-
+    # heuristic neighbor selection), broadcast queries, global merge.
+    # The graph is built in-flight inside the same job, so the time is
+    # build+search; a real deployment persists per-partition graphs
+    # and pays the build once.
+    from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
+
+    t0 = time.perf_counter()
+    hn = hnsw_knn(queries, emb, k=10)
+    hn_rows = hn.collect()
+    out["hnsw_buildsearch_sec"] = round(time.perf_counter() - t0, 4)
+    hn_cached = spark.createDataFrame(hn_rows, hn.schema)
+    out["hnsw_recall"] = round(
+        recall_against_exact(hn_cached, exact_cached, corpus_id="vec_id")
+        .agg(F.avg("recall")).collect()[0][0], 4)
+
     # Query-directed multi-probe SRP-LSH on the raw corpus (honest
     # numbers: random data has little locality, so bucket LSH needs a
     # large candidate fraction; the sketch path above is the quality
@@ -423,6 +439,20 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
             recall_against_exact(pq_df, exact_cached, corpus_id="vec_id")
             .agg(F.avg("recall")).collect()[0][0], 4)
         entry["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
+
+        # Distributed HNSW at scale: ~n/32 vectors per partition-local
+        # graph; time is build+search (graph built in-flight; a real
+        # deployment persists it and pays build once).
+        from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
+
+        t0 = time.perf_counter()
+        hn = hnsw_knn(queries, corpus, k=10, n_partitions=32)
+        hn_rows = hn.collect()
+        entry["hnsw_buildsearch_sec"] = round(time.perf_counter() - t0, 3)
+        hn_df = spark.createDataFrame(hn_rows, hn.schema)
+        entry["hnsw_recall"] = round(
+            recall_against_exact(hn_df, exact_cached, corpus_id="vec_id")
+            .agg(F.avg("recall")).collect()[0][0], 4)
 
         # Composed IVFPQ: coarse pruning (reusing the factor's cluster
         # assignment) + ADC over the pruned codes + exact re-rank —

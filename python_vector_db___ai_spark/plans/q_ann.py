@@ -138,18 +138,20 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_ann_recall",
-    oracle=None,   # seeded hyperplanes, engine-internal float packing
-    doc="X3/X4 substitute (the HNSW slot, SURVEY §7): 256-bit SRP sketch "
+    oracle=None,   # seeded hyperplanes / graph topology, engine-internal
+    doc="X3/X4 graph + sketch tiers: distributed HNSW (partition-local "
+        "numpy graphs with the paper's diversity heuristic, broadcast "
+        "query batch, per-query global merge) and the 256-bit SRP sketch "
         "+ Hamming top-L filter + exact re-rank — recall@10 vs the exact "
-        "scan (~0.96 at a 10% exact-scan fraction on sf0.1, above the "
-        "reference's weakest HNSW recall).  The query-directed "
-        "multi-probe bucket-LSH tier (Lv et al. VLDB'07) is demoted to "
-        "the bench ANN section: on this corpus it needs a ~29% candidate "
-        "fraction for 0.73 recall, strictly dominated by the sketch "
-        "tier, so it is measured there but not a registered quality "
-        "claim.",
+        "scan for both (>= 0.95 on sf0.1, above the reference's weakest "
+        "HNSW recall 0.752).  The query-directed multi-probe bucket-LSH "
+        "tier (Lv et al. VLDB'07) is demoted to the bench ANN section: "
+        "on this corpus it needs a ~29% candidate fraction for 0.73 "
+        "recall, strictly dominated — measured there, not a registered "
+        "quality claim.",
 )
 def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
     from python_vector_db___ai_spark.operators.lsh import sketch_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -157,11 +159,17 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
+    # Both recall branches consume the exact frame — cache so the
+    # exact scan runs once (n_queries x k rows, tiny).
     exact = knn_join_blas(queries, emb, k=K, metric="cosine",
-                          corpus_id="vec_id")
+                          corpus_id="vec_id").cache()
     sk = sketch_knn(queries, emb, k=K, n_bits=256, L=max(20, n // 10))
-    return (recall_against_exact(sk, exact, corpus_id="vec_id")
-            .withColumn("method", F.lit("sketch_hamming"))
+    hn = hnsw_knn(queries, emb, k=K)
+    out_sk = (recall_against_exact(sk, exact, corpus_id="vec_id")
+              .withColumn("method", F.lit("sketch_hamming")))
+    out_hn = (recall_against_exact(hn, exact, corpus_id="vec_id")
+              .withColumn("method", F.lit("hnsw_partition")))
+    return (out_sk.unionByName(out_hn)
             .select("method", "query_id", "n_exact", "n_hits", "recall"))
 
 
