@@ -107,3 +107,18 @@ def test_rrf_fuse_is_take_ordered(spark):
     plan = formatted_plan(out)
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "WindowGroupLimit" not in plan, plan[:3000]
+
+
+def test_hnsw_merge_is_window_group_limit(emb):
+    """The HNSW global merge is a per-query rank<=k filter, which must
+    compile to WindowGroupLimit (each partition trims to k before the
+    shuffle) — and the per-partition candidate rows are the only thing
+    shuffled, never corpus vectors."""
+    from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
+
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = hnsw_knn(q, emb, k=5, n_partitions=4)
+    plan = formatted_plan(out)
+    assert "WindowGroupLimit" in plan, plan[:3000]
