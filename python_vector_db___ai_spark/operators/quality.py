@@ -1,0 +1,132 @@
+"""Repetition-based quality filters for pretraining corpora.
+
+The standard "Gopher rules" family (Rae et al. 2021, §A1.1; reused by
+MassiveText/RefinedWeb/Dolma pipelines): documents dominated by
+repeated lines or n-grams are low-quality (boilerplate, SEO spam,
+scraper loops) and get filtered before training.  The reference has no
+analog — this extends its text analysis the way a 100-TB pipeline
+needs.
+
+Every metric is explode + hash-aggregate algebra on (doc, unit) keys —
+the postings shape again, so cost scales with token count, shuffles
+partial-aggregate first, and nothing is a window over a skewed key:
+
+* ``dup_line_frac``      — duplicated lines / lines
+* ``dup_line_char_frac`` — chars in duplicated lines / line chars
+* ``top_2gram_frac``     — occurrences of the most frequent word
+  bigram / total bigrams
+* ``dup_5gram_frac``     — occurrences of word 5-grams appearing more
+  than once / total 5-grams
+* ``unigram_entropy``    — Shannon entropy (nats) of the word
+  distribution; near-zero = one token repeated
+
+All plain expressions (no UDFs), all reproduced bit-for-bit by the
+DuckDB oracle in ``plans/q_text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.dedup import words_col
+
+
+def _ngrams_all(words, n: int):
+    """Non-distinct word n-grams (repetition metrics need multiplicity,
+    unlike dedup's distinct shingles)."""
+    if n == 1:
+        return words
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       round_to: int = 6) -> DataFrame:
+    """One row per doc with the repetition/quality columns above.
+
+    Three explodes (lines, bigrams, 5-grams ∪ unigrams share the word
+    split), each aggregated on the (doc, unit) hash key then reduced
+    per doc — no pairwise anything, no windows.
+    """
+    words = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col), F.col(text_col).alias("_t"),
+                       words.alias("_w"))
+
+    # --- lines: duplicated-line row/char mass ---
+    lines = base.select(
+        id_col,
+        F.explode(F.filter(F.split(F.col("_t"), r"\n"),
+                           lambda ln: F.trim(ln) != "")).alias("ln"))
+    per_line = (lines.groupBy(id_col, "ln")
+                .agg(F.count("*").cast("long").alias("c"))
+                .withColumn("chars", F.length("ln").cast("long")))
+    line_stats = (per_line.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .alias("dup_lines"),
+        F.sum(F.col("c") * F.col("chars")).alias("line_chars"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars"))
+              .otherwise(0)).alias("dup_line_chars")))
+
+    # --- unigrams: entropy over the word distribution ---
+    uni = base.select(id_col, F.explode(F.col("_w")).alias("w"))
+    per_word = uni.groupBy(id_col, "w").agg(
+        F.count("*").cast("double").alias("c"))
+    tot = per_word.groupBy(id_col).agg(F.sum("c").alias("n_words"))
+    entropy = (per_word.join(tot, id_col)
+               .groupBy(id_col)
+               .agg((-F.sum((F.col("c") / F.col("n_words"))
+                            * F.log(F.col("c") / F.col("n_words"))))
+                    .alias("unigram_entropy")))
+
+    # --- bigrams: top-gram mass ---
+    bi = base.select(id_col,
+                     F.explode(_ngrams_all(F.col("_w"), 2)).alias("g"))
+    per_bi = bi.groupBy(id_col, "g").agg(
+        F.count("*").cast("long").alias("c"))
+    bi_stats = per_bi.groupBy(id_col).agg(
+        F.max("c").alias("top_2gram"),
+        F.sum("c").alias("n_2grams"))
+
+    # --- 5-grams: duplicated-gram mass ---
+    five = base.select(id_col,
+                       F.explode(_ngrams_all(F.col("_w"), 5)).alias("g"))
+    per_five = five.groupBy(id_col, "g").agg(
+        F.count("*").cast("long").alias("c"))
+    five_stats = per_five.groupBy(id_col).agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .alias("dup_5grams"),
+        F.sum("c").alias("n_5grams"))
+
+    def frac(num, den):
+        return F.round(
+            F.when(F.col(den) > 0,
+                   F.col(num).cast("double") / F.col(den)).otherwise(0.0),
+            round_to)
+
+    # LEFT joins from the id spine: a doc with no lines/words/grams
+    # keeps its row with 0-valued metrics (the filter must SEE empty
+    # docs, not drop them).
+    spine = docs.select(id_col)
+    return (spine
+            .join(line_stats, id_col, "left")
+            .join(entropy, id_col, "left")
+            .join(bi_stats, id_col, "left")
+            .join(five_stats, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_lines"), F.lit(0)).cast("long")
+                .alias("n_lines"),
+                frac("dup_lines", "n_lines").alias("dup_line_frac"),
+                frac("dup_line_chars", "line_chars")
+                .alias("dup_line_char_frac"),
+                frac("top_2gram", "n_2grams").alias("top_2gram_frac"),
+                frac("dup_5grams", "n_5grams").alias("dup_5gram_frac"),
+                F.round(F.coalesce(F.col("unigram_entropy"), F.lit(0.0)), 6)
+                .alias("unigram_entropy")))

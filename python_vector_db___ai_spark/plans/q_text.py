@@ -229,6 +229,102 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "pii_redacted_md5"))
 
 
+def _rep_grams_sql(n: int) -> str:
+    """Non-distinct word n-grams over the w column (multiplicity kept —
+    repetition metrics count occurrences, unlike dedup's shingles)."""
+    return (f"CASE WHEN len(w) >= {n} THEN "
+            f"list_transform(range(1, len(w) - {n - 1} + 1), "
+            f"i -> array_to_string(w[i:i+{n - 1}], ' ')) "
+            f"ELSE [] END")
+
+
+_REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS_ALL} AS w FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\n'),
+                            l -> trim(l) <> '')) AS ln
+  FROM documents
+), per_line AS (
+  SELECT doc_id, ln, count(*)::BIGINT AS c, length(ln)::BIGINT AS chars
+  FROM lines GROUP BY doc_id, ln
+), line_stats AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+         sum(c * chars) AS line_chars,
+         sum(CASE WHEN c > 1 THEN c * chars ELSE 0 END) AS dup_line_chars
+  FROM per_line GROUP BY doc_id
+), uni AS (
+  SELECT doc_id, unnest(w) AS word FROM base
+), per_word AS (
+  SELECT doc_id, word, count(*)::DOUBLE AS c FROM uni GROUP BY doc_id, word
+), tot AS (
+  SELECT doc_id, sum(c) AS n_words FROM per_word GROUP BY doc_id
+), entropy AS (
+  SELECT p.doc_id,
+         -sum((c / n_words) * ln(c / n_words)) AS unigram_entropy
+  FROM per_word p JOIN tot t ON t.doc_id = p.doc_id GROUP BY p.doc_id
+), bi AS (
+  SELECT doc_id, unnest({_rep_grams_sql(2)}) AS g FROM base
+), per_bi AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM bi GROUP BY doc_id, g
+), bi_stats AS (
+  SELECT doc_id, max(c) AS top_2gram, sum(c) AS n_2grams
+  FROM per_bi GROUP BY doc_id
+), five AS (
+  SELECT doc_id, unnest({_rep_grams_sql(5)}) AS g FROM base
+), per_five AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM five GROUP BY doc_id, g
+), five_stats AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_5grams,
+         sum(c) AS n_5grams
+  FROM per_five GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+       round(CASE WHEN coalesce(l.n_lines, 0) > 0
+                  THEN l.dup_lines * 1.0 / l.n_lines ELSE 0.0 END, 6)
+         AS dup_line_frac,
+       round(CASE WHEN coalesce(l.line_chars, 0) > 0
+                  THEN l.dup_line_chars * 1.0 / l.line_chars
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       round(CASE WHEN coalesce(b.n_2grams, 0) > 0
+                  THEN b.top_2gram * 1.0 / b.n_2grams ELSE 0.0 END, 6)
+         AS top_2gram_frac,
+       round(CASE WHEN coalesce(f.n_5grams, 0) > 0
+                  THEN f.dup_5grams * 1.0 / f.n_5grams ELSE 0.0 END, 6)
+         AS dup_5gram_frac,
+       round(coalesce(e.unigram_entropy, 0.0), 6) AS unigram_entropy
+FROM documents d
+LEFT JOIN line_stats l ON l.doc_id = d.doc_id
+LEFT JOIN entropy e ON e.doc_id = d.doc_id
+LEFT JOIN bi_stats b ON b.doc_id = d.doc_id
+LEFT JOIN five_stats f ON f.doc_id = d.doc_id
+"""
+
+
+@register(
+    "text_repetition",
+    oracle=_REPETITION_ORACLE,
+    doc="Gopher-style repetition quality filters (Rae et al. 2021 "
+        "A1.1, the MassiveText/RefinedWeb/Dolma rules): per-doc "
+        "duplicated-line row/char fractions, top word-bigram mass, "
+        "duplicated 5-gram mass, and unigram entropy — each an explode "
+        "+ hash-agg on the (doc, unit) key (postings shape, partial "
+        "aggregation, no windows), the pre-training corpus gate the "
+        "reference lacks",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.quality import (
+        repetition_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
 _GRAM = 5
 _MOD = 16
 

@@ -140,3 +140,48 @@ def test_pii_letter_adjacent_separated_phone_still_redacts(spark):
                      redact_pii(F.col("text")).alias("clean")).collect()}
     assert got[1] == "id[phone]"
     assert got[2] == "call [phone]now"
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Gopher-rule repetition metrics against hand-computed values."""
+    import math
+
+    from python_vector_db___ai_spark.operators.quality import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 3 lines, "dup" twice -> dup_line_frac 2/3; words
+            # [a, b, dup, dup] -> bigrams {a b, b dup, dup dup} each
+            # once (top 1/3); entropy of {a:1, b:1, dup:2}
+            (1, "a b\ndup\ndup"),
+            # all-unique words, no dup lines, no 5-gram repeats
+            (2, "one two three four five six"),
+            # one word repeated -> entropy 0, top_2gram_frac 1.0,
+            # 5-grams "x x x x x" x2 both duplicated -> frac 1.0
+            (3, "x x x x x x"),
+            (4, ""),                      # empty doc keeps its row
+        ],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+
+    assert got[1].n_lines == 3
+    assert got[1].dup_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert got[1].dup_line_char_frac == pytest.approx(6 / 9, abs=1e-6)
+    assert got[1].top_2gram_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert got[1].unigram_entropy == pytest.approx(
+        -(2 * 0.25 * math.log(0.25) + 0.5 * math.log(0.5)), abs=1e-6)
+
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].top_2gram_frac == pytest.approx(1 / 5, abs=1e-6)
+    assert got[2].dup_5gram_frac == 0.0
+    assert got[2].unigram_entropy == pytest.approx(math.log(6), abs=1e-6)
+
+    assert got[3].unigram_entropy == 0.0
+    assert got[3].top_2gram_frac == 1.0
+    assert got[3].dup_5gram_frac == 1.0
+
+    assert got[4].n_lines == 0
+    assert got[4].unigram_entropy == 0.0
+    assert got[4].dup_line_frac == 0.0
