@@ -68,6 +68,45 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals(read_events_stream(spark, sf_dir)))
 
 
+@register(
+    "stream_sessionization",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       sum(new_session)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events,
+       round(count(*) * 1.0 / sum(new_session), 6) AS avg_events_per_session
+FROM marked GROUP BY user_id
+""",
+    doc="§2.10 custom stateful operator #2: gap-based sessionization "
+        "under the micro-batch planner (applyInPandasWithState; "
+        "per-user (last_ts, sessions, events) state) — the streaming "
+        "twin of events_sessionization, hash-checked against the same "
+        "batch-SQL oracle",
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.streaming.stateful import (
+        run_stateful_to_completion,
+        sessionize_stream,
+    )
+
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", F.col("ts").cast("long").alias("tsec"),
+                  "event_id"))
+    final = run_stateful_to_completion(sessionize_stream(ev, gap_min=30))
+    return final.select(
+        "user_id", "n_sessions", "n_events",
+        F.round("avg_events_per_session", 6).alias("avg_events_per_session"))
+
+
 def _md5_byte(expr: str, i: int) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), {2 * i + 1}, 2)) AS INT)"
 

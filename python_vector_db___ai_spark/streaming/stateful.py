@@ -48,6 +48,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+_SESS_OUT = ("user_id long, n_sessions long, n_events long, "
+             "avg_events_per_session double")
+_SESS_STATE = "last_ts long, n_sessions long, n_events long"
+
+
+def _make_session_updater(gap_sec: int):
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        last_ts, ns, ne = state.get if state.exists else (-1, 0, 0)
+        rows = [p for p in pdfs if not p.empty]
+        if rows:
+            pdf = (pd.concat(rows, ignore_index=True)
+                   .sort_values(["tsec", "event_id"]))
+            for t in pdf["tsec"].astype("int64"):
+                t = int(t)
+                if last_ts < 0 or t - last_ts > gap_sec:
+                    ns += 1
+                ne += 1
+                last_ts = t
+        state.update((last_ts, ns, ne))
+        # avg left UNROUNDED: the caller rounds with F.round (HALF_UP)
+        # so the value matches the batch/oracle rounding, not Python's
+        # banker's rounding.
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_sessions": [ns], "n_events": [ne],
+            "avg_events_per_session": [ne / ns if ns else 0.0]})
+
+    return update
+
+
+def sessionize_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator — the
+    canonical ``applyInPandasWithState`` use: per-user state is
+    (last event time, session count, event count); an event more than
+    ``gap_min`` after the previous one opens a new session.
+
+    ``events`` must carry ``(user_id, tsec long, event_id)`` with
+    ``tsec`` = event time in epoch seconds (cast JVM-side so state
+    holds plain longs).  Exact whenever each user's events arrive
+    event-time-ordered across micro-batches (true for the single-file
+    availableNow drain the registered query uses; events within one
+    batch are sorted here).  A production deployment adds
+    ``GroupStateTimeout.EventTimeTimeout`` + a watermark to close idle
+    sessions and bound state.
+    """
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_session_updater(gap_min * 60),
+                outputStructType=_SESS_OUT,
+                stateStructType=_SESS_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_stateful_to_completion(stateful_df: DataFrame,
                                query_name: str | None = None) -> DataFrame:
     """Drain with availableNow; returns the LAST update per user (the
