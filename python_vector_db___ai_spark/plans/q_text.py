@@ -325,6 +325,121 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs)
 
 
+_F_MIN_WORDS = 20
+_F_MAX_TOP2 = 0.1
+_F_MIN_ENT = 2.8
+_F_MIN_QUALITY = 0.55
+
+_FUNNEL_ORACLE = f"""
+WITH rep AS ({_REPETITION_ORACLE}),
+m AS (
+  SELECT doc_id,
+         len({_WORDS_ALL})::DOUBLE AS n_words,
+         length(text)::DOUBLE AS n_chars,
+         (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE AS punct,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits,
+         len(list_filter({_WORDS_ALL},
+             w -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS['en'])}], w)))::DOUBLE AS n_stop,
+         len(list_distinct({_WORDS_ALL}))::DOUBLE AS n_uniq
+  FROM documents
+), q AS (
+  SELECT doc_id, n_words::BIGINT AS n_words,
+         round(least(n_words / 100.0, 1.0) * 0.25
+               + (CASE WHEN n_words > 0 THEN n_uniq / n_words ELSE 0.0 END) * 0.25
+               + least((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 4, 1.0) * 0.25
+               + greatest(0.0, 1.0
+                          - (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 5
+                          - (CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END) * 5) * 0.25,
+               6) AS quality
+  FROM m
+), flags AS (
+  SELECT q.doc_id,
+         q.n_words >= {_F_MIN_WORDS} AS g1,
+         rep.top_2gram_frac <= {_F_MAX_TOP2} AS g2,
+         rep.unigram_entropy >= {_F_MIN_ENT} AS g3,
+         q.quality >= {_F_MIN_QUALITY} AS g4
+  FROM q JOIN rep ON rep.doc_id = q.doc_id
+), s AS (
+  SELECT count(*)::BIGINT AS n0,
+         sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS s1,
+         sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)::BIGINT AS s2,
+         sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)::BIGINT AS s3,
+         sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)::BIGINT AS s4
+  FROM flags
+)
+SELECT stage, gate, n_in, n_out, n_in - n_out AS n_dropped,
+       round(CASE WHEN n_in > 0 THEN (n_in - n_out) * 1.0 / n_in
+                  ELSE 0.0 END, 6) AS drop_frac
+FROM (
+  SELECT 1::BIGINT AS stage, 'min_words_{_F_MIN_WORDS}' AS gate,
+         n0 AS n_in, s1 AS n_out FROM s
+  UNION ALL
+  SELECT 2, 'top_2gram_frac_le_{_F_MAX_TOP2}', s1, s2 FROM s
+  UNION ALL
+  SELECT 3, 'unigram_entropy_ge_{_F_MIN_ENT}', s2, s3 FROM s
+  UNION ALL
+  SELECT 4, 'quality_ge_{_F_MIN_QUALITY}', s3, s4 FROM s
+)
+"""
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=_FUNNEL_ORACLE,
+    doc="the per-gate survival report a pretraining filter pipeline "
+        "emits: four chained gates (min words, top-bigram repetition "
+        "cap, unigram-entropy floor, composite quality floor) with "
+        "n_in/n_out/n_dropped/drop_frac per stage — per-doc flags in "
+        "one projection + one global aggregate, report rows from a "
+        "1-row explode (no per-gate rescans)",
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.quality import (
+        repetition_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    per_doc = docs.select(
+        "doc_id", m["n_words"].alias("n_words"),
+        F.round(quality_score(F.col("text"), metrics=m), 6).alias("quality"))
+    rep = repetition_metrics(docs).select(
+        "doc_id", "top_2gram_frac", "unigram_entropy")
+    flags = (per_doc.join(rep, "doc_id")
+             .select((F.col("n_words") >= _F_MIN_WORDS).alias("g1"),
+                     (F.col("top_2gram_frac") <= _F_MAX_TOP2).alias("g2"),
+                     (F.col("unigram_entropy") >= _F_MIN_ENT).alias("g3"),
+                     (F.col("quality") >= _F_MIN_QUALITY).alias("g4")))
+    s = flags.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum(F.col("g1").cast("long")).alias("s1"),
+        F.sum((F.col("g1") & F.col("g2")).cast("long")).alias("s2"),
+        F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long"))
+        .alias("s3"),
+        F.sum((F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4"))
+              .cast("long")).alias("s4"))
+    stages = F.array(
+        F.struct(F.lit(1).cast("long").alias("stage"),
+                 F.lit(f"min_words_{_F_MIN_WORDS}").alias("gate"),
+                 F.col("n0").alias("n_in"), F.col("s1").alias("n_out")),
+        F.struct(F.lit(2).cast("long").alias("stage"),
+                 F.lit(f"top_2gram_frac_le_{_F_MAX_TOP2}").alias("gate"),
+                 F.col("s1").alias("n_in"), F.col("s2").alias("n_out")),
+        F.struct(F.lit(3).cast("long").alias("stage"),
+                 F.lit(f"unigram_entropy_ge_{_F_MIN_ENT}").alias("gate"),
+                 F.col("s2").alias("n_in"), F.col("s3").alias("n_out")),
+        F.struct(F.lit(4).cast("long").alias("stage"),
+                 F.lit(f"quality_ge_{_F_MIN_QUALITY}").alias("gate"),
+                 F.col("s3").alias("n_in"), F.col("s4").alias("n_out")))
+    return (s.select(F.explode(stages).alias("x"))
+            .select("x.stage", "x.gate", "x.n_in", "x.n_out",
+                    (F.col("x.n_in") - F.col("x.n_out")).alias("n_dropped"),
+                    F.round(F.when(F.col("x.n_in") > 0,
+                                   (F.col("x.n_in") - F.col("x.n_out"))
+                                   / F.col("x.n_in")).otherwise(0.0), 6)
+                    .alias("drop_frac")))
+
+
 _GRAM = 5
 _MOD = 16
 
