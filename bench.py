@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash_pairs",     # SimHash pairs via pigeonhole blocking
     "dedup_embedding_pruned",  # IVF-pruned semantic near-dup
     "text_profile",            # language ID + quality + token counts
+    "text_repetition",         # Gopher repetition gates (explode + hash agg)
     "chunk_chars_fixed",       # char chunker (pure expressions)
     "embed_cache_hits",        # embedding pipeline (mock model + cache join)
     "rag_end_to_end",          # RAG context -> prompt -> answer
