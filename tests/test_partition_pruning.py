@@ -65,3 +65,44 @@ def test_gated_udfs_raise_cleanly():
                 fn()
         else:
             assert fn() is not None
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The co-location claim, demonstrated: two tables bucketed on the
+    join key join with ZERO Exchange operators — at 100 TB this is how
+    the big equi-joins (postings ⋈ postings, corpus ⋈ assignment) run
+    without moving either side.  A plain parquet join of the same data
+    needs shuffles on both sides."""
+    # managed tables land in the session's spark-warehouse dir; the
+    # DROPs in the finally block delete the files again
+    spark.sql("DROP TABLE IF EXISTS b_corpus")
+    spark.sql("DROP TABLE IF EXISTS b_assign")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    (emb.select("vec_id", "embedding")
+     .write.bucketBy(8, "vec_id").sortBy("vec_id")
+     .format("parquet").saveAsTable("b_corpus"))
+    (emb.select("vec_id", "label")
+     .write.bucketBy(8, "vec_id").sortBy("vec_id")
+     .format("parquet").saveAsTable("b_assign"))
+    try:
+        # AQE off for a deterministic plan; broadcast off so the join
+        # cannot cheat its way around the shuffle question.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_corpus").join(spark.table("b_assign"),
+                                              "vec_id")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan[:3000]
+
+        plain = (emb.select("vec_id", "embedding")
+                 .join(emb.select("vec_id", "label"), "vec_id"))
+        assert "Exchange" in formatted_plan(plain)
+
+        # same rows either way
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_corpus")
+        spark.sql("DROP TABLE IF EXISTS b_assign")
