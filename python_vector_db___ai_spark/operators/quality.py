@@ -45,6 +45,48 @@ def _ngrams_all(words, n: int):
             .otherwise(F.array().cast("array<string>"))
 
 
+def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        round_to: int = 6) -> DataFrame:
+    """Cross-document duplicated n-gram mass (the RefinedWeb-style
+    "duplicated n-grams" filter): per doc, the fraction of its word
+    ``n``-gram positions whose gram also occurs in at least one OTHER
+    document — high mass means the doc is largely copied text even
+    when no single pair-wise duplicate crosses the dedup threshold.
+
+    Postings shape end to end: one explode to (doc, gram) counts, one
+    document-frequency aggregation on the gram key, one join back —
+    cost is the sum of postings sizes, never pairs.  Docs shorter than
+    ``n`` words keep a row with 0 grams.
+
+    Returns ``(id_col, n_grams, dup_grams, crossdoc_dup_frac)``.
+    """
+    words = words_col(F.col(text_col))
+    grams = docs.select(F.col(id_col),
+                        F.explode(_ngrams_all(words, n)).alias("gram"))
+    per = grams.groupBy(id_col, "gram").agg(
+        F.count("*").cast("long").alias("c"))
+    dfreq = per.groupBy("gram").agg(
+        F.countDistinct(id_col).cast("long").alias("df"))
+    stats = (per.join(dfreq, "gram")
+             .groupBy(id_col)
+             .agg(F.sum("c").alias("n_grams"),
+                  F.sum(F.when(F.col("df") >= 2, F.col("c")).otherwise(0))
+                  .alias("dup_grams")))
+    return (docs.select(id_col)
+            .join(stats, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("dup_grams", F.lit(0)).cast("long")
+                    .alias("dup_grams"),
+                    F.round(F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                                   F.coalesce("dup_grams", F.lit(0))
+                                   .cast("double") / F.col("n_grams"))
+                            .otherwise(0.0), round_to)
+                    .alias("crossdoc_dup_frac")))
+
+
 def repetition_metrics(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        round_to: int = 6) -> DataFrame:

@@ -325,6 +325,49 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs)
 
 
+_XDOC_N = 8
+
+
+@register(
+    "crossdoc_dup_ngrams",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS_ALL} AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest({{grams}}) AS gram FROM base
+), pg AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY doc_id, gram
+), dfreq AS (
+  SELECT gram, count(DISTINCT doc_id)::BIGINT AS df FROM pg GROUP BY gram
+), stats AS (
+  SELECT doc_id, sum(c) AS n_grams,
+         sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS dup_grams
+  FROM pg JOIN dfreq USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(s.dup_grams, 0)::BIGINT AS dup_grams,
+       round(CASE WHEN coalesce(s.n_grams, 0) > 0
+                  THEN s.dup_grams * 1.0 / s.n_grams ELSE 0.0 END, 6)
+         AS crossdoc_dup_frac
+FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+""".replace("{grams}", _rep_grams_sql(_XDOC_N)),
+    doc="cross-document duplicated n-gram mass (RefinedWeb-style "
+        f"filter): per-doc fraction of word {_XDOC_N}-gram positions "
+        "whose gram occurs in at least one other doc — catches "
+        "largely-copied docs below the pairwise dedup threshold; "
+        "postings explode + gram-key df aggregation + join back, "
+        "never pairs",
+)
+def crossdoc_dup_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.quality import (
+        crossdoc_dup_ngrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return crossdoc_dup_ngrams(docs, n=_XDOC_N)
+
+
 _F_MIN_WORDS = 20
 _F_MAX_TOP2 = 0.1
 _F_MIN_ENT = 2.8

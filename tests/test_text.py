@@ -185,3 +185,26 @@ def test_repetition_metrics_hand_computed(spark):
     assert got[4].n_lines == 0
     assert got[4].unigram_entropy == 0.0
     assert got[4].dup_line_frac == 0.0
+
+
+def test_crossdoc_dup_ngrams_hand_computed(spark):
+    """Cross-doc duplicated n-gram mass with n=3 on a tiny corpus."""
+    from python_vector_db___ai_spark.operators.quality import (
+        crossdoc_dup_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c", "b c d"
+            (2, "a b c x"),        # grams: "a b c", "b c x"
+            (3, "q r s t"),        # unique grams
+            (4, "zz"),             # too short -> 0 grams, row kept
+        ],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in crossdoc_dup_ngrams(docs, n=3).collect()}
+    # "a b c" is shared by docs 1 and 2 -> 1 of 2 positions each
+    assert (got[1].n_grams, got[1].dup_grams) == (2, 1)
+    assert got[1].crossdoc_dup_frac == pytest.approx(0.5)
+    assert got[2].crossdoc_dup_frac == pytest.approx(0.5)
+    assert (got[3].dup_grams, got[3].crossdoc_dup_frac) == (0, 0.0)
+    assert (got[4].n_grams, got[4].crossdoc_dup_frac) == (0, 0.0)
