@@ -115,3 +115,60 @@ def test_events_ts_survives_both_parquet_flavors(spark, tmp_path):
             for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()
         }
     assert got["us"] == got["ns"] == dict(zip(ids, micros))
+
+
+def test_driver_table_schema_canary(spark):
+    """Round-4 was lost to a silent testdata dtype flip (events.ts).
+    This canary pins what the engine RELIES on — required columns per
+    table, and the tolerated type families for the sensitive columns —
+    so the next generator drift fails here with a pointed message, not
+    deep inside a query plan."""
+    from pyspark.sql import types as T
+
+    from python_vector_db___ai_spark.session import TABLES, load_table
+    from tests.conftest import SF_DIR
+
+    required = {
+        "region": {"r_regionkey", "r_name"},
+        "nation": {"n_nationkey", "n_name", "n_regionkey"},
+        "customer": {"c_custkey", "c_nationkey", "c_acctbal",
+                     "c_mktsegment"},
+        "supplier": {"s_suppkey", "s_nationkey", "s_acctbal"},
+        "part": {"p_partkey", "p_brand", "p_type", "p_size",
+                 "p_retailprice"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate", "o_orderpriority"},
+        "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"},
+        "events": {"event_id", "ts", "user_id", "event_type", "value",
+                   "props"},
+        "documents": {"doc_id", "text", "lang", "source"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    loaded = {t: load_table(spark, SF_DIR, t) for t in TABLES}
+    for t, cols in required.items():
+        missing = cols - set(loaded[t].columns)
+        assert not missing, (
+            f"driver table {t!r} lost required columns {sorted(missing)} — "
+            "testdata schema drifted; audit every query touching it")
+
+    # events.ts: whatever parquet flavor the generator wrote, load_table
+    # must normalize to a session-TZ TIMESTAMP (the round-4 regression)
+    ts_t = loaded["events"].schema["ts"].dataType
+    assert isinstance(ts_t, T.TimestampType), (
+        f"load_table must normalize events.ts to TIMESTAMP, got {ts_t} — "
+        "extend session.normalize_events_ts for the new flavor")
+
+    # embedding element type: the numpy kernels accept float or double
+    emb_t = loaded["embeddings"].schema["embedding"].dataType
+    assert isinstance(emb_t, T.ArrayType) and isinstance(
+        emb_t.elementType, (T.FloatType, T.DoubleType)), (
+        f"embeddings.embedding drifted to {emb_t}")
+
+    # event-time columns the TPC-H queries aggregate on: timestamp-like
+    for tbl, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        dt = loaded[tbl].schema[col].dataType
+        assert isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                               T.DateType)), (
+            f"{tbl}.{col} drifted to {dt} — check the tpch oracles")
