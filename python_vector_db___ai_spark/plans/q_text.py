@@ -325,6 +325,64 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs)
 
 
+@register(
+    "corpus_source_report",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, source, lang, md5(text) AS ch,
+         len({_WORDS_ALL})::DOUBLE AS n_words,
+         length(text)::DOUBLE AS n_chars,
+         (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE AS punct,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits,
+         len(list_filter({_WORDS_ALL},
+             w -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS['en'])}], w)))::DOUBLE AS n_stop,
+         len(list_distinct({_WORDS_ALL}))::DOUBLE AS n_uniq
+  FROM documents
+), q AS (
+  SELECT source, lang, ch, n_words,
+         round(least(n_words / 100.0, 1.0) * 0.25
+               + (CASE WHEN n_words > 0 THEN n_uniq / n_words ELSE 0.0 END) * 0.25
+               + least((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 4, 1.0) * 0.25
+               + greatest(0.0, 1.0
+                          - (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 5
+                          - (CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END) * 5) * 0.25,
+               6) AS quality
+  FROM m
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS total_words,
+       round(avg(quality), 6) AS mean_quality,
+       count(DISTINCT ch)::BIGINT AS n_unique_contents,
+       round(1.0 - count(DISTINCT ch) * 1.0 / count(*), 6) AS dup_rate,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM q GROUP BY source
+""",
+    doc="the per-source corpus card a mixture designer reads before "
+        "setting sampling weights: docs, total whitespace tokens, mean "
+        "composite quality, distinct-content count, exact-dup rate, "
+        "and language spread per source — one projection + one hash "
+        "aggregation on the source key",
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.functions.hashing import md5_hex
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    per_doc = docs.select(
+        "source", "lang", md5_hex(F.col("text")).alias("ch"),
+        m["n_words"].alias("n_words"),
+        F.round(quality_score(F.col("text"), metrics=m), 6).alias("quality"))
+    return (per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.countDistinct("ch").cast("long").alias("n_unique_contents"),
+        F.round(F.lit(1.0) - F.countDistinct("ch") / F.count("*"), 6)
+        .alias("dup_rate"),
+        F.countDistinct("lang").cast("long").alias("n_langs")))
+
+
 _XDOC_N = 8
 
 
