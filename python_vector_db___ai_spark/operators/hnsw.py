@@ -85,14 +85,16 @@ def _search_layer(V, nbrs, entry_points, q, ef):
     return sorted(((s, -n) for s, n in best), key=lambda t: (-t[0], t[1]))
 
 
-def _select_neighbors(V, found, M, x):
+def _select_neighbors(V, found, M):
     """The HNSW paper's diversity heuristic (Algorithm 4): walking the
-    candidates best-first, keep one only if it is closer to ``x`` than
-    to every already-kept neighbor.  On clustered data (exactly the
-    near-duplicate corpora a dedup pipeline feeds this) plain
-    "M closest" links a node only into its own clique and the graph
-    disconnects; the heuristic forces edges that bridge clusters.
-    Skipped candidates backfill if fewer than ``M`` survive."""
+    candidates best-first (``found`` carries each candidate's
+    similarity to the node being linked), keep one only if it is
+    closer to that node than to every already-kept neighbor.  On
+    clustered data (exactly the near-duplicate corpora a dedup
+    pipeline feeds this) plain "M closest" links a node only into its
+    own clique and the graph disconnects; the heuristic forces edges
+    that bridge clusters.  Skipped candidates backfill if fewer than
+    ``M`` survive."""
     sel: list[int] = []
     for s, node in found:
         if len(sel) >= M:
@@ -127,7 +129,7 @@ def _build_graph(V, M, ef_construction, m_l):
             cap = max_m0 if layer == 0 else M
             found = _search_layer(V, nbrs[layer], ep, V[i],
                                   ef_construction)
-            sel = _select_neighbors(V, found, M, V[i])
+            sel = _select_neighbors(V, found, M)
             nbrs[layer][i] = sel
             for s in sel:
                 lst = nbrs[layer][s]
@@ -139,7 +141,7 @@ def _build_graph(V, M, ef_construction, m_l):
                         ((float(V[s] @ V[x]), x) for x in lst),
                         key=lambda t: (-t[0], t[1]))
                     del lst[:]
-                    lst.extend(_select_neighbors(V, ranked, cap, V[s]))
+                    lst.extend(_select_neighbors(V, ranked, cap))
             ep = [found[0][1]]
         if li > top:
             entry, top = i, li
