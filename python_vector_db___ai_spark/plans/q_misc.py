@@ -99,7 +99,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = (read_events_stream(spark, sf_dir)
-          .select("user_id", F.col("ts").cast("long").alias("tsec"),
+          .select("user_id", F.unix_micros("ts").alias("tsec"),
                   "event_id"))
     final = run_stateful_to_completion(sessionize_stream(ev, gap_min=30))
     return final.select(
@@ -258,8 +258,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = ev.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull(), 1)
-        .when((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"))
-              > _GAP_MIN * 60, 1)
+        .when((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+              > _GAP_MIN * 60 * 1_000_000, 1)
         .otherwise(0))
     return (marked.groupBy("user_id")
             .agg(F.sum("new_session").cast("long").alias("n_sessions"),

@@ -32,6 +32,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP the batch path produces."""
     from python_vector_db___ai_spark.session import normalize_events_ts
 
+    # Pin the session timezone like load_table does: the TIMESTAMP_NTZ
+    # branch of normalize_events_ts casts naive wall-clock through the
+    # session zone, so a non-UTC session handed to the streaming path
+    # would shift every ts away from the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = (spark.readStream

@@ -53,7 +53,11 @@ _SESS_OUT = ("user_id long, n_sessions long, n_events long, "
 _SESS_STATE = "last_ts long, n_sessions long, n_events long"
 
 
-def _make_session_updater(gap_sec: int):
+def _make_session_updater(gap: int):
+    """``gap`` is in the same unit as the incoming ``tsec`` column
+    (epoch microseconds in the registered query — full timestamp
+    precision, so a gap of 1800.5s correctly exceeds a 30-min bound
+    where second-truncated arithmetic would not)."""
     def update(key: tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         last_ts, ns, ne = state.get if state.exists else (-1, 0, 0)
@@ -63,7 +67,7 @@ def _make_session_updater(gap_sec: int):
                    .sort_values(["tsec", "event_id"]))
             for t in pdf["tsec"].astype("int64"):
                 t = int(t)
-                if last_ts < 0 or t - last_ts > gap_sec:
+                if last_ts < 0 or t - last_ts > gap:
                     ns += 1
                 ne += 1
                 last_ts = t
@@ -85,8 +89,11 @@ def sessionize_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
     ``gap_min`` after the previous one opens a new session.
 
     ``events`` must carry ``(user_id, tsec long, event_id)`` with
-    ``tsec`` = event time in epoch seconds (cast JVM-side so state
-    holds plain longs).  Exact whenever each user's events arrive
+    ``tsec`` = event time in epoch MICROseconds (``F.unix_micros``,
+    JVM-side, so state holds plain longs at full timestamp precision —
+    matching the oracle's ``ts - lag(ts) > INTERVAL`` arithmetic even
+    when the true gap straddles the boundary by a fraction of a
+    second).  Exact whenever each user's events arrive
     event-time-ordered across micro-batches (true for the single-file
     availableNow drain the registered query uses; events within one
     batch are sorted here).  A production deployment adds
@@ -96,7 +103,7 @@ def sessionize_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
     return (events
             .groupBy("user_id")
             .applyInPandasWithState(
-                _make_session_updater(gap_min * 60),
+                _make_session_updater(gap_min * 60 * 1_000_000),
                 outputStructType=_SESS_OUT,
                 stateStructType=_SESS_STATE,
                 outputMode="update",

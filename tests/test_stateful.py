@@ -58,7 +58,7 @@ def test_stream_sessionization_matches_batch(spark):
     )
 
     ev = (read_events_stream(spark, SF_DIR)
-          .select("user_id", F.col("ts").cast("long").alias("tsec"),
+          .select("user_id", F.unix_micros("ts").alias("tsec"),
                   "event_id"))
     final = run_stateful_to_completion(sessionize_stream(ev, gap_min=30),
                                        query_name="t_sess")
@@ -71,8 +71,8 @@ def test_stream_sessionization_matches_batch(spark):
     marked = batch.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull(), 1)
-        .when((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"))
-              > 30 * 60, 1).otherwise(0))
+        .when((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+              > 30 * 60 * 1_000_000, 1).otherwise(0))
     want = {r.user_id: (r.n_sessions, r.n_events, r.avg)
             for r in (marked.groupBy("user_id")
                       .agg(F.sum("new_session").cast("long")
@@ -106,7 +106,7 @@ def test_session_updater_across_batches():
             self._v = v
             self.exists = True
 
-    upd = _make_session_updater(gap_sec=1800)
+    upd = _make_session_updater(gap=1800)
     st = FakeState()
     b1 = pd.DataFrame({"tsec": [1000, 2000], "event_id": [1, 2]})
     out1 = list(upd((7,), [b1], st))[0]
