@@ -331,11 +331,23 @@ def dedup_components(pairs: DataFrame, ids: DataFrame, rounds: int = 5,
     Returns ``(id_col, component_id, component_size, is_canonical[,
     converged])`` for every id in ``ids`` (singletons form their own
     component).
+
+    Each round's label frame is materialized (``localCheckpoint``)
+    before the next round reads it.  Without this the round-``r`` plan
+    embeds the round-``r-1`` plan several times over (the join AND the
+    agg AND the convergence probe), so lineage — and recompute — grows
+    exponentially in ``rounds``, and the upstream pair generator
+    (MinHash over the whole corpus) re-executes once per reference: an
+    86-second collapse at a mere 2k docs in the scale bench.  With
+    per-round materialization each round is one equi-join + one
+    min-agg over data that already exists, which is the linear cost
+    the 100-TB story claims; a cluster deployment would use reliable
+    ``checkpoint()`` instead (same semantics, survives executor loss).
     """
     edges = (pairs.select(F.col("i").alias("_a"), F.col("j").alias("_b"))
              .unionByName(
                  pairs.select(F.col("j").alias("_a"), F.col("i").alias("_b")))
-             .distinct())
+             .distinct().localCheckpoint())
     labels = ids.select(F.col(id_col).alias("_a"),
                         F.col(id_col).cast("long").alias("_label"))
 
@@ -351,7 +363,7 @@ def dedup_components(pairs: DataFrame, ids: DataFrame, rounds: int = 5,
                         .alias("_label")))
 
     for _ in range(rounds):
-        labels = _propagate(labels)
+        labels = _propagate(labels).localCheckpoint()
     sizes = labels.groupBy("_label").agg(
         F.count("*").cast("long").alias("component_size"))
     out = (labels.join(sizes, "_label")

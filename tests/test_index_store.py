@@ -1,0 +1,145 @@
+"""Persisted-index lifecycle: build -> save -> load -> search must
+equal the in-flight path (the artifact stores the SAME graph), and the
+dense halves (hyperplanes, codebooks) must round-trip bit-exactly."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
+from python_vector_db___ai_spark.operators.index_store import (
+    hnsw_build_index,
+    hnsw_load,
+    hnsw_save,
+    hnsw_search,
+    load_matrix,
+    load_pq_model,
+    save_matrix,
+    save_pq_model,
+)
+from python_vector_db___ai_spark.session import load_table
+from tests.conftest import SF_DIR
+
+N_PART = 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+@pytest.fixture(scope="module")
+def tmpdir_mod():
+    d = tempfile.mkdtemp(prefix="index_store_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_persisted_search_equals_inflight(spark, emb, queries, tmpdir_mod):
+    """save -> load -> search reproduces hnsw_knn row-for-row: the
+    artifact is the graph, not an approximation of it."""
+    idx = hnsw_build_index(emb, n_partitions=N_PART)
+    hnsw_save(idx, f"{tmpdir_mod}/hnsw")
+    loaded = hnsw_load(spark, f"{tmpdir_mod}/hnsw")
+    got = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in hnsw_search(queries, loaded, k=5).collect())
+    want = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in hnsw_knn(queries, emb, k=5, n_partitions=N_PART).collect())
+    assert got == want
+    assert len(got) == 25
+
+
+def test_index_rows_cover_corpus(spark, emb, tmpdir_mod):
+    loaded = hnsw_load(spark, f"{tmpdir_mod}/hnsw")
+    n = emb.count()
+    assert loaded.count() == n
+    assert loaded.select("vec_id").distinct().count() == n
+    # every partition agrees on one entry point / top level
+    meta = (loaded.groupBy("part_id")
+            .agg(F.countDistinct("entry_seq").alias("e"),
+                 F.countDistinct("top_level").alias("t")).collect())
+    assert all(r.e == 1 and r.t == 1 for r in meta)
+
+
+def test_search_is_search_only(spark, queries, tmpdir_mod):
+    """The search path must not reference the corpus table at all —
+    its only scan is the index artifact."""
+    loaded = hnsw_load(spark, f"{tmpdir_mod}/hnsw")
+    plan = (hnsw_search(queries, loaded, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "hnsw" in plan  # the artifact path appears in the scan
+    assert "embeddings" not in plan
+
+
+def test_matrix_roundtrip(spark, tmpdir_mod):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    H = rng.standard_normal((12, 16))
+    save_matrix(spark, H, f"{tmpdir_mod}/H")
+    H2 = load_matrix(spark, f"{tmpdir_mod}/H")
+    assert H2.shape == H.shape
+    assert (H2 == H).all()  # bit-exact through parquet DOUBLE
+
+
+def test_pq_model_roundtrip_and_search(spark, emb, queries, tmpdir_mod):
+    from python_vector_db___ai_spark.operators.pq import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train,
+    )
+
+    model = pq_train(emb, m=8, n_codes=16, iters=4, normalize=True)
+    save_pq_model(spark, model, f"{tmpdir_mod}/pq")
+    model2 = load_pq_model(spark, f"{tmpdir_mod}/pq")
+    assert model2[0] == model[0] and model2[1] == model[1]
+    assert (model2[2] == model[2]).all()
+    assert model2[3] == model[3]
+
+    enc = pq_encode(emb, model)
+    enc.write.mode("overwrite").parquet(f"{tmpdir_mod}/codes")
+    enc2 = spark.read.parquet(f"{tmpdir_mod}/codes")
+    got = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in pq_search_rerank(queries, emb, enc2, model2, k=5,
+                                  overfetch=4).collect())
+    want = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in pq_search_rerank(queries, emb, enc, model, k=5,
+                                  overfetch=4).collect())
+    assert got == want
+
+
+def test_sketch_artifact_roundtrip(spark, emb, queries, tmpdir_mod):
+    from python_vector_db___ai_spark.operators.lsh import (
+        sketch_build,
+        sketch_knn,
+    )
+
+    H, sk = sketch_build(emb, n_bits=64)
+    save_matrix(spark, H, f"{tmpdir_mod}/skH")
+    sk.write.mode("overwrite").parquet(f"{tmpdir_mod}/sk")
+    H2 = load_matrix(spark, f"{tmpdir_mod}/skH")
+    sk2 = spark.read.parquet(f"{tmpdir_mod}/sk")
+    got = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in sketch_knn(queries, emb, k=5, n_bits=64, L=50,
+                            prebuilt=(H2, sk2)).collect())
+    want = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in sketch_knn(queries, emb, k=5, n_bits=64, L=50,
+                            prebuilt=(H, sk)).collect())
+    assert got == want
