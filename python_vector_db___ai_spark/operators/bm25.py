@@ -17,7 +17,7 @@ Deterministic (md5-free, plain arithmetic) and fully oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_vector_db___ai_spark.operators._ranking import (
@@ -232,3 +232,65 @@ def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k0: int = 60,
     fused = fused.withColumn("rrf", F.round("rrf", round_to))
     return (global_topk_ranked(fused, k, "rrf", id_col)
             .select(id_col, "rrf", "rank"))
+
+
+def tfidf_topk_terms(docs: DataFrame, k: int = 3,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     round_to: int = 6,
+                     prebuilt: DataFrame | None = None) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF — the keyword-
+    metadata extraction step a training pipeline tags documents with
+    (and the classic lexical summary the reference's metadata
+    extraction day_10/processors/metadata_extractor.py approximates
+    with frequency counts).
+
+    IDF is the smooth ``ln((1+N)/(1+df)) + 1`` form (sklearn's
+    ``TfidfTransformer(smooth_idf=True)`` — never zero, never
+    divides by zero).  Postings + one df aggregation + a broadcast
+    1-row corpus count; ranking rounds BEFORE row_number with an
+    ascending-term tie-break (the engine-wide determinism contract).
+    Returns ``(id_col, term, tfidf, rank)``.
+    """
+    postings = (prebuilt if prebuilt is not None
+                else term_postings(docs, text_col, id_col))
+    dfreq = postings.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df"))
+    stats = docs.agg(F.count("*").cast("double").alias("n"))
+    scored = (postings.join(dfreq, "term")
+              .crossJoin(F.broadcast(stats))
+              .select(F.col(id_col), "term",
+                      F.round(F.col("tf")
+                              * (F.log((1.0 + F.col("n"))
+                                       / (1.0 + F.col("df"))) + 1.0),
+                              round_to).alias("tfidf")))
+    return topk_window(scored, k, id_col, "term", score_col="tfidf")
+
+
+def vocab_coverage(docs: DataFrame, k: int = 100,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   round_to: int = 6,
+                   prebuilt: DataFrame | None = None) -> DataFrame:
+    """Corpus-level vocabulary head: the top-``k`` terms by occurrence
+    count with each term's cumulative share of ALL token occurrences —
+    the coverage curve a tokenizer/BPE-training prep step reads to
+    size its vocabulary.
+
+    Scale shape: one postings aggregation (hash agg on the term key),
+    a TakeOrderedAndProject global top-k (never a full sort), and a
+    cumulative window over the k survivors only; the corpus total is
+    a broadcast 1-row aggregate.  Returns
+    ``(term, n_occ, rank, coverage)``.
+    """
+    postings = (prebuilt if prebuilt is not None
+                else term_postings(docs, text_col, id_col))
+    totals = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("n_occ"))
+    total = totals.agg(F.sum("n_occ").cast("double").alias("total"))
+    top = global_topk_ranked(totals, k, "n_occ", "term")
+    w = (Window.orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (top.withColumn("cum", F.sum("n_occ").over(w))
+            .crossJoin(F.broadcast(total))
+            .select("term", "n_occ", "rank",
+                    F.round(F.col("cum") / F.col("total"), round_to)
+                    .alias("coverage")))

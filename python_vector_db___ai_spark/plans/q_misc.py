@@ -266,3 +266,48 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").cast("long").alias("n_events"),
                  F.round(F.count("*") / F.sum("new_session"), 6)
                  .alias("avg_events_per_session")))
+
+
+@register(
+    "events_asof_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, min(event_id)::BIGINT AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, round(p.value, 6) AS value,
+       c.click_event_id,
+       round(epoch_us(p.ts - c.ts) / 1000000.0, 6) AS gap_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="backward as-of join (operators/asof.py): every purchase "
+        "attributed to the user's most recent prior-or-equal click — "
+        "the temporal join Spark SQL lacks natively, expressed as the "
+        "union-and-carry pattern (ONE shuffle on the key, a per-key "
+        "sort, last(ignorenulls) carry — linear, no inequality "
+        "theta-join); oracle is DuckDB's native ASOF JOIN.  The right "
+        "side is deduped to one row per (user, ts) with min(event_id) "
+        "in both engines, since an as-of match under ties is "
+        "ill-defined.",
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.min("event_id").cast("long").alias("click_event_id")))
+    joined = asof_join(purchases, clicks, on="user_id",
+                       left_ts="ts", right_ts="ts",
+                       right_cols=["click_event_id"])
+    return joined.select(
+        "event_id", "user_id",
+        F.round("value", 6).alias("value"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        F.round((F.unix_micros("ts") - F.unix_micros(F.col("asof_ts")))
+                / 1_000_000.0, 6).alias("gap_sec"))

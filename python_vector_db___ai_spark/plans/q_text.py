@@ -573,3 +573,77 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = grams.select("doc_id",
                           stable_hash64(F.col("gram")).alias("gram_hash")).distinct()
     return hashed.filter(F.col("gram_hash") % _MOD == 0)
+
+
+_KW_K = 3
+
+
+@register(
+    "doc_keywords_tfidf",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest({_WORDS_ALL}) AS term FROM documents
+), postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM words GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM postings GROUP BY term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n FROM documents
+), scored AS (
+  SELECT p.doc_id, p.term,
+         round(p.tf * (ln((1 + s.n) / (1 + d.df)) + 1), 6) AS tfidf
+  FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {_KW_K}
+""",
+    doc="per-doc keyword extraction: top-3 terms by smooth TF-IDF "
+        "(sklearn's smooth_idf form) off the shared postings shape — "
+        "the keyword-metadata tagging step of a corpus pipeline "
+        "(reference metadata extraction: "
+        "day_10/processors/metadata_extractor.py)",
+)
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.bm25 import tfidf_topk_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, k=_KW_K)
+
+
+_VOCAB_K = 100
+
+
+@register(
+    "vocab_coverage_topk",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest({_WORDS_ALL}) AS term FROM documents
+), tt AS (
+  SELECT term, count(*)::BIGINT AS n_occ FROM words GROUP BY term
+), tot AS (
+  SELECT sum(n_occ)::DOUBLE AS total FROM tt
+), ranked AS (
+  SELECT term, n_occ,
+         row_number() OVER (ORDER BY n_occ DESC, term ASC) AS rank
+  FROM tt QUALIFY rank <= {_VOCAB_K}
+)
+SELECT term, n_occ, rank,
+       round(sum(n_occ) OVER (ORDER BY rank) / total, 6) AS coverage
+FROM ranked CROSS JOIN tot
+""",
+    doc="corpus vocabulary head: top-100 terms by occurrence with "
+        "cumulative token-coverage share (the curve tokenizer/BPE "
+        "vocab sizing reads); hash agg + TakeOrderedAndProject + "
+        "window over the k survivors only",
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.bm25 import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, k=_VOCAB_K)
