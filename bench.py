@@ -2,9 +2,15 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+**compact** JSON line (< ~1.5 KB — the driver keeps only a 2,000-char
+stdout tail, so the parseable line must fit there whole)::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "ann": {...recalls/scan-fracs...}, "detail": "BENCH_FULL.json", ...}
+
+The full detail (ANN build/search split, the scale sweep, the
+dedup/text scale sweep, all params) is written to ``BENCH_FULL.json``
+next to this file and committed per round.
 
 Timing is end-to-end per query (logical plan build + execution +
 collect), after a session warm-up action, mirroring the reference's
@@ -82,6 +88,11 @@ def main() -> None:
         "SPARK_GRAFT_SCALE_FACTORS", "10,50,200").split(",") if x]
     scale = scale_benchmark(spark, sf_dir, factors) if factors else []
 
+    doc_factors = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_DOC_FACTORS", "10,50,200").split(",") if x]
+    dedup_scale = (dedup_scale_benchmark(spark, sf_dir, doc_factors)
+                   if doc_factors else [])
+
     # Promote the exact-vs-IVF crossover into the headline table at the
     # LARGEST measured scale (>=100k rows) — the regime where the
     # pruned scan earns its keep decisively rather than within noise
@@ -95,15 +106,55 @@ def main() -> None:
         timings[f"ivf_search_{label}"] = e["ivf_sec"]
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    full = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "ann": ann,
         "scale": scale,
+        "dedup_scale": dedup_scale,
         "sf": sf,
-    }))
+    }
+    # Full detail goes to a committed artifact; stdout carries a
+    # COMPACT final line.  The driver's capture keeps only a 2,000-char
+    # tail of stdout, so the parseable line must fit there whole —
+    # five rounds of BENCH_r*.json were `parsed: null` because the
+    # full object (~4.5 KB) was truncated mid-way.
+    with open(Path(__file__).resolve().parent / "BENCH_FULL.json",
+              "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "ann": {k: ann[k] for k in (
+            "corpus_rows", "exact_sec",
+            "ivf_sec", "ivf_recall", "ivf_scan_frac",
+            "sketch_sec", "sketch_recall", "sketch_scan_frac",
+            "pq_sec", "pq_recall", "pq_vec_scan_frac",
+            "hnsw_build_sec", "hnsw_search_sec", "hnsw_recall",
+        ) if k in ann},
+        "detail": "BENCH_FULL.json",
+    }
+    if dedup_scale:
+        e = dedup_scale[-1]
+        compact["dedup_scale_top"] = {k: e[k] for k in (
+            "doc_rows", "minhash_lsh_sec", "components_sec",
+            "repetition_sec", "crossdoc_sec") if k in e}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # never ship an unparseable tail — shed detail, keep the contract
+        compact.pop("dedup_scale_top", None)
+        compact["ann"] = {k: compact["ann"][k]
+                          for k in ("ivf_recall", "sketch_recall",
+                                    "pq_recall", "hnsw_recall")
+                          if k in compact["ann"]}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
@@ -129,7 +180,6 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
         kmeans_centroids,
         recall_against_exact,
     )
-    from python_vector_db___ai_spark.operators.lsh import srp_lsh_knn
     from python_vector_db___ai_spark.operators.search import knn_join_blas
     from python_vector_db___ai_spark.session import load_table
 
@@ -240,61 +290,44 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     out["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
     enc.unpersist()
 
-    # Distributed HNSW (X3/X4): partition-local graphs (diversity-
-    # heuristic neighbor selection), broadcast queries, global merge.
-    # The graph is built in-flight inside the same job, so the time is
-    # build+search; a real deployment persists per-partition graphs
-    # and pays the build once.
-    from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
+    # Distributed HNSW (X3/X4) with the PERSISTED index artifact
+    # (operators/index_store.py): build writes per-partition graphs to
+    # parquet once per corpus version; search loads the artifact and
+    # never touches the build path — the same build-vs-search split
+    # the reference's day_6 summary reports (build 11.95 s amortized,
+    # search per batch).
+    #
+    # The 0.735-recall SRP bucket tier was retired from this section
+    # (round-5 review): it reported a number below the reference's
+    # weakest HNSW figure that no tier decision would use.  The sketch
+    # path above IS the high-recall LSH-family tier; the scale section
+    # still reports bucket LSH where it wins (clustered corpora,
+    # recall 1.0).
+    import shutil
+    import tempfile
 
-    t0 = time.perf_counter()
-    hn = hnsw_knn(queries, emb, k=10)
-    hn_rows = hn.collect()
-    out["hnsw_buildsearch_sec"] = round(time.perf_counter() - t0, 4)
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_build_index,
+        hnsw_load,
+        hnsw_save,
+        hnsw_search,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_hnsw_")
+    try:
+        t0 = time.perf_counter()
+        hnsw_save(hnsw_build_index(emb, n_partitions=32), idx_dir + "/g")
+        out["hnsw_build_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"), k=10)
+        hn_rows = hn.collect()
+        out["hnsw_search_sec"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
     hn_cached = spark.createDataFrame(hn_rows, hn.schema)
     out["hnsw_recall"] = round(
         recall_against_exact(hn_cached, exact_cached, corpus_id="vec_id")
         .agg(F.avg("recall")).collect()[0][0], 4)
-
-    # Query-directed multi-probe SRP-LSH on the raw corpus (honest
-    # numbers: random data has little locality, so bucket LSH needs a
-    # large candidate fraction; the sketch path above is the quality
-    # tier, the scale section below shows where bucket LSH wins).
-    mp_params = {"n_tables": 12, "n_bits": 8, "n_probes": 80,
-                 "probe_bits": 4}
-    max_bucket = 2048
-    out["lsh_params"] = mp_params
-    from python_vector_db___ai_spark.operators.lsh import (
-        _srp_probe_frame,
-        srp_build,
-    )
-
-    H, cb = srp_build(emb, mp_params["n_tables"], mp_params["n_bits"])
-    cb = cb.cache()
-    cb.count()
-    t0 = time.perf_counter()
-    lsh = srp_lsh_knn(queries, emb, k=10, max_bucket=max_bucket,
-                      prebuilt=(H, cb), **mp_params)
-    lsh_rows = lsh.collect()
-    out["lsh_sec"] = round(time.perf_counter() - t0, 4)
-    lsh_cached = spark.createDataFrame(lsh_rows, lsh.schema)
-    out["lsh_recall"] = round(
-        recall_against_exact(lsh_cached, exact_cached, corpus_id="vec_id")
-        .agg(F.avg("recall")).collect()[0][0], 4)
-    # Measured candidate fraction of the SAME candidate set the timed
-    # run used: prebuilt buckets, hot-bucket cap applied.
-    sizes = (cb.groupBy("table", "bucket")
-             .agg(F.count("*").alias("_bn"))
-             .filter(F.col("_bn") <= max_bucket)
-             .select("table", "bucket"))
-    qb = _srp_probe_frame(queries, H, mp_params["n_tables"],
-                          mp_params["n_bits"], mp_params["n_probes"],
-                          mp_params["probe_bits"], "query_id", "query_vec")
-    n_lsh_cand = (qb.join(cb.join(sizes, ["table", "bucket"]),
-                          ["table", "bucket"])
-                  .select("query_id", "vec_id").distinct().count())
-    out["lsh_scan_frac"] = round(n_lsh_cand / (n_queries * n), 4)
-    cb.unpersist()
     skc.unpersist()
     emb.unpersist()
     return out
@@ -441,15 +474,32 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
             .agg(F.avg("recall")).collect()[0][0], 4)
         entry["pq_vec_scan_frac"] = round(10 * overfetch / n, 4)
 
-        # Distributed HNSW at scale: ~n/32 vectors per partition-local
-        # graph; time is build+search (graph built in-flight; a real
-        # deployment persists it and pays build once).
-        from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
+        # Distributed HNSW at scale with the persisted artifact:
+        # ~n/32 vectors per partition-local graph, build written to
+        # parquet once (amortized per corpus version), search-only
+        # timed against the loaded artifact.
+        import shutil
 
-        t0 = time.perf_counter()
-        hn = hnsw_knn(queries, corpus, k=10, n_partitions=32)
-        hn_rows = hn.collect()
-        entry["hnsw_buildsearch_sec"] = round(time.perf_counter() - t0, 3)
+        from python_vector_db___ai_spark.operators.index_store import (
+            hnsw_build_index,
+            hnsw_load,
+            hnsw_save,
+            hnsw_search,
+        )
+
+        idx_dir = tempfile.mkdtemp(prefix=f"bench_hnsw_{factor}_")
+        try:
+            t0 = time.perf_counter()
+            hnsw_save(hnsw_build_index(corpus, n_partitions=32),
+                      idx_dir + "/g")
+            entry["hnsw_build_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"),
+                             k=10)
+            hn_rows = hn.collect()
+            entry["hnsw_search_sec"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
         hn_df = spark.createDataFrame(hn_rows, hn.schema)
         entry["hnsw_recall"] = round(
             recall_against_exact(hn_df, exact_cached, corpus_id="vec_id")
@@ -479,6 +529,108 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         cb.unpersist()
         skc.unpersist()
         enc.unpersist()
+        results.append(entry)
+    return results
+
+
+def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
+    """Throughput scaling for the dedup/text corpus-quality family —
+    the operators whose 100-TB story previously rested on plan shape
+    alone.  The corpus is inflated with ``tools.scale_probe.
+    inflate_docs`` (copy-specific word salting: pair counts grow
+    ~linearly, no quadratic per-family blowup) and each operator is
+    timed end to end, reduced to one driver row:
+
+    * MinHash+LSH banding (pairs materialized + counted),
+    * exact-dup star edges ∪ MinHash pairs -> connected components,
+    * Gopher repetition gates (per-doc explode + hash-agg),
+    * cross-doc duplicated n-grams (postings join on the gram key —
+      the spot to watch for hot-shingle skew at scale).
+
+    Near-linear ``*_sec`` growth across factors is the scale claim
+    these rows substantiate.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.functions.hashing import md5_hex
+    from python_vector_db___ai_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+    )
+    from python_vector_db___ai_spark.operators.quality import (
+        crossdoc_dup_ngrams,
+        repetition_metrics,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tools.scale_probe import inflate_docs
+
+    docs0 = load_table(spark, sf_dir, "documents")
+    results = []
+    for factor in factors:
+        tmp = tempfile.mkdtemp(prefix=f"bench_docs_{factor}_")
+        inflate_docs(docs0, factor).write.parquet(tmp, mode="overwrite")
+        # The inflated file is small on disk (tens of MB of text), so a
+        # size-based parquet split would hand the whole corpus to ONE
+        # task; spread it across the executors like a real multi-file
+        # 100-TB table would arrive.
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(tmp).repartition(par).cache()
+        n = docs.count()
+        entry = {"factor": factor, "doc_rows": n}
+
+        # 3-word shingles + a hot-bucket cap: the production MinHash
+        # configuration.  With unigram shingles the copy-salting moves
+        # Jaccard between a doc's copies only to ~0.67, which still
+        # LSH-collides ~60% of each copy family — candidate pairs then
+        # grow quadratically in the factor and the verify join (not
+        # the banding) becomes the whole job.  3-shingles put salted
+        # copies at J~0.25 (collision ~2%) while true within-stratum
+        # near-dups stay at J~1; max_bucket drops any residual
+        # degenerate bucket before the self-join.
+        t0 = time.perf_counter()
+        mh = (minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                shingle_n=3, verify_threshold=0.9,
+                                max_bucket=1000)
+              .select("i", "j").cache())
+        entry["minhash_pairs"] = mh.count()
+        entry["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        hashed = docs.select("doc_id", md5_hex(F.col("text")).alias("_ch"))
+        groups = hashed.groupBy("_ch").agg(F.min("doc_id").alias("_keep"))
+        ex_edges = (hashed.join(groups, "_ch")
+                    .filter(F.col("doc_id") != F.col("_keep"))
+                    .select(F.col("_keep").alias("i"),
+                            F.col("doc_id").alias("j")))
+        comp = dedup_components(mh.unionByName(ex_edges).distinct(),
+                                docs.select("doc_id"), rounds=5)
+        row = comp.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_canonical").cast("long")).alias("kept")
+        ).collect()[0]
+        entry["components_sec"] = round(time.perf_counter() - t0, 3)
+        entry["kept_docs"] = int(row["kept"])
+
+        t0 = time.perf_counter()
+        rep = repetition_metrics(docs).agg(
+            F.avg("dup_5gram_frac").alias("a"),
+            F.avg("unigram_entropy").alias("b")).collect()[0]
+        entry["repetition_sec"] = round(time.perf_counter() - t0, 3)
+        entry["avg_dup_5gram_frac"] = round(float(rep["a"]), 4)
+
+        t0 = time.perf_counter()
+        cd = crossdoc_dup_ngrams(docs, n=8).agg(
+            F.sum("n_grams").alias("g"),
+            F.avg("crossdoc_dup_frac").alias("f")).collect()[0]
+        entry["crossdoc_sec"] = round(time.perf_counter() - t0, 3)
+        entry["crossdoc_grams"] = int(cd["g"])
+
+        mh.unpersist()
+        docs.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
         results.append(entry)
     return results
 

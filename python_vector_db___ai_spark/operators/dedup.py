@@ -116,17 +116,25 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
         # index to any second lambda parameter.
         return lambda w: stable_hash64(w, seed=s)
 
+    # Two-step select: the shingle expression (split + filter + n-gram
+    # transform) is aliased ONCE and the 16 min-hash expressions read
+    # the alias.  Inlining ``sh`` into every array_min used to make
+    # each row re-tokenize the text 17 times — and CollapseProject
+    # keeps the split because the alias is referenced many times and
+    # the expression is non-cheap.
+    base = df.select(F.col(id_col).alias("_id"), sh.alias("shingles"))
     sig = F.array(*[
-        F.array_min(F.transform(sh, _hasher(s))) for s in range(num_hashes)
+        F.array_min(F.transform(F.col("shingles"), _hasher(s)))
+        for s in range(num_hashes)
     ])
-    return df.select(F.col(id_col).alias("_id"), sh.alias("shingles"),
-                     sig.alias("sig"))
+    return base.select("_id", "shingles", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 1, text_col: str = "text",
                       id_col: str = "doc_id",
-                      verify_threshold: float | None = None) -> DataFrame:
+                      verify_threshold: float | None = None,
+                      max_bucket: int | None = None) -> DataFrame:
     """LSH-banded candidate pairs with estimated and true Jaccard.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
@@ -134,6 +142,18 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     (i < j) sharing any bucket.  Returns
     ``(i, j, est_jaccard, jaccard)``, optionally filtered to
     ``jaccard >= verify_threshold``.
+
+    ``max_bucket`` drops band buckets holding more than that many docs
+    BEFORE the self-join — the stop-bucket treatment every
+    production-scale MinHash dedup needs (same idea as the ``max_df``
+    stop-shingle cap in :func:`ngram_jaccard_pairs`): a degenerate
+    bucket of ``g`` docs alone contributes ``g·(g-1)/2`` candidate
+    pairs, so one hot bucket can dominate the whole job's shuffle.
+    Pairs inside a dropped bucket usually still surface through one of
+    the other ``bands-1`` bucketings; truly identical docs belong to
+    the exact-dup (content-hash) pass anyway.  ``None`` (default)
+    keeps every bucket — the oracle-checked configuration of the
+    registered queries.
     """
     rows_per_band = num_hashes // bands
     # The signature frame feeds banding AND both sides of the verify
@@ -151,6 +171,12 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     banded = (sigs.select("_id",
                           F.explode(F.array(*band_cols)).alias("bb"))
               .select("_id", "bb.band", "bb.bucket"))
+    if max_bucket is not None:
+        keep = (banded.groupBy("band", "bucket")
+                .agg(F.count("*").alias("_bn"))
+                .filter(F.col("_bn") <= max_bucket)
+                .select("band", "bucket"))
+        banded = banded.join(keep, ["band", "bucket"])
     cand = (banded.alias("a")
             .join(banded.alias("b"), ["band", "bucket"])
             .filter(F.col("a._id") < F.col("b._id"))

@@ -232,3 +232,21 @@ def test_dedup_components_convergence_flag(spark):
     cols = dedup_components(pairs, ids, rounds=2,
                             convergence_check=False).columns
     assert "converged" not in cols
+
+
+def test_minhash_max_bucket_drops_hot_buckets(spark):
+    """Identical docs share every band bucket; a cap below the family
+    size drops those buckets (degenerate stop-buckets) so the
+    self-join never sees the quadratic family."""
+    from python_vector_db___ai_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+    rows += [(10, "one two three four five six"),
+             (11, "one two three four five six")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, num_hashes=16, bands=4, shingle_n=3)
+    assert uncapped.count() == 10 + 1  # C(5,2) + the size-2 family
+    capped = minhash_lsh_pairs(df, num_hashes=16, bands=4, shingle_n=3,
+                               max_bucket=3)
+    got = {(r.i, r.j) for r in capped.collect()}
+    assert got == {(10, 11)}  # the small family survives, the hot one goes

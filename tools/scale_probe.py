@@ -52,6 +52,32 @@ def inflate(emb, factor: int):
         "label", noisy.alias("embedding"))
 
 
+def inflate_docs(docs, factor: int):
+    """``factor`` copies of each document for the dedup/text scale
+    bench.  Copy ``r`` appends a copy-specific salt to every 5th word
+    (one JVM-side ``transform``), which rewrites most word shingles —
+    so copies of one doc are NOT near-dups of each other (no quadratic
+    per-family pair blowup), while two docs that were near-dups stay
+    near-dups within each copy stratum: pair counts and dup structure
+    grow ~linearly with the factor, which is the property a throughput
+    scale-bench needs."""
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("copy")
+    base = docs.select("doc_id", "text", "lang", "source", "n_chars", copies)
+    words = F.split(F.col("text"), r"\s+")
+    salted = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                i % 5 == 0,
+                F.concat(w, F.lit("x"), F.col("copy").cast("string")))
+            .otherwise(w)),
+        " ")
+    return base.select(
+        (F.col("doc_id") * factor + F.col("copy")).alias("doc_id"),
+        salted.alias("text"), "lang", "source",
+        F.length(salted).alias("n_chars"))
+
+
 def main() -> None:
     """Delegates to bench.scale_benchmark — the KMeans-quantizer IVF
     (trained on the base corpus, BLAS list assignment) and prebuilt
