@@ -311,3 +311,76 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_event_id").alias("click_event_id"),
         F.round((F.unix_micros("ts") - F.unix_micros(F.col("asof_ts")))
                 / 1_000_000.0, 6).alias("gap_sec"))
+
+
+_RANGE_MIN = 5
+
+
+@register(
+    "events_range_join_counts",
+    oracle=f"""
+SELECT e.event_id, e.user_id,
+       (SELECT count(*) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = e.user_id
+          AND c.ts >= e.ts - INTERVAL {_RANGE_MIN} MINUTE
+          AND c.ts < e.ts)::BIGINT AS n_recent_clicks
+FROM events e WHERE e.event_type = 'error'
+""",
+    doc="bin-blocked range join: per error event, how many clicks the "
+        "same user made in the preceding 5 minutes.  The naive form is "
+        "an inequality theta-join; the Spark-native shape buckets both "
+        "sides into window-width time bins and equi-joins on "
+        "(user, bin) with each click exploded into the 2 bins it can "
+        "serve — bounded fan-out, one shuffle, then an exact range "
+        "filter.  Oracle is the correlated-subquery formulation.",
+)
+def events_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_us = _RANGE_MIN * 60 * 1_000_000
+    err = (ev.filter(F.col("event_type") == "error")
+           .select("event_id", "user_id",
+                   F.unix_micros("ts").alias("tus"))
+           .withColumn("bin", F.floor(F.col("tus") / w_us)))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", F.unix_micros("ts").alias("cus"))
+           .withColumn("cbin", F.floor(F.col("cus") / w_us)))
+    clk_b = clk.select(
+        "user_id", "cus",
+        F.explode(F.array(F.col("cbin"), F.col("cbin") + 1)).alias("bin"))
+    hit = ((F.col("cus") >= F.col("tus") - w_us)
+           & (F.col("cus") < F.col("tus")))
+    return (err.join(clk_b, ["user_id", "bin"], "left")
+            .groupBy("event_id", "user_id")
+            .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+                 .alias("n_recent_clicks")))
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+""",
+    doc="per-type exact value percentiles (p50/p90/p99, linear "
+        "interpolation in both engines).  At 100 TB the drop-in scale "
+        "path is approx_percentile (t-digest, mergeable partial aggs) "
+        "at a stated error bound; the exact form is the oracle-checkable "
+        "contract.",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9),
+                                        F.lit(0.99)))
+    return (ev.groupBy("event_type")
+            .agg(F.round(pct[0], 6).alias("p50"),
+                 F.round(pct[1], 6).alias("p90"),
+                 F.round(pct[2], 6).alias("p99"),
+                 F.round(F.min("value"), 6).alias("min_value"),
+                 F.round(F.max("value"), 6).alias("max_value"),
+                 F.count("*").cast("long").alias("n")))
