@@ -42,6 +42,7 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules that register queries.
     from python_vector_db___ai_spark.plans import (  # noqa: F401
         q_ann,
+        q_behavior,
         q_crud,
         q_dedup,
         q_extra,

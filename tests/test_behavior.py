@@ -1,0 +1,95 @@
+"""Funnel / retention / transition semantics on hand-built event frames."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from python_vector_db___ai_spark.operators.behavior import (
+    funnel_steps,
+    retention_cohorts,
+    transition_matrix,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_strict_ordering(spark):
+    # u1 completes a->b->c in order; u2 has b BEFORE a (must not count
+    # at step b); u3 stops after a.
+    ev = _events(spark, [
+        (1, 1, _ts("2024-01-01 10:00:00"), "a"),
+        (2, 1, _ts("2024-01-01 11:00:00"), "b"),
+        (3, 1, _ts("2024-01-01 12:00:00"), "c"),
+        (4, 2, _ts("2024-01-01 09:00:00"), "b"),
+        (5, 2, _ts("2024-01-01 10:00:00"), "a"),
+        (6, 3, _ts("2024-01-01 10:00:00"), "a"),
+    ])
+    out = {r.step: r for r in funnel_steps(ev, ["a", "b", "c"]).collect()}
+    assert out["a"].n_users == 3
+    assert out["b"].n_users == 1          # only u1: u2's b precedes a
+    assert out["c"].n_users == 1
+    assert out["b"].conv_from_first == round(1 / 3, 6)
+    assert out["c"].conv_from_prev == 1.0
+
+
+def test_funnel_equal_ts_not_counted(spark):
+    # strictly-after: b at the same instant as a does not advance
+    ev = _events(spark, [
+        (1, 1, _ts("2024-01-01 10:00:00"), "a"),
+        (2, 1, _ts("2024-01-01 10:00:00"), "b"),
+    ])
+    out = {r.step: r.n_users for r in funnel_steps(ev, ["a", "b"]).collect()}
+    assert out == {"a": 1, "b": 0}
+
+
+def test_retention_offsets(spark):
+    # u1 first on day 0 and active day 0 and day 2; u2 only day 0
+    ev = _events(spark, [
+        (1, 1, _ts("2024-01-01 10:00:00"), "x"),
+        (2, 1, _ts("2024-01-03 10:00:00"), "x"),
+        (3, 2, _ts("2024-01-01 10:00:00"), "x"),
+    ])
+    rows = {(r.cohort_day, r.day_offset): r
+            for r in retention_cohorts(ev).collect()}
+    assert rows[("2024-01-01", 0)].n_active == 2
+    assert rows[("2024-01-01", 0)].retention == 1.0
+    assert rows[("2024-01-01", 2)].n_active == 1
+    assert rows[("2024-01-01", 2)].retention == 0.5
+    assert len(rows) == 2
+
+
+def test_transition_counts_and_probs(spark):
+    # u1: a->b->a ; u2: a->b  => from a: {b:2}, from b: {a:1, b... none}
+    ev = _events(spark, [
+        (1, 1, _ts("2024-01-01 10:00:00"), "a"),
+        (2, 1, _ts("2024-01-01 11:00:00"), "b"),
+        (3, 1, _ts("2024-01-01 12:00:00"), "a"),
+        (4, 2, _ts("2024-01-01 10:00:00"), "a"),
+        (5, 2, _ts("2024-01-01 11:00:00"), "b"),
+    ])
+    rows = {(r.prev_type, r.cur_type): r
+            for r in transition_matrix(ev).collect()}
+    assert rows[("a", "b")].n_transitions == 2
+    assert rows[("a", "b")].p_next == 1.0
+    assert rows[("b", "a")].n_transitions == 1
+    assert rows[("b", "a")].p_next == 1.0
+    assert len(rows) == 2
+
+
+def test_transition_tiebreak_on_event_id(spark):
+    # same ts: order falls back to event_id, deterministically
+    ev = _events(spark, [
+        (2, 1, _ts("2024-01-01 10:00:00"), "b"),
+        (1, 1, _ts("2024-01-01 10:00:00"), "a"),
+        (3, 1, _ts("2024-01-01 11:00:00"), "c"),
+    ])
+    rows = {(r.prev_type, r.cur_type)
+            for r in transition_matrix(ev).collect()}
+    assert rows == {("a", "b"), ("b", "c")}
