@@ -294,3 +294,56 @@ def vocab_coverage(docs: DataFrame, k: int = 100,
             .select("term", "n_occ", "rank",
                     F.round(F.col("cum") / F.col("total"), round_to)
                     .alias("coverage")))
+
+
+def term_cooccurrence_pmi(docs: DataFrame, min_df: int = 5,
+                          max_df_frac: float = 0.95, min_pair: int = 5,
+                          k: int = 50, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          round_to: int = 6) -> DataFrame:
+    """Corpus-level term co-occurrence with pointwise mutual
+    information: ``pmi(a,b) = ln(n_ab * N / (df_a * df_b))`` over
+    document-level presence — the collocation/phrase-mining signal a
+    corpus-analysis pass extracts before tokenizer training.
+
+    Scale shape: document-frequency gating BEFORE the pair fan-out is
+    the load-bearing guard — the postings self-join on ``doc_id``
+    explodes quadratically in per-doc vocabulary, so terms below
+    ``min_df`` (too rare to matter) or above ``max_df_frac`` of the
+    corpus (stop-word hot keys that skew the join) never enter it.
+    The cap is a corpus FRACTION, not an absolute count, so the same
+    parameters hold at any scale.  One explode + two hash aggs + one
+    co-partitioned self-join; the corpus size is a broadcast 1-row
+    aggregate.  Ranking rounds PMI before the global top-k and
+    tie-breaks on the term pair.  Returns
+    ``(term_a, term_b, n_ab, df_a, df_b, pmi)``.
+    """
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda w: w != ""))
+    posts = docs.select(F.col(id_col), F.explode(words).alias("term"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = posts.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    keep = (dfreq.crossJoin(F.broadcast(n))
+            .filter((F.col("df") >= min_df)
+                    & (F.col("df") <= max_df_frac * F.col("n_docs")))
+            .drop("n_docs"))
+    gated = posts.join(keep, "term")
+    a = gated.select(F.col(id_col), F.col("term").alias("term_a"),
+                     F.col("df").alias("df_a"))
+    b = gated.select(F.col(id_col), F.col("term").alias("term_b"),
+                     F.col("df").alias("df_b"))
+    pairs = (a.join(b, id_col)
+             .filter(F.col("term_a") < F.col("term_b"))
+             .groupBy("term_a", "term_b", "df_a", "df_b")
+             .agg(F.count("*").cast("long").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_pair))
+    scored = (pairs.crossJoin(F.broadcast(n))
+              .select("term_a", "term_b", "n_ab", "df_a", "df_b",
+                      F.round(F.log(F.col("n_ab").cast("double")
+                                    * F.col("n_docs")
+                                    / (F.col("df_a") * F.col("df_b"))),
+                              round_to).alias("pmi")))
+    return (scored.orderBy(F.col("pmi").desc(), F.col("term_a").asc(),
+                           F.col("term_b").asc())
+            .limit(k))

@@ -152,3 +152,42 @@ def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.round(F.avg(F.aggregate(F.col(vec_col), F.lit(0.0),
                                   lambda a, x: a + x.cast("double"))
                       / F.size(vec_col)), 6).alias("avg_component_mean"))
+
+
+def embedding_outlier_zscores(df: DataFrame, cluster_col: str = "label",
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              z_threshold: float = 2.0,
+                              k: int = 25) -> DataFrame:
+    """Per-cluster embedding outlier detection: distance to the
+    cluster centroid, z-scored against the cluster's distance
+    distribution — the embedding-space QA pass that surfaces
+    mislabeled / off-distribution vectors before they reach training.
+
+    Scale shape: centroids are a bounded per-cluster aggregate
+    (components rounded so both engines agree bit-for-bit), broadcast
+    back to the corpus; distances are a narrow JVM expression; the
+    per-cluster mean/std is a second bounded aggregate joined back by
+    broadcast.  Nothing driver-side, no window over the corpus.
+    Ranking rounds the z-score BEFORE the global top-k with an id
+    tie-break.  Returns ``(id_col, cluster, dist, z)``.
+    """
+    from python_vector_db___ai_spark.functions.vector import l2_distance
+    from python_vector_db___ai_spark.operators.ivf import build_centroids
+
+    cents = build_centroids(df, cluster_col, vec_col)
+    dists = (df.join(F.broadcast(cents), cluster_col)
+             .select(F.col(id_col), F.col(cluster_col).alias("cluster"),
+                     l2_distance(F.col(vec_col), F.col("centroid"))
+                     .alias("dist")))
+    stats = dists.groupBy("cluster").agg(
+        F.avg("dist").alias("_mu"),
+        F.stddev_pop("dist").alias("_sd"))
+    z = F.when(F.col("_sd") > 0,
+               F.round((F.col("dist") - F.col("_mu")) / F.col("_sd"), 6))
+    return (dists.join(F.broadcast(stats), "cluster")
+            .select(id_col, "cluster", F.round("dist", 6).alias("dist"),
+                    z.alias("z"))
+            .filter(F.col("z") > z_threshold)
+            .orderBy(F.col("z").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -441,3 +441,84 @@ def dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        spill=_PRUNE_SPILL)
               .select(F.lit("pruned").alias("branch"), "i", "j", "cosine"))
     return exact.unionByName(pruned)
+
+
+_INC_DOCS = 400
+_INC_MOD = 5          # doc_id % 5 == 0 -> the "new batch"; else corpus
+_INC_VERIFY = 0.9
+
+
+def _minhash_incremental_oracle() -> str:
+    rows = _MH_HASHES // _MH_BANDS
+    ws = _WORDS.format(t="text")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, w -> {stable_hash_sql('w', seed=s)})) AS s{s}"
+        for s in range(_MH_HASHES))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws('_', {', '.join(f's{b * rows + i}' for i in range(rows))})) "
+        f"AS bucket FROM sig"
+        for b in range(_MH_BANDS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({ws}) AS sh
+  FROM documents WHERE doc_id < {_INC_DOCS}
+), sig AS (
+  SELECT doc_id, sh, {sig_exprs} FROM d
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} <> 0
+), verified AS (
+  SELECT c.i, c.j,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jr
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.i
+  JOIN sig b ON b.doc_id = c.j
+), per_doc AS (
+  SELECT i, count(*)::BIGINT AS n_candidates,
+         sum(CASE WHEN jr >= {_INC_VERIFY} THEN 1 ELSE 0 END)::BIGINT
+           AS n_dups
+  FROM verified GROUP BY i
+), best AS (
+  SELECT i, j AS best_match, jr AS best_jaccard FROM (
+    SELECT i, j, jr,
+           row_number() OVER (PARTITION BY i ORDER BY jr DESC, j ASC) AS rn
+    FROM verified
+  ) WHERE rn = 1
+)
+SELECT n.doc_id,
+       coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+       coalesce(p.n_dups, 0)::BIGINT AS n_dups,
+       b.best_match, b.best_jaccard,
+       coalesce(b.best_jaccard >= {_INC_VERIFY}, FALSE) AS is_dup
+FROM (SELECT doc_id FROM d WHERE doc_id % {_INC_MOD} = 0) n
+LEFT JOIN per_doc p ON p.i = n.doc_id
+LEFT JOIN best b ON b.i = n.doc_id
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_minhash_incremental_oracle(),
+    doc="incremental (new-batch vs corpus) MinHash+LSH dedup: the "
+        "increment's band buckets equi-join the standing corpus index, "
+        "so daily dedup cost scales with the increment, never corpus² — "
+        "per new doc: candidate/dup counts, best verified match, keep flag",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.dedup import (
+        minhash_incremental_flags,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _INC_DOCS))
+    new = docs.filter(F.col("doc_id") % _INC_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INC_MOD != 0)
+    return minhash_incremental_flags(new, corpus,
+                                     num_hashes=_MH_HASHES,
+                                     bands=_MH_BANDS,
+                                     verify_threshold=_INC_VERIFY)

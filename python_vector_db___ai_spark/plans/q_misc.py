@@ -384,3 +384,36 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("value"), 6).alias("min_value"),
                  F.round(F.max("value"), 6).alias("max_value"),
                  F.count("*").cast("long").alias("n")))
+
+
+_ATTR_LOOKBACK = "2 hours"
+
+
+@register(
+    "stream_attribution_join",
+    oracle=f"""
+SELECT p.event_id AS conv_id, c.event_id AS trigger_id, p.user_id,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6)
+         AS secs_before
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
+""",
+    doc="§2.10 stream-stream interval self-join: purchases joined to "
+        "the same user's clicks in the trailing 2h, drained with "
+        "availableNow in append mode — watermarks bound the join state; "
+        "must equal the batch interval join",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.streaming.ingest import (
+        run_stream_to_completion,
+        stream_stream_attribution_join,
+    )
+
+    joined = stream_stream_attribution_join(
+        spark, sf_dir, lookback=_ATTR_LOOKBACK)
+    out = joined.select("conv_id", "trigger_id", "user_id",
+                        F.round("secs_before", 6).alias("secs_before"))
+    return run_stream_to_completion(out, query_name="attribution_join",
+                                    output_mode="append")

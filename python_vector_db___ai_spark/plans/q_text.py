@@ -647,3 +647,59 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs, k=_VOCAB_K)
+
+
+_PMI_MIN_DF = 5
+_PMI_MAX_DF_FRAC = 0.95
+_PMI_MIN_PAIR = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "term_cooccurrence_pmi",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), w -> w <> ''))
+           AS lw
+  FROM documents
+), posts AS (
+  SELECT doc_id, unnest(lw) AS term FROM d
+), nd AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM documents
+), dfc AS (
+  SELECT term, count(*)::BIGINT AS df FROM posts GROUP BY term
+), keep AS (
+  SELECT term, df FROM dfc CROSS JOIN nd
+  WHERE df >= {_PMI_MIN_DF} AND df <= {_PMI_MAX_DF_FRAC} * n_docs
+), gated AS (
+  SELECT p.doc_id, p.term, k.df FROM posts p JOIN keep k USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         a.df AS df_a, b.df AS df_b, count(*)::BIGINT AS n_ab
+  FROM gated a JOIN gated b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {_PMI_MIN_PAIR}
+)
+SELECT term_a, term_b, n_ab, df_a, df_b,
+       round(ln((n_ab::DOUBLE * n_docs) / (df_a * df_b)), 6) AS pmi
+FROM pairs CROSS JOIN nd
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT {_PMI_TOPK}
+""",
+    doc="document-level term co-occurrence PMI (collocation mining): "
+        "df-gated postings self-join on doc_id — the [min_df, max_df] "
+        "gate BEFORE the pair fan-out is what keeps the quadratic "
+        "per-doc explosion and hot stop-word keys out of the shuffle",
+)
+def term_cooccurrence_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.bm25 import (
+        term_cooccurrence_pmi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_cooccurrence_pmi(docs, min_df=_PMI_MIN_DF,
+                                 max_df_frac=_PMI_MAX_DF_FRAC,
+                                 min_pair=_PMI_MIN_PAIR, k=_PMI_TOPK)

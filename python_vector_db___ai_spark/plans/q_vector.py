@@ -263,3 +263,47 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.stddev_samp("nrm"), 6).alias("std_norm"),
                   F.round(F.min("unit_norm"), 6).alias("min_unit_norm"),
                   F.round(F.max("unit_norm"), 6).alias("max_unit_norm")))
+
+
+_OUT_Z = 2.0
+_OUT_TOPK = 25
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+WITH cents AS (
+  SELECT label, pos, round(avg(v), 6) AS c FROM (
+    SELECT label, unnest(embedding::DOUBLE[]) AS v,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings
+  ) GROUP BY label, pos
+), cvec AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cents GROUP BY label
+), dists AS (
+  SELECT e.vec_id, e.label AS cluster,
+         list_distance(e.embedding::DOUBLE[], c.centroid) AS dist
+  FROM embeddings e JOIN cvec c ON c.label = e.label
+), stats AS (
+  SELECT cluster, avg(dist) AS mu, stddev_pop(dist) AS sd
+  FROM dists GROUP BY cluster
+)
+SELECT vec_id, cluster, round(dist, 6) AS dist,
+       round((dist - mu) / sd, 6) AS z
+FROM dists JOIN stats USING (cluster)
+WHERE sd > 0 AND round((dist - mu) / sd, 6) > {_OUT_Z}
+ORDER BY round((dist - mu) / sd, 6) DESC, vec_id ASC
+LIMIT {_OUT_TOPK}
+""",
+    doc="per-cluster embedding outliers: distance-to-centroid z-score "
+        "(rounded centroids for cross-engine determinism; two bounded "
+        "aggregates + broadcast joins; never a corpus-wide window) — "
+        "the embedding-space QA pass for mislabeled vectors",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.embedding import (
+        embedding_outlier_zscores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_outlier_zscores(emb, z_threshold=_OUT_Z, k=_OUT_TOPK)

@@ -63,9 +63,11 @@ def hourly_event_counts(events: DataFrame,
 
 
 def run_stream_to_completion(streaming_df: DataFrame,
-                             query_name: str | None = None) -> DataFrame:
+                             query_name: str | None = None,
+                             output_mode: str = "complete") -> DataFrame:
     """Drain a streaming aggregation with availableNow into a memory
-    sink and return the final result as a batch DataFrame."""
+    sink and return the final result as a batch DataFrame.  Joins and
+    non-aggregating transforms drain in ``append`` mode."""
     import shutil
 
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
@@ -74,7 +76,7 @@ def run_stream_to_completion(streaming_df: DataFrame,
         q = (streaming_df.writeStream
              .format("memory")
              .queryName(name)
-             .outputMode("complete")
+             .outputMode(output_mode)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True)
              .start())
@@ -122,3 +124,46 @@ def ingest_foreachbatch(spark: SparkSession, sf_dir: str,
     # indistinguishable from a real zero-row batch 0
     return spark.createDataFrame(
         results, "batch_id long, n_rows long, n_embedded long")
+
+
+def stream_stream_attribution_join(spark: SparkSession, sf_dir: str,
+                                   trigger_type: str = "click",
+                                   convert_type: str = "purchase",
+                                   lookback: str = "2 hours",
+                                   watermark: str = "4 hours") -> DataFrame:
+    """Stream-stream interval self-join (§2.10): every conversion event
+    paired with the same user's trigger events in the preceding
+    ``lookback`` — the streaming attribution join.
+
+    Both sides carry a watermark so the join state is bounded: a
+    buffered trigger row is dropped once the conversion-side watermark
+    passes its timestamp + lookback (Spark derives the eviction bound
+    from the interval condition).  State is keyed by ``user_id`` —
+    the same key both sides shuffle on, one exchange each.
+
+    Returns the *streaming* joined frame; drain with
+    ``run_stream_to_completion(..., output_mode='append')``.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    trig = (ev.filter(F.col("event_type") == trigger_type)
+            .select(F.col("user_id"),
+                    F.col("ts").alias("trigger_ts"),
+                    F.col("event_id").alias("trigger_id"))
+            .withWatermark("trigger_ts", watermark))
+    conv = (ev.filter(F.col("event_type") == convert_type)
+            .select(F.col("user_id").alias("conv_user"),
+                    F.col("ts").alias("conv_ts"),
+                    F.col("event_id").alias("conv_id"))
+            .withWatermark("conv_ts", watermark))
+    cond = (
+        (F.col("user_id") == F.col("conv_user"))
+        & (F.col("trigger_ts") <= F.col("conv_ts"))
+        & (F.col("trigger_ts")
+           >= F.col("conv_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return (conv.join(trig, cond, "inner")
+            .select(F.col("conv_id"), F.col("trigger_id"),
+                    F.col("conv_user").alias("user_id"),
+                    ((F.unix_micros("conv_ts")
+                      - F.unix_micros("trigger_ts")) / 1_000_000.0)
+                    .alias("secs_before")))

@@ -123,3 +123,25 @@ def test_rrf_fuse_batch_per_query(spark):
     # ranks are per-query: both q1 docs tie on score, id breaks the tie
     ranks = {(r.query_id, r.doc_id): r.rank for r in out.collect()}
     assert ranks[(1, 20)] == 1 and ranks[(1, 21)] == 2
+
+
+def test_term_cooccurrence_pmi_gating_and_values(spark):
+    import math
+
+    from python_vector_db___ai_spark.operators.bm25 import (
+        term_cooccurrence_pmi,
+    )
+
+    # 4 docs; "a b" co-occur in 3; "stop" is in every doc (df cap
+    # kicks it out at max_df_frac=0.75); "rare" df=1 < min_df=2.
+    docs = spark.createDataFrame(
+        [(1, "a b stop"), (2, "a b stop"), (3, "a b stop rare"),
+         (4, "stop")],
+        "doc_id long, text string")
+    out = term_cooccurrence_pmi(docs, min_df=2, max_df_frac=0.75,
+                                min_pair=2, k=10)
+    rows = {(r.term_a, r.term_b): r for r in out.collect()}
+    assert set(rows) == {("a", "b")}
+    r = rows[("a", "b")]
+    assert (r.n_ab, r.df_a, r.df_b) == (3, 3, 3)
+    assert r.pmi == round(math.log(3 * 4 / (3 * 3)), 6)

@@ -250,3 +250,24 @@ def test_minhash_max_bucket_drops_hot_buckets(spark):
                                max_bucket=3)
     got = {(r.i, r.j) for r in capped.collect()}
     assert got == {(10, 11)}  # the small family survives, the hot one goes
+
+
+def test_minhash_incremental_flags(spark):
+    from python_vector_db___ai_spark.operators.dedup import (
+        minhash_incremental_flags,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),   # exact dup of 1
+         (11, "zeta eta theta iota kappa")],       # nothing similar
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           minhash_incremental_flags(new, corpus).collect()}
+    assert out[10].is_dup and out[10].best_match == 1
+    assert out[10].best_jaccard == 1.0 and out[10].n_dups == 1
+    assert not out[11].is_dup and out[11].best_match is None
+    assert out[11].n_candidates == 0

@@ -79,3 +79,18 @@ def test_cosine_self_is_one(pairs_df):
         a = np.array(VECS[r.id][0])
         expected = 0.0 if np.linalg.norm(a) < 1e-12 else 1.0
         assert r.c == pytest.approx(expected, abs=1e-9)
+
+
+def test_embedding_outlier_zscores(spark):
+    from python_vector_db___ai_spark.operators.embedding import (
+        embedding_outlier_zscores,
+    )
+
+    # cluster 0: nine vectors near the origin plus one far outlier
+    rows = [(i, [0.0, float(i % 3) * 0.1], 0) for i in range(9)]
+    rows.append((9, [50.0, 50.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_outlier_zscores(emb, z_threshold=2.0, k=5).collect()
+    assert [r.vec_id for r in out] == [9]
+    assert out[0].z > 2.0
