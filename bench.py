@@ -52,6 +52,10 @@ HEADLINE = [
     "tpch_q3_topk",            # 3-way join + top-k
     "bm25_rrf_hybrid",         # lexical retrieval + RRF fusion
     "embedding_quantize_int8", # int8 quantization error stats
+    "events_funnel_steps",     # sequential funnel (chained user aggs)
+    "events_active_users_rolling",  # exact DAU/WAU (bounded fan-out)
+    "term_cooccurrence_pmi",   # df-gated collocation postings self-join
+    "dedup_incremental_minhash",    # new-batch vs corpus LSH dedup
 ]
 
 

@@ -138,3 +138,45 @@ def transition_matrix(events: DataFrame, user_col: str = "user_id",
             .select("prev_type", "cur_type", "n_transitions",
                     F.round(F.col("n_transitions") / F.col("n_from_prev"), 6)
                     .alias("p_next")))
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7,
+                         user_col: str = "user_id",
+                         ts_col: str = "ts") -> DataFrame:
+    """DAU / trailing-WAU per day with exact distinct counts.
+
+    A sliding COUNT(DISTINCT) cannot be windowed directly, and a
+    day-range θ-join explodes; instead each distinct (user, day) pair
+    fans out to the ``window_days`` report days it contributes to — a
+    BOUNDED explode (×7) followed by one hash count-distinct on the
+    day key.  That is the 100-TB shape: linear in distinct user-days,
+    no inequality join, no giant window state.  Report days past the
+    last observed day are clipped via a broadcast 1-row max.
+
+    Returns ``(day, dau, wau, dau_wau_ratio)`` where ``wau`` counts
+    users active in the ``window_days`` ending that day.
+    """
+    user_days = (events
+                 .select(F.col(user_col), F.to_date(ts_col).alias("d"))
+                 .distinct())
+    bounds = events.agg(F.max(F.to_date(ts_col)).alias("max_d"))
+    contrib = (user_days
+               .select(user_col, "d",
+                       F.explode(F.sequence(F.lit(0),
+                                            F.lit(window_days - 1)))
+                       .alias("off"))
+               .select(user_col,
+                       F.date_add(F.col("d"), F.col("off"))
+                       .alias("report_day")))
+    wau = (contrib.crossJoin(F.broadcast(bounds))
+           .filter(F.col("report_day") <= F.col("max_d"))
+           .groupBy("report_day")
+           .agg(F.countDistinct(user_col).alias("wau")))
+    dau = (user_days.groupBy(F.col("d").alias("report_day"))
+           .agg(F.countDistinct(user_col).alias("dau")))
+    return (wau.join(dau, "report_day", "left")
+            .select(F.date_format("report_day", "yyyy-MM-dd").alias("day"),
+                    F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+                    F.col("wau").cast("long").alias("wau"),
+                    F.round(F.coalesce("dau", F.lit(0)) / F.col("wau"), 6)
+                    .alias("dau_wau_ratio")))

@@ -127,3 +127,44 @@ FROM pairs JOIN totals USING (prev_type)
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return transition_matrix(ev)
+
+
+_WAU_DAYS = 7
+
+
+@register(
+    "events_active_users_rolling",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), mx AS (
+  SELECT max(CAST(ts AS DATE)) AS max_d FROM events
+), contrib AS (
+  SELECT user_id, d + off::INTEGER AS report_day
+  FROM ud CROSS JOIN generate_series(0, {_WAU_DAYS - 1}) AS t(off)
+), wau AS (
+  SELECT report_day, count(DISTINCT user_id)::BIGINT AS wau
+  FROM contrib CROSS JOIN mx
+  WHERE report_day <= max_d
+  GROUP BY report_day
+), dau AS (
+  SELECT d AS report_day, count(DISTINCT user_id)::BIGINT AS dau
+  FROM ud GROUP BY d
+)
+SELECT strftime(w.report_day, '%Y-%m-%d') AS day,
+       coalesce(dau, 0)::BIGINT AS dau, wau,
+       round(coalesce(dau, 0) * 1.0 / wau, 6) AS dau_wau_ratio
+FROM wau w LEFT JOIN dau d ON d.report_day = w.report_day
+""",
+    doc="exact DAU / trailing-7d-WAU per day: each distinct (user, day) "
+        "fans out to the bounded 7 report days it contributes to — "
+        "linear in user-days, one hash count-distinct, no inequality "
+        "join, no sliding-distinct window state",
+)
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.behavior import (
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=_WAU_DAYS)

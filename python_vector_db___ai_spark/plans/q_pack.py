@@ -80,3 +80,57 @@ def data_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(kept, budget=_BUDGET, n_shards=_SHARDS)
     return packed.select("doc_id", "source", "n_tokens", "shard",
                          "seq_start_tok", "seq_id")
+
+
+_SPLIT_TRAIN = 80     # pmod(stable_hash64(doc_id), 100) < 80 -> train
+_SPLIT_VAL = 90       # 80..89 -> val; 90..99 -> test
+
+
+@register(
+    "dataset_split_report",
+    oracle=f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN b < {_SPLIT_TRAIN} THEN 'train'
+              WHEN b < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT source, n_chars,
+           {stable_hash_sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+    FROM documents
+  )
+), per AS (
+  SELECT split, source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS n_chars
+  FROM assigned GROUP BY 1, 2
+), tot AS (
+  SELECT split, sum(n_docs) AS split_total FROM per GROUP BY split
+)
+SELECT p.split, p.source, p.n_docs, p.n_chars,
+       round(p.n_docs * 1.0 / t.split_total, 6) AS share_of_split
+FROM per p JOIN tot t ON t.split = p.split
+""",
+    doc="deterministic hash-based train/val/test assignment (md5-derived "
+        "bucket, no rand() — replayable on any engine, stable under "
+        "re-partitioning and re-runs) with a per-(split, source) balance "
+        "report; the split column is a pure projection, so the assignment "
+        "scales as a map-only pass at 100 TB",
+)
+def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.functions.hashing import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.pmod(stable_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    assigned = docs.select(
+        "source", "n_chars",
+        F.when(b < _SPLIT_TRAIN, "train")
+        .when(b < _SPLIT_VAL, "val")
+        .otherwise("test").alias("split"))
+    per = (assigned.groupBy("split", "source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("n_chars")))
+    tot = per.groupBy("split").agg(F.sum("n_docs").alias("split_total"))
+    return (per.join(F.broadcast(tot), "split")
+            .select("split", "source", "n_docs", "n_chars",
+                    F.round(F.col("n_docs") / F.col("split_total"), 6)
+                    .alias("share_of_split")))

@@ -93,3 +93,50 @@ def test_transition_tiebreak_on_event_id(spark):
     rows = {(r.prev_type, r.cur_type)
             for r in transition_matrix(ev).collect()}
     assert rows == {("a", "b"), ("b", "c")}
+
+
+def test_rolling_active_users(spark):
+    # u1 active day1+day3, u2 active day1: DAU(1)=2, DAU(2)=0, DAU(3)=1;
+    # WAU window 2 days: WAU(1)=2, WAU(2)=2 (carry), WAU(3)=1
+    ev = _events(spark, [
+        (1, 1, _ts("2024-01-01 10:00:00"), "x"),
+        (2, 2, _ts("2024-01-01 11:00:00"), "x"),
+        (3, 1, _ts("2024-01-03 10:00:00"), "x"),
+    ])
+    from python_vector_db___ai_spark.operators.behavior import (
+        rolling_active_users,
+    )
+
+    rows = {r.day: r for r in rolling_active_users(ev, window_days=2).collect()}
+    assert rows["2024-01-01"].dau == 2 and rows["2024-01-01"].wau == 2
+    assert rows["2024-01-02"].dau == 0 and rows["2024-01-02"].wau == 2
+    assert rows["2024-01-03"].dau == 1 and rows["2024-01-03"].wau == 1
+    assert rows["2024-01-02"].dau_wau_ratio == 0.0
+    assert len(rows) == 3
+
+
+def test_behavior_plan_shapes(spark):
+    """The scale claims in operators/behavior.py, asserted on plans."""
+    from python_vector_db___ai_spark.operators.behavior import (
+        rolling_active_users,
+        transition_matrix,
+    )
+    from python_vector_db___ai_spark.plans.explain import formatted_plan
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    import re
+
+    ev = load_table(spark, SF_DIR, "events")
+    # WAU: the bounded explode + equi-agg shape — no theta join, no
+    # cartesian product; the single nested-loop node is the 1-row
+    # broadcast max-day bound, never a data-sized side
+    wau_plan = formatted_plan(rolling_active_users(ev))
+    assert "CartesianProduct" not in wau_plan
+    bnlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", wau_plan)
+    assert len(bnlj_nodes) <= 1, wau_plan
+    # transition matrix: the types-squared aggregate joins its row
+    # normalizer by broadcast, never a shuffle join
+    tm_plan = formatted_plan(transition_matrix(ev))
+    assert "BroadcastHashJoin" in tm_plan or "BroadcastExchange" in tm_plan
+    assert "SortMergeJoin" not in tm_plan
