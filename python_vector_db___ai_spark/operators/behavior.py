@@ -31,37 +31,58 @@ def funnel_steps(events: DataFrame, steps: Sequence[str],
     event of type ``steps[k]`` strictly after their step-(k-1) time,
     taking the earliest qualifying timestamp at every step.
 
-    One repartition on ``user_col``; each step is a co-partitioned
-    aggregate + join on the same key, so AQE plans N-1 shuffle-free
-    joins after the first exchange.  The per-step user sets union into
-    ONE job (no driver-side counting loop).  Returns one row per step:
+    Single-pass shape: a naive chain of per-step joins re-embeds every
+    earlier step's subplan (the 4-step chain planned 26 scans of
+    ``events``); instead each user's funnel-typed events sort into one
+    array and a single ``aggregate()`` walk carries the per-step
+    first-reach times as its state — ONE scan, one shuffle on
+    ``user_col``, one bounded aggregate on the step key, all JVM
+    expressions.  The per-user array holds only funnel-typed events
+    (pre-filtered); a pathological user with millions of them would
+    spill — at that point the chained-aggregate form (or a stateful
+    streaming walk) is the fallback.
+
+    Returns one row per step:
     (step_order, step, n_users, conv_from_prev, conv_from_first).
     """
-    ev = events.select(user_col, ts_col, type_col) \
-               .repartition(user_col)
-    # reached[k]: per-user earliest qualifying ts for step k
-    reached = (ev.filter(F.col(type_col) == steps[0])
-               .groupBy(user_col)
-               .agg(F.min(ts_col).alias("t0")))
-    per_step = [reached]
-    for k, step in enumerate(steps[1:], start=1):
-        prev = per_step[-1]
-        nxt = (ev.filter(F.col(type_col) == step)
-               .join(prev.select(user_col, F.col(f"t{k-1}")), user_col)
-               .filter(F.col(ts_col) > F.col(f"t{k-1}"))
-               .groupBy(user_col)
-               .agg(F.min(ts_col).alias(f"t{k}")))
-        # carry all previous step times forward for the next filter
-        per_step.append(prev.join(nxt, user_col).select(
-            user_col, *[f"t{i}" for i in range(k + 1)]))
-    counts = None
-    for k, (step, df) in enumerate(zip(steps, per_step)):
-        # global agg yields one row even for an empty step frame, so
-        # zero-conversion steps still appear in the report
-        t = df.agg(F.count("*").cast("long").alias("n_users")) \
-              .select(F.lit(k).alias("step_order"),
-                      F.lit(step).alias("step"), "n_users")
-        counts = t if counts is None else counts.unionByName(t)
+    n_steps = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = (events
+          .filter(F.col(type_col).isin(list(steps)))
+          .select(F.col(user_col),
+                  F.struct(F.unix_micros(ts_col).alias("t"),
+                           F.col(type_col).alias("y")).alias("e")))
+    # ascending (ts, type) walk; state[k] = micros of first reach of
+    # step k (null until reached).  An event of type steps[k] fills
+    # slot k when the slot is empty and slot k-1 was reached strictly
+    # earlier (k=0 needs no predecessor).
+    init = F.array(*[F.lit(None).cast("long") for _ in range(n_steps)])
+    walk = F.aggregate(
+        F.array_sort(F.collect_list("e")),
+        init,
+        lambda st, e: F.transform(
+            st,
+            lambda t, k: F.coalesce(
+                t,
+                F.when(
+                    (e["y"] == F.element_at(steps_arr, k + 1))
+                    & ((k == 0)
+                       | (F.element_at(st, k) < e["t"])),
+                    e["t"]))))
+    reached = (ev.groupBy(user_col)
+               .agg(walk.alias("st"))
+               .select(F.posexplode("st").alias("step_order", "t")))
+    got = (reached.groupBy("step_order")
+           .agg(F.count("t").cast("long").alias("n_users")))
+    # literal step spine: every step appears in the report even when
+    # nobody (or no event at all) reached it
+    spine = events.sparkSession.createDataFrame(
+        [(k, s) for k, s in enumerate(steps)],
+        "step_order INT, step STRING")
+    counts = (spine.join(got, "step_order", "left")
+              .select("step_order", "step",
+                      F.coalesce("n_users", F.lit(0)).cast("long")
+                      .alias("n_users")))
     # 4-row report frame: the unpartitioned lag window is fine here
     w = Window.orderBy("step_order")
     first = Window.orderBy("step_order") \

@@ -328,7 +328,9 @@ def term_cooccurrence_pmi(docs: DataFrame, min_df: int = 5,
             .filter((F.col("df") >= min_df)
                     & (F.col("df") <= max_df_frac * F.col("n_docs")))
             .drop("n_docs"))
-    gated = posts.join(keep, "term")
+    # both sides of the self-join read the gated postings — cache so
+    # the explode + df-join runs once (a table write at cluster scale)
+    gated = posts.join(keep, "term").cache()
     a = gated.select(F.col(id_col), F.col("term").alias("term_a"),
                      F.col("df").alias("df_a"))
     b = gated.select(F.col(id_col), F.col("term").alias("term_b"),
