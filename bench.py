@@ -97,6 +97,11 @@ def main() -> None:
     dedup_scale = (dedup_scale_benchmark(spark, sf_dir, doc_factors)
                    if doc_factors else [])
 
+    ev_factors = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_EVENT_FACTORS", "10,50,200").split(",") if x]
+    events_scale = (events_scale_benchmark(spark, sf_dir, ev_factors)
+                    if ev_factors else [])
+
     # Promote the exact-vs-IVF crossover into the headline table at the
     # LARGEST measured scale (>=100k rows) — the regime where the
     # pruned scan earns its keep decisively rather than within noise
@@ -118,6 +123,7 @@ def main() -> None:
         "ann": ann,
         "scale": scale,
         "dedup_scale": dedup_scale,
+        "events_scale": events_scale,
         "sf": sf,
     }
     # Full detail goes to a committed artifact; stdout carries a
@@ -149,10 +155,16 @@ def main() -> None:
         compact["dedup_scale_top"] = {k: e[k] for k in (
             "doc_rows", "minhash_lsh_sec", "components_sec",
             "repetition_sec", "crossdoc_sec") if k in e}
+    if events_scale:
+        e = events_scale[-1]
+        compact["events_scale_top"] = {k: e[k] for k in (
+            "event_rows", "funnel_sec", "wau_sec", "transition_sec",
+            "asof_sec") if k in e}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         # never ship an unparseable tail — shed detail, keep the contract
         compact.pop("dedup_scale_top", None)
+        compact.pop("events_scale_top", None)
         compact["ann"] = {k: compact["ann"][k]
                           for k in ("ivf_recall", "sketch_recall",
                                     "pq_recall", "hnsw_recall")
@@ -634,6 +646,78 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
 
         mh.unpersist()
         docs.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+        results.append(entry)
+    return results
+
+
+def events_scale_benchmark(spark, sf_dir: str, factors) -> list:
+    """Throughput scaling for the behavioral/event family.  The events
+    table is inflated with ``tools.scale_probe.inflate_events`` (each
+    copy is a fresh user population, so per-user state stays bounded)
+    and each operator is timed end to end:
+
+    * sequential funnel (single-pass per-user array walk),
+    * exact DAU / trailing-WAU (bounded fan-out + count-distinct),
+    * Markov transition matrix (per-user lag window),
+    * backward as-of join (union-and-carry, one shuffle).
+
+    Near-linear ``*_sec`` growth across factors substantiates the
+    family's 100-TB claims the same way dedup_scale does for text.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.asof import asof_join
+    from python_vector_db___ai_spark.operators.behavior import (
+        funnel_steps,
+        rolling_active_users,
+        transition_matrix,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tools.scale_probe import inflate_events
+
+    ev0 = load_table(spark, sf_dir, "events")
+    results = []
+    for factor in factors:
+        tmp = tempfile.mkdtemp(prefix=f"bench_events_{factor}_")
+        inflate_events(ev0, factor).write.parquet(tmp, mode="overwrite")
+        par = spark.sparkContext.defaultParallelism
+        ev = spark.read.parquet(tmp).repartition(par).cache()
+        n = ev.count()
+        entry = {"factor": factor, "event_rows": n}
+
+        t0 = time.perf_counter()
+        fun = funnel_steps(ev, ["signup", "view", "click", "purchase"]) \
+            .collect()
+        entry["funnel_sec"] = round(time.perf_counter() - t0, 3)
+        entry["funnel_final_users"] = int(fun[-1]["n_users"])
+
+        t0 = time.perf_counter()
+        wau = rolling_active_users(ev).agg(
+            F.max("wau").alias("m")).collect()[0]
+        entry["wau_sec"] = round(time.perf_counter() - t0, 3)
+        entry["max_wau"] = int(wau["m"])
+
+        t0 = time.perf_counter()
+        transition_matrix(ev).collect()
+        entry["transition_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        purchases = ev.filter(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        clicks = (ev.filter(F.col("event_type") == "click")
+                  .groupBy("user_id", "ts")
+                  .agg(F.min("event_id").alias("click_id")))
+        matched = asof_join(purchases, clicks, on="user_id",
+                            right_cols=["click_id"])
+        entry["asof_matched"] = matched.filter(
+            F.col("asof_click_id").isNotNull()).count()
+        entry["asof_sec"] = round(time.perf_counter() - t0, 3)
+
+        ev.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
         results.append(entry)
     return results

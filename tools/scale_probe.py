@@ -96,3 +96,20 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def inflate_events(events, factor: int, user_stride: int = 100_000):
+    """``factor`` copies of the events table for the behavioral-family
+    scale bench.  Each copy is a FRESH user population (user_id offset
+    by a copy-specific stride), so per-user event counts stay constant
+    while total volume grows — the realistic growth mode (more users,
+    not deeper histories), and the one that keeps per-key state bounded
+    for funnels, retention, and sessionization."""
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("copy")
+    base = events.select("event_id", "ts", "user_id", "event_type",
+                         "value", copies)
+    return base.select(
+        (F.col("event_id") * factor + F.col("copy")).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("copy") * user_stride).alias("user_id"),
+        "event_type", "value")
