@@ -67,7 +67,11 @@ def funnel_steps(events: DataFrame, steps: Sequence[str],
                 F.when(
                     (e["y"] == F.element_at(steps_arr, k + 1))
                     & ((k == 0)
-                       | (F.element_at(st, k) < e["t"])),
+                       # greatest(k,1): never index slot 0 with 0 —
+                       # ANSI element_at is 1-based and would throw;
+                       # when k=0 the first disjunct already decides
+                       | (F.element_at(st, F.greatest(k, F.lit(1)))
+                          < e["t"])),
                     e["t"]))))
     reached = (ev.groupBy(user_col)
                .agg(walk.alias("st"))
