@@ -107,3 +107,51 @@ def test_sketch_pack_unpack_roundtrip(bits):
     ham_mm = (f.sum(1)[:, None] + f.sum(1)[None, :] - 2.0 * (f @ f.T))
     ham_direct = (B[:, None, :] != B[None, :, :]).sum(-1)
     assert (ham_mm.astype(np.int64) == ham_direct).all()
+
+
+_ev_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),    # user
+              st.integers(min_value=0, max_value=30),   # ts offset (s)
+              st.sampled_from(["a", "b", "c"])),        # type
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=10, deadline=None)
+@given(evts=_ev_strategy)
+def test_funnel_matches_python_reference(sp, evts):
+    """Differential test: the single-pass array-walk funnel equals a
+    direct per-user Python replay of the strict-sequential semantics
+    on arbitrary event soup (duplicate timestamps included)."""
+    from datetime import datetime, timedelta
+
+    from python_vector_db___ai_spark.operators.behavior import funnel_steps
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, u, base + timedelta(seconds=off), y)
+            for i, (u, off, y) in enumerate(evts)]
+    df = sp.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    steps = ["a", "b", "c"]
+    got = {r.step_order: r.n_users
+           for r in funnel_steps(df, steps).collect()}
+
+    # python replay: walk each user's (ts, type)-sorted events, fill
+    # slot k when type matches and slot k-1 was strictly earlier
+    expected = [0] * len(steps)
+    users = {u for _, u, _, _ in rows}
+    for u in users:
+        seq = sorted((ts, y) for _, uu, ts, y in rows if uu == u)
+        slots = [None] * len(steps)
+        for ts, y in seq:
+            for k, s in enumerate(steps):
+                if (slots[k] is None and y == s
+                        and (k == 0 or (slots[k - 1] is not None
+                                        and slots[k - 1] < ts))):
+                    slots[k] = ts
+                    break
+        for k in range(len(steps)):
+            if slots[k] is not None:
+                expected[k] += 1
+    assert got == {k: expected[k] for k in range(len(steps))}
+    # monotone: each step can only lose users
+    assert all(got[k] >= got[k + 1] for k in range(len(steps) - 1))
