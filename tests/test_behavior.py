@@ -140,3 +140,23 @@ def test_behavior_plan_shapes(spark):
     tm_plan = formatted_plan(transition_matrix(ev))
     assert "BroadcastHashJoin" in tm_plan or "BroadcastExchange" in tm_plan
     assert "SortMergeJoin" not in tm_plan
+
+
+def test_funnel_single_pass_plan(spark):
+    """The funnel rewrite's claim: ONE scan of events (+ the literal
+    step spine) and a bounded exchange count — the chained-join form
+    planned 26 scans / 30 exchanges."""
+    import re
+
+    from python_vector_db___ai_spark.operators.behavior import funnel_steps
+    from python_vector_db___ai_spark.plans.explain import formatted_plan
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = formatted_plan(funnel_steps(ev, ["signup", "view", "click",
+                                            "purchase"]))
+    scans = re.findall(r"\(\d+\) Scan", plan)
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(scans) <= 2, plan     # events + the 4-row step spine
+    assert len(exchanges) <= 4, plan
