@@ -146,18 +146,52 @@ def _band_frame(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             .select("_id", "bb.band", "bb.bucket"))
 
 
+def minhash_build_index(corpus: DataFrame, num_hashes: int = 16,
+                        bands: int = 4, shingle_n: int = 1,
+                        text_col: str = "text",
+                        id_col: str = "doc_id"
+                        ) -> tuple[DataFrame, DataFrame]:
+    """The standing corpus-side LSH index as two parquet-writable
+    frames: ``(sigs, banded)`` — per-doc shingle sets + signatures,
+    and the banded bucket table the increment equi-joins against.
+    Persist with :func:`save_minhash_index`; a daily dedup job then
+    never re-signs the corpus (build once per corpus version, exactly
+    like the ANN artifacts in ``index_store``)."""
+    sigs = minhash_signature(corpus, num_hashes, shingle_n,
+                             text_col, id_col)
+    return sigs, _band_frame(sigs, num_hashes, bands)
+
+
+def save_minhash_index(sigs: DataFrame, banded: DataFrame,
+                       path: str) -> None:
+    """Write the corpus LSH index: bucket table partitioned by band
+    (so an increment probing one band prunes the others' files)."""
+    sigs.write.parquet(f"{path}/sigs", mode="overwrite")
+    banded.write.partitionBy("band").parquet(f"{path}/bands",
+                                             mode="overwrite")
+
+
+def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    banded = spark.read.parquet(f"{path}/bands") \
+        .select("_id", F.col("band").cast("int"), "bucket")
+    return spark.read.parquet(f"{path}/sigs"), banded
+
+
 def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
                               num_hashes: int = 16, bands: int = 4,
                               shingle_n: int = 1,
                               verify_threshold: float = 0.9,
                               text_col: str = "text",
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id",
+                              corpus_index: tuple[DataFrame, DataFrame]
+                              | None = None) -> DataFrame:
     """Incremental (new-batch vs. existing-corpus) MinHash dedup —
     the continual-ingest shape a production pipeline actually runs
     daily: only the increment is signed and banded fresh; the corpus
-    side is the standing LSH index (here recomputed for the check; at
-    scale it is the persisted band table maintained by prior runs, cf.
-    ``index_store``).
+    side is the standing LSH index (pass the persisted artifact as
+    ``corpus_index`` = :func:`load_minhash_index` output; without it
+    the index is recomputed in-flight, the oracle-checked
+    configuration).
 
     Candidates come from an equi-join of the increment's band buckets
     against the corpus index — cost scales with the INCREMENT, never
@@ -171,10 +205,14 @@ def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
     """
     new_sigs = minhash_signature(new_docs, num_hashes, shingle_n,
                                  text_col, id_col).cache()
-    corp_sigs = minhash_signature(corpus, num_hashes, shingle_n,
-                                  text_col, id_col).cache()
+    if corpus_index is not None:
+        corp_sigs, corp_banded = corpus_index
+    else:
+        corp_sigs = minhash_signature(corpus, num_hashes, shingle_n,
+                                      text_col, id_col).cache()
+        corp_banded = _band_frame(corp_sigs, num_hashes, bands)
     cand = (_band_frame(new_sigs, num_hashes, bands).alias("a")
-            .join(_band_frame(corp_sigs, num_hashes, bands).alias("b"),
+            .join(corp_banded.alias("b"),
                   ["band", "bucket"])
             .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
             .distinct())

@@ -143,3 +143,32 @@ def test_sketch_artifact_roundtrip(spark, emb, queries, tmpdir_mod):
         for r in sketch_knn(queries, emb, k=5, n_bits=64, L=50,
                             prebuilt=(H, sk)).collect())
     assert got == want
+
+
+def test_minhash_index_roundtrip_matches_inflight(spark, tmp_path):
+    """The persisted corpus LSH index answers the incremental dedup
+    identically to the in-flight build."""
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.dedup import (
+        load_minhash_index,
+        minhash_build_index,
+        minhash_incremental_flags,
+        save_minhash_index,
+    )
+    from python_vector_db___ai_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    inflight = minhash_incremental_flags(new, corpus).collect()
+
+    sigs, banded = minhash_build_index(corpus)
+    save_minhash_index(sigs, banded, str(tmp_path / "mh"))
+    loaded = load_minhash_index(spark, str(tmp_path / "mh"))
+    persisted = minhash_incremental_flags(
+        new, corpus, corpus_index=loaded).collect()
+
+    assert sorted(map(tuple, inflight)) == sorted(map(tuple, persisted))
+    assert any(r.is_dup for r in persisted)   # non-degenerate fixture
