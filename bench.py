@@ -717,6 +717,24 @@ def events_scale_benchmark(spark, sf_dir: str, factors) -> list:
             F.col("asof_click_id").isNotNull()).count()
         entry["asof_sec"] = round(time.perf_counter() - t0, 3)
 
+        # exact vs approx percentile: substantiates the documented
+        # 100-TB scale path of events_value_percentiles (t-digest
+        # partial aggs vs the exact sort-based form) with a measured
+        # error bound at this volume.
+        t0 = time.perf_counter()
+        exact = ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.99)").alias("p99"))
+        exact_rows = {r["event_type"]: r["p99"] for r in exact.collect()}
+        entry["pctl_exact_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        approx = ev.groupBy("event_type").agg(
+            F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"))
+        approx_rows = {r["event_type"]: r["p99"] for r in approx.collect()}
+        entry["pctl_approx_sec"] = round(time.perf_counter() - t0, 3)
+        entry["pctl_max_rel_err"] = round(max(
+            abs(approx_rows[k] - v) / max(abs(v), 1e-9)
+            for k, v in exact_rows.items()), 6)
+
         ev.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
         results.append(entry)
