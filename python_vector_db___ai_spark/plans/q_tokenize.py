@@ -1,0 +1,160 @@
+"""Tokenizer-training and exact-substring-dedup queries.
+
+Two training-data-pipeline operators with no reference analog (the
+reference consumes pre-trained tokenizers and dedups whole documents;
+see ``operators/bpe.py`` / ``operators/substring.py`` docstrings),
+plus the HLL approximate-distinct invariant check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.bpe import (
+    bpe_train,
+    word_frequencies,
+)
+from python_vector_db___ai_spark.operators.substring import span_dedup
+from python_vector_db___ai_spark.plans.queries import register
+from python_vector_db___ai_spark.session import load_table
+
+_SPAN_W = 10
+
+_WORDS_D = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "w -> w <> '')")
+
+
+@register(
+    "corpus_span_dedup",
+    oracle=f"""
+WITH arr AS (
+  SELECT doc_id, {_WORDS_D} AS ws FROM documents
+), spans AS (
+  SELECT arr.doc_id, i.i AS span_id,
+         array_to_string(arr.ws[i.i * {_SPAN_W} + 1 : (i.i + 1) * {_SPAN_W}],
+                         ' ') AS span
+  FROM arr, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(arr.ws) / {_SPAN_W}.0) AS BIGINT)))
+           AS i) i
+), tagged AS (
+  SELECT doc_id, span_id, span,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc_id, span_id) AS rn
+  FROM spans
+)
+SELECT d.doc_id,
+       count(t.span)::BIGINT AS n_spans,
+       coalesce(sum(CASE WHEN t.rn > 1 THEN 1 END), 0)::BIGINT
+         AS n_dropped,
+       coalesce(sum(CASE WHEN t.rn > 1 THEN len(t.span) END), 0)::BIGINT
+         AS chars_dropped,
+       md5(coalesce(string_agg(CASE WHEN t.rn = 1 THEN t.span END,
+                               ' ' ORDER BY t.span_id), ''))
+         AS residual_hash
+FROM documents d LEFT JOIN tagged t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+""",
+    doc="exact-substring (span) dedup, Lee-et-al-2021 style: "
+        "non-overlapping word windows, one hash-agg keeper choice on "
+        "the span key (min struct — no window over the skewed key), "
+        "residual doc reassembled + hash-compared",
+)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, window=_SPAN_W)
+
+
+_BPE_MERGES = 10
+_BPE_MAX_VOCAB = 50_000
+
+
+def _bpe_oracle(n_merges: int, max_vocab: int) -> str:
+    """Unrolled-CTE replay of the deterministic BPE loop.
+
+    Recursive CTEs cannot re-aggregate the working set per round, so
+    each round r is three explicit CTEs: p{{r}} (weighted adjacent
+    pair counts), b{{r}} (argmax pair, ties lexicographic), v{{r}}
+    (greedy merge via ``replace`` over the double-spaced symbol
+    string — see ``operators/bpe.py`` for why double spacing makes
+    ``replace`` ≡ the greedy scan).  The round CTEs are MATERIALIZED:
+    DuckDB inlines CTEs by default, and each round references the
+    previous one twice, so the inlined plan re-scans the base table
+    2^rounds times (observed as an fd-exhaustion failure at 10
+    rounds).
+    """
+    sql = f"""
+WITH w AS (
+  SELECT word, count(*)::BIGINT AS c
+  FROM (SELECT unnest({_WORDS_D}) AS word FROM documents)
+  GROUP BY word ORDER BY c DESC, word ASC LIMIT {max_vocab}
+), v0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(word, ''), ' ') AS sym, c FROM w
+)"""
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        sql += f""",
+p{r} AS MATERIALIZED (
+  SELECT s.arr[i.i] || ' ' || s.arr[i.i + 1] AS pair,
+         sum(s.c)::BIGINT AS weight
+  FROM (SELECT string_split(trim(sym), ' ') AS arr, c FROM v{p}) s,
+       LATERAL (SELECT unnest(range(1, len(s.arr))) AS i) i
+  GROUP BY pair
+), b{r} AS MATERIALIZED (
+  SELECT {r}::BIGINT AS round, pair, replace(pair, ' ', '') AS token,
+         weight
+  FROM p{r} ORDER BY weight DESC, pair ASC LIMIT 1
+), v{r} AS MATERIALIZED (
+  SELECT replace(trim(replace(
+           ' ' || replace(sym, ' ', '  ') || ' ',
+           coalesce(' ' || replace((SELECT pair FROM b{r}), ' ', '  ')
+                    || ' ', chr(1)),
+           coalesce(' ' || (SELECT token FROM b{r}) || ' ', chr(1)))),
+         '  ', ' ') AS sym,
+         c
+  FROM v{p}
+)"""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, n_merges + 1))
+    return sql + f"\nSELECT round, pair, token, weight FROM ({union}) u"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(_BPE_MERGES, _BPE_MAX_VOCAB),
+    doc="BPE tokenizer training: one distributed word-frequency pass, "
+        "deterministic merge loop on the bounded vocabulary "
+        "(HuggingFace/SentencePiece split); oracle unrolls the loop "
+        "as CTE rounds",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = word_frequencies(docs, max_vocab=_BPE_MAX_VOCAB)
+    return bpe_train(spark, freq, n_merges=_BPE_MERGES)
+
+
+@register(
+    "events_approx_distinct",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+    doc="HLL sketch invariant: approx_count_distinct (rsd=0.01) must "
+        "land within 5% of the exact distinct count — the sketch is "
+        "the 100-TB path (mergeable, fixed memory); exact columns "
+        "hash-checked, the sketch via the always-true bound column",
+)
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.approx_count_distinct("user_id", rsd=0.01)
+                 .alias("_approx"))
+            .select("event_type", "n_events", "n_users",
+                    (F.abs(F.col("_approx") - F.col("n_users"))
+                     <= 0.05 * F.col("n_users"))
+                    .alias("approx_within_5pct")))

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         q_parity,
         q_pipeline,
         q_text,
+        q_tokenize,
         q_vector,
         q_versioned,
     )

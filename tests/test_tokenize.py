@@ -1,0 +1,124 @@
+"""Unit tests for span-level exact-substring dedup and BPE training."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.operators.bpe import (
+    bpe_train,
+    word_frequencies,
+)
+from python_vector_db___ai_spark.operators.substring import span_dedup
+
+
+def md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_span_dedup_keeps_global_first_occurrence(spark):
+    # W=3 spans; doc 0 and doc 2 share span "a b c"; doc 1 repeats it
+    # internally too.
+    docs = spark.createDataFrame(
+        [(0, "a b c x y z"),
+         (1, "a b c a b c"),
+         (2, "q r s a b c")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           span_dedup(docs, window=3).collect()}
+
+    # doc 0 owns the first (doc_id, span_id) for "a b c": keeps all
+    assert out[0]["n_spans"] == 2 and out[0]["n_dropped"] == 0
+    assert out[0]["residual_hash"] == md5("a b c x y z")
+
+    # doc 1: both spans are "a b c" — both lose to doc 0
+    assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 2
+    assert out[1]["chars_dropped"] == 2 * len("a b c")
+    assert out[1]["residual_hash"] == md5("")
+
+    # doc 2: second span dropped, first kept
+    assert out[2]["n_dropped"] == 1
+    assert out[2]["residual_hash"] == md5("q r s")
+
+
+def test_span_dedup_ragged_tail_and_case_fold(spark):
+    # 4 words at W=3 → spans "a b c" + ragged "d"; upper-case folds
+    docs = spark.createDataFrame(
+        [(0, "A b C d"), (1, "a B c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           span_dedup(docs, window=3).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_dropped"] == 0
+    assert out[1]["n_spans"] == 1 and out[1]["n_dropped"] == 1
+    assert out[1]["residual_hash"] == md5("")
+
+
+def naive_bpe(word_counts: dict[str, int], n_merges: int):
+    """Independent reference: explicit leftmost-scan merge (not
+    str.replace), explicit pair count."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (a, b), w = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rnd, f"{a} {b}", a + b, w))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_naive_scan_merge(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lowest"),
+         (1, "new newer newest low"),
+         (2, "wider wide new new")],
+        ["doc_id", "text"])
+    freq = word_frequencies(docs)
+    got = [(r["round"], r["pair"], r["token"], r["weight"])
+           for r in bpe_train(spark, freq, n_merges=8)
+           .orderBy("round").collect()]
+    wc = {r["word"]: r["c"] for r in freq.collect()}
+    assert got == naive_bpe(wc, 8)
+    # merges are learned most-frequent-first and are deterministic
+    assert got[0][1] == "l o"  # 'lo' appears in 6 words, weight 6
+    got2 = [(r["round"], r["pair"]) for r in
+            bpe_train(spark, word_frequencies(docs), n_merges=8)
+            .orderBy("round").collect()]
+    assert [(g[0], g[1]) for g in got] == got2
+
+
+def test_bpe_overlapping_pair_is_leftmost_greedy(spark):
+    # 'aaaa' with pair (a,a): leftmost-greedy → (aa)(aa), weight 3
+    docs = spark.createDataFrame([(0, "aaaa aaaa")], ["doc_id", "text"])
+    freq = word_frequencies(docs)
+    got = [(r["pair"], r["token"], r["weight"]) for r in
+           bpe_train(spark, freq, n_merges=2).orderBy("round").collect()]
+    wc = {r["word"]: r["c"] for r in freq.collect()}
+    assert got == [(p, t, w) for _, p, t, w in naive_bpe(wc, 2)]
+    assert got[0] == ("a a", "aa", 6)   # 3 adjacent positions × count 2
+    assert got[1] == ("aa aa", "aaaa", 2)
+
+
+def test_word_frequencies_vocab_cap(spark):
+    docs = spark.createDataFrame(
+        [(0, "z z z y y x w")], ["doc_id", "text"])
+    top = word_frequencies(docs, max_vocab=2).collect()
+    # count DESC, word ASC: z(3), y(2)
+    assert [(r["word"], r["c"]) for r in top] == [("z", 3), ("y", 2)]
