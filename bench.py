@@ -56,6 +56,9 @@ HEADLINE = [
     "events_active_users_rolling",  # exact DAU/WAU (bounded fan-out)
     "term_cooccurrence_pmi",   # df-gated collocation postings self-join
     "dedup_incremental_minhash",    # new-batch vs corpus LSH dedup
+    "corpus_span_dedup",       # exact-substring span dedup (hash-agg keeper)
+    "bpe_train_merges",        # BPE vocab induction (1 corpus pass + merges)
+    "pipeline_corpus_to_tokens",    # end-to-end dedup->gate->span->yield
 ]
 
 
@@ -643,6 +646,25 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
             F.avg("crossdoc_dup_frac").alias("f")).collect()[0]
         entry["crossdoc_sec"] = round(time.perf_counter() - t0, 3)
         entry["crossdoc_grams"] = int(cd["g"])
+
+        # span-level exact-substring dedup: same postings shape (one
+        # hash agg on the span key + join back), reduced to one row.
+        from python_vector_db___ai_spark.operators.substring import span_dedup
+
+        t0 = time.perf_counter()
+        sp = span_dedup(docs, window=10).agg(
+            F.sum("n_dropped").alias("d"),
+            F.sum("chars_dropped").alias("c")).collect()[0]
+        entry["span_dedup_sec"] = round(time.perf_counter() - t0, 3)
+        entry["span_dropped"] = int(sp["d"])
+
+        # BPE's corpus-scale half (the word-frequency pass); the merge
+        # loop runs on the bounded vocabulary and doesn't grow with n.
+        from python_vector_db___ai_spark.operators.bpe import word_frequencies
+
+        t0 = time.perf_counter()
+        entry["bpe_vocab_rows"] = word_frequencies(docs).count()
+        entry["bpe_freq_sec"] = round(time.perf_counter() - t0, 3)
 
         mh.unpersist()
         docs.unpersist()

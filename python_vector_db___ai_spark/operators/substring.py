@@ -49,11 +49,15 @@ def span_dedup(docs: DataFrame, window: int = 10,
     (doc_id, span_id) anywhere in the corpus, and returns one row per
     document::
 
-        (doc_id, n_spans, n_dropped, chars_dropped, residual_hash)
+        (doc_id, n_spans, n_dropped, words_dropped, chars_dropped,
+         residual_hash)
 
     ``residual_hash`` is ``md5`` of the kept spans re-joined in order
     — the deduplicated document body, hash-compared cross-engine
     without shipping the full text through the checker.
+    ``words_dropped`` counts the tokens inside dropped spans (the
+    ragged tail span can hold fewer than ``window`` words), so
+    downstream token accounting is exact.
     """
     words = words_col(F.col(text_col))
     n_spans = F.ceil(F.size(words) / F.lit(window)).cast("int")
@@ -73,8 +77,7 @@ def span_dedup(docs: DataFrame, window: int = 10,
     keepers = (spans
                .filter(F.col("span").isNotNull())
                .groupBy("span")
-               .agg(F.min(F.struct(id_col, "span_id")).alias("_keep"),
-                    F.count("*").cast("long").alias("_occ")))
+               .agg(F.min(F.struct(id_col, "span_id")).alias("_keep")))
 
     tagged = (spans.join(keepers, "span", "left")
               .withColumn(
@@ -88,6 +91,9 @@ def span_dedup(docs: DataFrame, window: int = 10,
         .cast("long").alias("n_spans"),
         F.sum(F.when(~F.col("_kept"), 1).otherwise(0))
         .cast("long").alias("n_dropped"),
+        F.sum(F.when(~F.col("_kept"),
+                     F.size(F.split(F.col("span"), " "))).otherwise(0))
+        .cast("long").alias("words_dropped"),
         F.sum(F.when(~F.col("_kept"), F.length("span")).otherwise(0))
         .cast("long").alias("chars_dropped"),
         F.md5(F.array_join(
@@ -97,5 +103,5 @@ def span_dedup(docs: DataFrame, window: int = 10,
                            F.struct("span_id", "span")))),
                 lambda s: s["span"]),
             " ")).alias("residual_hash")))
-    return per_doc.select(id_col, "n_spans", "n_dropped",
+    return per_doc.select(id_col, "n_spans", "n_dropped", "words_dropped",
                           "chars_dropped", "residual_hash")

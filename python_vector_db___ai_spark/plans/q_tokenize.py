@@ -15,6 +15,7 @@ from python_vector_db___ai_spark.operators.bpe import (
     bpe_train,
     word_frequencies,
 )
+from python_vector_db___ai_spark.operators.dedup import words_col
 from python_vector_db___ai_spark.operators.substring import span_dedup
 from python_vector_db___ai_spark.plans.queries import register
 from python_vector_db___ai_spark.session import load_table
@@ -47,6 +48,9 @@ SELECT d.doc_id,
        count(t.span)::BIGINT AS n_spans,
        coalesce(sum(CASE WHEN t.rn > 1 THEN 1 END), 0)::BIGINT
          AS n_dropped,
+       coalesce(sum(CASE WHEN t.rn > 1
+                         THEN len(string_split(t.span, ' ')) END),
+                0)::BIGINT AS words_dropped,
        coalesce(sum(CASE WHEN t.rn > 1 THEN len(t.span) END), 0)::BIGINT
          AS chars_dropped,
        md5(coalesce(string_agg(CASE WHEN t.rn = 1 THEN t.span END,
@@ -131,6 +135,106 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     freq = word_frequencies(docs, max_vocab=_BPE_MAX_VOCAB)
     return bpe_train(spark, freq, n_merges=_BPE_MERGES)
+
+
+_P_MIN_WORDS = 25
+
+
+@register(
+    "pipeline_corpus_to_tokens",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, md5(text) AS ch, len({_WORDS_D}) AS nw
+  FROM documents
+), k AS (
+  SELECT ch, min(doc_id) AS kid FROM h GROUP BY ch
+), f AS (
+  SELECT h.doc_id, h.source, h.nw,
+         (h.doc_id = k.kid) AS canon,
+         (h.nw >= {_P_MIN_WORDS}) AS gate
+  FROM h JOIN k USING (ch)
+), arr AS (
+  SELECT d.doc_id, {_WORDS_D} AS ws
+  FROM documents d JOIN f ON d.doc_id = f.doc_id
+  WHERE f.canon AND f.gate
+), spans AS (
+  SELECT arr.doc_id, i.i AS span_id,
+         array_to_string(arr.ws[i.i * {_SPAN_W} + 1 : (i.i + 1) * {_SPAN_W}],
+                         ' ') AS span
+  FROM arr, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(arr.ws) / {_SPAN_W}.0) AS BIGINT)))
+           AS i) i
+), tagged AS (
+  SELECT doc_id, span,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc_id, span_id) AS rn
+  FROM spans
+), wd AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN rn > 1
+                           THEN len(string_split(span, ' ')) END),
+                  0)::BIGINT AS w
+  FROM tagged GROUP BY doc_id
+)
+SELECT f.source,
+       count(*)::BIGINT AS docs_in,
+       sum(CASE WHEN f.canon THEN 1 ELSE 0 END)::BIGINT AS docs_canonical,
+       sum(CASE WHEN f.canon AND f.gate THEN 1 ELSE 0 END)::BIGINT
+         AS docs_kept,
+       sum(f.nw)::BIGINT AS words_in,
+       sum(CASE WHEN f.canon AND f.gate
+                THEN f.nw - coalesce(wd.w, 0) ELSE 0 END)::BIGINT
+         AS words_kept,
+       sum(coalesce(wd.w, 0))::BIGINT AS span_words_dropped,
+       round(sum(CASE WHEN f.canon AND f.gate
+                      THEN f.nw - coalesce(wd.w, 0)
+                      ELSE 0 END)::DOUBLE / sum(f.nw), 6) AS yield_frac
+FROM f LEFT JOIN wd ON f.doc_id = wd.doc_id
+GROUP BY f.source
+""",
+    doc="the whole pretraining-data pipeline as ONE declarative plan: "
+        "exact dedup (content-hash keeper) -> min-words gate -> "
+        "span-level exact-substring dedup over the survivors -> "
+        "per-source token-yield report.  Composition of three "
+        "individually-checked stages, checked end to end",
+)
+def pipeline_corpus_to_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> training-ready-token accounting, one plan.
+
+    Scale shape: two pruned scans of the corpus (one for hash+count,
+    one feeding span dedup on the survivors), one groupBy on the
+    content hash, one on the span key, one equi-join back, one final
+    per-source hash aggregate.  Nothing quadratic, no windows over
+    skewed keys, no driver collects.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("_ch"),
+        F.size(words_col(F.col("text"))).alias("n_words"))
+    keep = base.groupBy("_ch").agg(F.min("doc_id").alias("_k"))
+    flags = (base.join(keep, "_ch")
+             .select("doc_id", "source", "n_words",
+                     (F.col("doc_id") == F.col("_k")).alias("canon"),
+                     (F.col("n_words") >= _P_MIN_WORDS).alias("gate")))
+    kept_ids = flags.filter(F.col("canon") & F.col("gate")) \
+        .select("doc_id")
+    sd = span_dedup(docs.join(kept_ids, "doc_id"), window=_SPAN_W) \
+        .select("doc_id", "words_dropped")
+    per = flags.join(sd, "doc_id", "left")
+    kept = F.col("canon") & F.col("gate")
+    wd = F.coalesce("words_dropped", F.lit(0))
+    return (per.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_in"),
+        F.sum(F.col("canon").cast("long")).cast("long")
+        .alias("docs_canonical"),
+        F.sum(kept.cast("long")).cast("long").alias("docs_kept"),
+        F.sum("n_words").cast("long").alias("words_in"),
+        F.sum(F.when(kept, F.col("n_words") - wd).otherwise(0))
+        .cast("long").alias("words_kept"),
+        F.sum(wd).cast("long").alias("span_words_dropped"))
+        .withColumn("yield_frac",
+                    F.round(F.col("words_kept").cast("double")
+                            / F.col("words_in"), 6)))
 
 
 @register(

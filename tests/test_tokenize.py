@@ -36,6 +36,7 @@ def test_span_dedup_keeps_global_first_occurrence(spark):
     # doc 1: both spans are "a b c" — both lose to doc 0
     assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 2
     assert out[1]["chars_dropped"] == 2 * len("a b c")
+    assert out[1]["words_dropped"] == 6
     assert out[1]["residual_hash"] == md5("")
 
     # doc 2: second span dropped, first kept
@@ -51,6 +52,7 @@ def test_span_dedup_ragged_tail_and_case_fold(spark):
            span_dedup(docs, window=3).collect()}
     assert out[0]["n_spans"] == 2 and out[0]["n_dropped"] == 0
     assert out[1]["n_spans"] == 1 and out[1]["n_dropped"] == 1
+    assert out[1]["words_dropped"] == 3  # full 3-word span dropped
     assert out[1]["residual_hash"] == md5("")
 
 
