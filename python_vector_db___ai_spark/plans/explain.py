@@ -34,11 +34,15 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators in the physical plan."""
+    """Number of distinct shuffle Exchange operators in the physical
+    plan.  Counts the detail-section headers ``(N) Exchange`` so each
+    operator is counted once (the formatted plan also repeats every
+    node in the tree section)."""
+    import re
+
     plan = formatted_plan(df)
     return sum(1 for line in plan.splitlines()
-               if "Exchange" in line and "Reused" not in line
-               and "BroadcastExchange" not in line)
+               if re.match(r"^\(\d+\) Exchange\s*$", line))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

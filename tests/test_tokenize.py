@@ -124,3 +124,36 @@ def test_word_frequencies_vocab_cap(spark):
     top = word_frequencies(docs, max_vocab=2).collect()
     # count DESC, word ASC: z(3), y(2)
     assert [(r["word"], r["c"]) for r in top] == [("z", 3), ("y", 2)]
+
+
+def test_span_dedup_plan_shape(spark):
+    """Scale witnesses: the keeper choice partial-aggregates map-side
+    (one shuffle on the span key), the join back is broadcastable, and
+    the per-doc reduce is the only other shuffle."""
+    from python_vector_db___ai_spark.plans.explain import (
+        count_exchanges,
+        formatted_plan,
+        has_broadcast_join,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    spark.catalog.clearCache()
+    out = span_dedup(load_table(spark, SF_DIR, "documents"), window=10)
+    plan = formatted_plan(out)
+    assert "partial_min" in plan          # map-side combine before shuffle
+    assert count_exchanges(out) <= 2, plan  # keeper agg + per-doc agg only
+    assert has_broadcast_join(out)        # keeper frame joins back small
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_wordfreq_partial_aggregates(spark):
+    from python_vector_db___ai_spark.plans.explain import formatted_plan
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    spark.catalog.clearCache()
+    freq = word_frequencies(load_table(spark, SF_DIR, "documents"))
+    plan = formatted_plan(freq)
+    assert "partial_count" in plan        # combiner before the shuffle
+    assert "TakeOrderedAndProject" in plan  # vocab cap is top-k, not sort-all
