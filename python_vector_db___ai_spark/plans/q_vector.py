@@ -307,3 +307,44 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_outlier_zscores(emb, z_threshold=_OUT_Z, k=_OUT_TOPK)
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+WITH u AS (
+  SELECT vec_id, gs.i AS i, embedding[gs.i]::DOUBLE AS v
+  FROM embeddings, LATERAL (
+    SELECT generate_subscripts(embedding, 1) AS i) gs
+)
+SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+       round(covar_samp(a.v, b.v), 6) AS cov
+FROM u a JOIN u b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i
+""",
+    doc="d x d sample covariance of the embedding column — the PCA / "
+        "whitening input.  Engine: one Arrow pass reducing each "
+        "partition to (n, sum, X^T X) partials (executors x O(d^2) "
+        "collect, the treeAggregate shape); oracle: covar_samp over "
+        "the exploded (vec_id, i, v) self-join",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.pca import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb)
+
+
+@register(
+    "embedding_pca_variance",
+    oracle=None,  # no SQL eigensolver; self-validating columns instead
+    doc="top-8 PCA report: eigenvalue vs the INDEPENDENTLY computed "
+        "distributed var_samp of each projected component "
+        "(var_matches_eigen must be true per row), explained-variance "
+        "ratio, orthonormality flag — numpy replay in tests/test_pca.py",
+)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.pca import pca_variance_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_variance_report(emb, k=8)
