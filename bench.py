@@ -59,6 +59,7 @@ HEADLINE = [
     "corpus_span_dedup",       # exact-substring span dedup (hash-agg keeper)
     "bpe_train_merges",        # BPE vocab induction (1 corpus pass + merges)
     "pipeline_corpus_to_tokens",    # end-to-end dedup->gate->span->yield
+    "embedding_covariance",    # PCA input: one Arrow pass to d^2 partials
 ]
 
 

@@ -522,3 +522,86 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      num_hashes=_MH_HASHES,
                                      bands=_MH_BANDS,
                                      verify_threshold=_INC_VERIFY)
+
+
+_SD_MOD = 50        # every 50th vector leaks (perturbed) into the eval set
+_SD_THRESH = 0.9
+_SD_NOISE = 0.1
+_SD_DIM = 64
+_SD_OFFSET = 1_000_000
+
+
+def _sd_noise_sql(src: str, i: str) -> str:
+    h = stable_hash_sql(f"concat({src}, ':', {i})")
+    return f"(({h} % 2000) / 1000.0 - 1.0) * {_SD_NOISE}"
+
+
+@register(
+    "decontam_semantic",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id + {_SD_OFFSET} AS bid,
+         list_transform(range(1, {_SD_DIM} + 1),
+                        i -> embedding[i]::DOUBLE
+                             + {_sd_noise_sql('vec_id', 'i')}) AS bv
+  FROM embeddings WHERE vec_id % {_SD_MOD} = 0
+), t AS (
+  SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings
+), s AS (
+  SELECT t.vec_id, b.bid,
+         round({{cos}}, 6) AS c
+  FROM t, b
+), hits AS (
+  SELECT vec_id,
+         count(*) FILTER (WHERE c >= {_SD_THRESH})::BIGINT
+           AS n_benchmark_hits,
+         max(c) AS max_cosine
+  FROM s GROUP BY vec_id
+), nearest AS (
+  SELECT vec_id, bid AS nearest_benchmark_id
+  FROM (SELECT vec_id, bid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, bid ASC) AS rn
+        FROM s) WHERE rn = 1
+)
+SELECT h.vec_id, h.n_benchmark_hits, h.max_cosine,
+       n.nearest_benchmark_id
+FROM hits h JOIN nearest n USING (vec_id)
+WHERE h.n_benchmark_hits > 0
+""".replace("{cos}", _cos_sql('t.tv', 'b.bv')),
+    doc="semantic decontamination: training vectors within cosine "
+        f"{_SD_THRESH} of ANY eval vector.  The eval set is a "
+        "deterministically perturbed copy of every 50th corpus vector "
+        "(planted paraphrase-leakage, the day-6 noise idiom), so the "
+        "check fires on real hits.  Engine: eval matrix broadcast, one "
+        "matmul per training partition — the training side never "
+        "shuffles; oracle: the exact cross join (eval side small by "
+        "contract)",
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.functions.hashing import stable_hash64
+    from python_vector_db___ai_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def noise(i):
+        return ((stable_hash64(
+            F.concat(F.col("src_id").cast("string"), F.lit(":"),
+                     i.cast("string"))) % 2000) / F.lit(1000.0) - 1.0) \
+            * _SD_NOISE
+
+    # NB: the noise must hash the SOURCE id.  Naming the offset id
+    # "vec_id" in the same select would shadow the input column for
+    # the noise expression (lateral column alias resolution), so the
+    # source id is carried under a distinct name first.
+    benchmark = (emb.filter(F.col("vec_id") % _SD_MOD == 0)
+                 .select(F.col("vec_id").alias("src_id"), "embedding")
+                 .select((F.col("src_id") + _SD_OFFSET).alias("vec_id"),
+                         F.transform(
+                             F.sequence(F.lit(1), F.lit(_SD_DIM)),
+                             lambda i: F.element_at(
+                                 F.col("embedding"), i).cast("double")
+                             + noise(i)).alias("embedding")))
+    return semantic_decontaminate(emb, benchmark, threshold=_SD_THRESH)
