@@ -72,17 +72,10 @@ MERGE_SCHEMA = T.StructType([
 ])
 
 
-def bpe_train(spark: SparkSession, word_freq: DataFrame,
-              n_merges: int = 10) -> DataFrame:
-    """Run ``n_merges`` deterministic BPE merge rounds over a word
-    frequency table ``(word, c)``.
-
-    Returns one row per merge round:
-    ``(round, pair, token, weight)`` where ``pair`` is the merged
-    symbol pair (space-separated), ``token`` the resulting symbol and
-    ``weight`` the word-frequency-weighted adjacent-pair count that
-    won the round.  Stops early if no adjacent pair remains.
-    """
+def bpe_merge_list(word_freq: DataFrame,
+                   n_merges: int = 10) -> list[tuple[int, str, str, int]]:
+    """The deterministic merge loop; returns
+    ``[(round, pair, token, weight), ...]`` (see :func:`bpe_train`)."""
     rows = collect_small(word_freq, "BPE word-frequency table",
                          hint="Lower max_vocab on word_frequencies().")
     # symbol string: chars separated by single spaces
@@ -109,4 +102,45 @@ def bpe_train(spark: SparkSession, word_freq: DataFrame,
             ((" " + sym.replace(" ", "  ") + " ")
              .replace(pat, rep).strip().replace("  ", " "), c)
             for sym, c in vocab]
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    return merges
+
+
+def bpe_train(spark: SparkSession, word_freq: DataFrame,
+              n_merges: int = 10) -> DataFrame:
+    """Run ``n_merges`` deterministic BPE merge rounds over a word
+    frequency table ``(word, c)``.
+
+    Returns one row per merge round:
+    ``(round, pair, token, weight)`` where ``pair`` is the merged
+    symbol pair (space-separated), ``token`` the resulting symbol and
+    ``weight`` the word-frequency-weighted adjacent-pair count that
+    won the round.  Stops early if no adjacent pair remains.
+    """
+    return spark.createDataFrame(bpe_merge_list(word_freq, n_merges),
+                                 MERGE_SCHEMA)
+
+
+def bpe_token_count_col(word, merges) -> "F.Column":
+    """Pure-expression BPE segmenter: the number of tokens ``word``
+    splits into under the learned merge list.
+
+    Builds the space-separated symbol string and applies each merge as
+    a literal ``replace`` over the double-spaced form (the greedy-scan
+    equivalence proven in the module docstring) — entirely JVM-side,
+    no UDF.  Meant to run on the DISTINCT word set (tokenize the
+    vocabulary, not the corpus) and join back.
+    """
+    # chars separated by single spaces; filter drops split()'s
+    # trailing empty element
+    sym = F.array_join(
+        F.filter(F.split(word, ""), lambda ch: ch != ""), " ")
+    for _, pair, token, _ in merges:
+        a, b = pair.split(" ")
+        sym = F.replace(
+            F.trim(F.replace(
+                F.concat(F.lit(" "),
+                         F.replace(sym, F.lit(" "), F.lit("  ")),
+                         F.lit(" ")),
+                F.lit(f" {a}  {b} "), F.lit(f" {token} "))),
+            F.lit("  "), F.lit(" "))
+    return F.size(F.split(sym, " "))

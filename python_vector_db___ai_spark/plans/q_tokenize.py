@@ -73,7 +73,7 @@ _BPE_MERGES = 10
 _BPE_MAX_VOCAB = 50_000
 
 
-def _bpe_oracle(n_merges: int, max_vocab: int) -> str:
+def _bpe_merge_ctes(n_merges: int, max_vocab: int) -> str:
     """Unrolled-CTE replay of the deterministic BPE loop.
 
     Recursive CTEs cannot re-aggregate the working set per round, so
@@ -118,9 +118,14 @@ p{r} AS MATERIALIZED (
          c
   FROM v{p}
 )"""
+    return sql
+
+
+def _bpe_oracle(n_merges: int, max_vocab: int) -> str:
     union = " UNION ALL ".join(
         f"SELECT * FROM b{r}" for r in range(1, n_merges + 1))
-    return sql + f"\nSELECT round, pair, token, weight FROM ({union}) u"
+    return (_bpe_merge_ctes(n_merges, max_vocab)
+            + f"\nSELECT round, pair, token, weight FROM ({union}) u")
 
 
 @register(
@@ -135,6 +140,72 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     freq = word_frequencies(docs, max_vocab=_BPE_MAX_VOCAB)
     return bpe_train(spark, freq, n_merges=_BPE_MERGES)
+
+
+def _bpe_apply_sql(expr: str, n_merges: int) -> str:
+    """Chained-``replace`` application of the learned merges to a
+    char-spaced symbol expression — the same double-spaced greedy
+    form as v{r}, with each round's pair/token read from b{r}."""
+    for r in range(1, n_merges + 1):
+        expr = (
+            f"replace(trim(replace(' ' || replace({expr}, ' ', '  ') "
+            f"|| ' ', coalesce(' ' || replace((SELECT pair FROM b{r}), "
+            f"' ', '  ') || ' ', chr(1)), coalesce(' ' || "
+            f"(SELECT token FROM b{r}) || ' ', chr(1)))), '  ', ' ')")
+    return expr
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_bpe_merge_ctes(_BPE_MERGES, _BPE_MAX_VOCAB) + f""",
+dw AS MATERIALIZED (
+  SELECT DISTINCT word
+  FROM (SELECT unnest({_WORDS_D}) AS word FROM documents)
+), seg AS MATERIALIZED (
+  SELECT word,
+         len(string_split(
+           {_bpe_apply_sql("array_to_string(string_split(word, ''), ' ')",
+                           _BPE_MERGES)}, ' '))::BIGINT AS n_tokens
+  FROM dw
+), wrds AS (
+  SELECT doc_id, unnest({_WORDS_D}) AS word FROM documents
+)
+SELECT w.doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(s.n_tokens)::BIGINT AS n_bpe_tokens,
+       round(sum(s.n_tokens)::DOUBLE / count(*), 6) AS tokens_per_word
+FROM wrds w JOIN seg s USING (word)
+GROUP BY w.doc_id
+""",
+    doc="apply the learned BPE merges to the corpus: the distinct "
+        "word set is segmented ONCE by a pure-expression replace "
+        "chain (tokenize the vocabulary, not the corpus — the "
+        "standard trainer trick) and joined back to the postings; "
+        "per-doc whitespace-vs-BPE token accounting",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.bpe import (
+        bpe_merge_list,
+        bpe_token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merge_list(
+        word_frequencies(docs, max_vocab=_BPE_MAX_VOCAB),
+        n_merges=_BPE_MERGES)
+    words = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    seg = (words.select("word").distinct()
+           .withColumn("n_tokens",
+                       bpe_token_count_col(F.col("word"), merges)
+                       .cast("long")))
+    return (words.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_tokens").cast("long").alias("n_bpe_tokens"))
+            .withColumn("tokens_per_word",
+                        F.round(F.col("n_bpe_tokens").cast("double")
+                                / F.col("n_words"), 6)))
 
 
 _P_MIN_WORDS = 25

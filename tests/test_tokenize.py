@@ -157,3 +157,42 @@ def test_bpe_wordfreq_partial_aggregates(spark):
     plan = formatted_plan(freq)
     assert "partial_count" in plan        # combiner before the shuffle
     assert "TakeOrderedAndProject" in plan  # vocab cap is top-k, not sort-all
+
+
+def test_bpe_token_count_expr_matches_python_scan(spark):
+    """The pure-expression segmenter (chained double-spaced replace)
+    must agree with an explicit greedy-scan segmentation."""
+    from python_vector_db___ai_spark.operators.bpe import (
+        bpe_merge_list,
+        bpe_token_count_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lowest aaaa"),
+         (1, "new newer newest low aaaa aaaa")],
+        ["doc_id", "text"])
+    freq = word_frequencies(docs)
+    merges = bpe_merge_list(freq, n_merges=6)
+
+    def scan_segment(word):
+        syms = list(word)
+        for _, pair, token, _ in merges:
+            a, b = pair.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(token)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    words = [r["word"] for r in freq.collect()]
+    wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {r["word"]: r["n"] for r in
+           wdf.select("word", bpe_token_count_col(
+               F.col("word"), merges).alias("n")).collect()}
+    for w in words:
+        assert got[w] == scan_segment(w), (w, got[w], scan_segment(w))
