@@ -605,3 +605,91 @@ def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("embedding"), i).cast("double")
                              + noise(i)).alias("embedding")))
     return semantic_decontaminate(emb, benchmark, threshold=_SD_THRESH)
+
+
+_PR_N = 5           # 5-gram shingles: only planted dups share them
+_PR_MIN_COMMON = 3
+_PR_MAX_DF = 20
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+_PR_TOPK = 20
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled MATERIALIZED-CTE replay of the fixed-iteration
+    PageRank (same technique as the BPE merge oracle): each round is
+    one join+aggregate CTE.  The teleport constant is embedded as the
+    repr of the engine's python float so both engines share the exact
+    double (1.0 - 0.85 != literal-decimal 0.15 at the last ulp)."""
+    tele = repr(1.0 - _PR_DAMPING)
+    sql = f"""
+WITH g AS MATERIALIZED (
+  SELECT doc_id, unnest({_shingles_sql('text', _PR_N)}) AS gram
+  FROM documents
+), dfq AS MATERIALIZED (
+  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+  WHERE c <= {_PR_MAX_DF}
+), kept AS MATERIALIZED (
+  SELECT doc_id, gram FROM g JOIN dfq USING (gram)
+), e AS MATERIALIZED (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM kept a JOIN kept b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {_PR_MIN_COMMON}
+), dir AS MATERIALIZED (
+  SELECT i AS src, j AS dst FROM e UNION SELECT j AS src, i AS dst FROM e
+), walk AS MATERIALIZED (
+  SELECT dir.src, dir.dst, deg.deg
+  FROM dir JOIN (SELECT src, count(*)::DOUBLE AS deg
+                 FROM dir GROUP BY src) deg USING (src)
+), nn AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM documents),
+r0 AS MATERIALIZED (
+  SELECT doc_id AS node, 1.0 / (SELECT c FROM nn) AS r FROM documents
+)"""
+    for t in range(1, _PR_ITERS + 1):
+        p = t - 1
+        sql += f""",
+r{t} AS MATERIALIZED (
+  SELECT s.node,
+         ({tele} / (SELECT c FROM nn))
+         + {_PR_DAMPING} * coalesce(x.m, 0.0) AS r
+  FROM r0 s LEFT JOIN (
+    SELECT w.dst AS node, sum(r.r / w.deg) AS m
+    FROM walk w JOIN r{p} r ON r.node = w.src
+    GROUP BY w.dst) x ON s.node = x.node
+)"""
+    return sql + f"""
+SELECT node AS doc_id,
+       round(r * (SELECT c FROM nn), 6) AS rank_norm
+FROM r{_PR_ITERS}
+ORDER BY rank_norm DESC, doc_id ASC
+LIMIT {_PR_TOPK}
+"""
+
+
+@register(
+    "graph_pagerank_dups",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the shared-shingle similarity graph (the "
+        "authority score for canonical-doc selection): one equi-join "
+        "+ one hash agg per iteration, localCheckpoint lineage "
+        "truncation, stop-shingle df cap BEFORE the pair fan-out; "
+        "oracle unrolls the fixed-point loop as MATERIALIZED CTEs",
+)
+def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.graph import (
+        pagerank,
+        shared_shingle_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = shared_shingle_edges(docs, n=_PR_N,
+                                 min_common=_PR_MIN_COMMON,
+                                 max_df=_PR_MAX_DF)
+    n = docs.count()
+    ranks = pagerank(edges, docs.select("doc_id"), iters=_PR_ITERS,
+                     damping=_PR_DAMPING)
+    return (ranks.select("doc_id",
+                         F.round(F.col("rank") * n, 6).alias("rank_norm"))
+            .orderBy(F.col("rank_norm").desc(), F.col("doc_id").asc())
+            .limit(_PR_TOPK))
