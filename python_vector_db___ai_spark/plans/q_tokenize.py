@@ -333,3 +333,56 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.abs(F.col("_approx") - F.col("n_users"))
                      <= 0.05 * F.col("n_users"))
                     .alias("approx_within_5pct")))
+
+
+_HH_TOPK = 20
+
+
+@register(
+    "words_heavy_hitters_cms",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest({_WORDS_D}) AS word FROM documents
+), c AS (
+  SELECT word, count(*)::BIGINT AS exact_count FROM w GROUP BY word
+)
+SELECT word, exact_count,
+       TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+FROM c ORDER BY exact_count DESC, word ASC LIMIT {_HH_TOPK}
+""",
+    doc="count-min sketch heavy hitters: per-partition depth x width "
+        "counter tables merged element-wise (mergeable fixed-memory "
+        "sketch, the 100-TB path for unbounded key spaces); the exact "
+        "top-k is hash-checked while the sketch's one-sided and "
+        "eps-N error guarantees are emitted as invariant columns",
+)
+def words_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import types as T
+
+    from python_vector_db___ai_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    table, n_tokens = cms_build(words, token_col="word")
+    eps_n = math.e / table.shape[1] * n_tokens
+
+    top = (words.groupBy("word")
+           .agg(F.count("*").cast("long").alias("exact_count"))
+           .orderBy(F.col("exact_count").desc(), F.col("word").asc())
+           .limit(_HH_TOPK))
+    rows = [(r["word"], r["exact_count"],
+             bool(cms_estimate(table, r["word"]) >= r["exact_count"]),
+             bool(cms_estimate(table, r["word"])
+                  <= r["exact_count"] + eps_n))
+            for r in top.collect()]
+    return spark.createDataFrame(rows, T.StructType([
+        T.StructField("word", T.StringType(), False),
+        T.StructField("exact_count", T.LongType(), False),
+        T.StructField("cms_ge_exact", T.BooleanType(), False),
+        T.StructField("cms_within_eps", T.BooleanType(), False),
+    ]))

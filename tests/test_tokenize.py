@@ -196,3 +196,22 @@ def test_bpe_token_count_expr_matches_python_scan(spark):
                F.col("word"), merges).alias("n")).collect()}
     for w in words:
         assert got[w] == scan_segment(w), (w, got[w], scan_segment(w))
+
+
+def test_span_dedup_hot_span_skew(spark):
+    """A span duplicated across 20k docs must reduce through the
+    map-side partial min, not sort 20k rows on one key — and the
+    keeper must still be the global first occurrence."""
+    hot = "x " * 9 + "x"  # one 10-word span, identical in every doc
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(hot + " uniq"),
+                 F.col("id").cast("string")).alias("text"))
+    out = span_dedup(docs, window=10)
+    agg = out.agg(
+        F.sum("n_dropped").alias("d"),
+        F.sum(F.when(F.col("doc_id") == 0, F.col("n_dropped"))
+              .otherwise(0)).alias("d0")).collect()[0]
+    # doc 0 keeps the hot span; 19,999 copies drop; ragged tails unique
+    assert agg["d"] == 19_999
+    assert agg["d0"] == 0
