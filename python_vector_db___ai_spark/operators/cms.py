@@ -16,6 +16,10 @@ next to the exact (oracle-checked) counts.
 
 Hashes are md5-derived per row (seed r), so the sketch is
 bit-reproducible across engines and runs.
+
+Reference analog: none (the reference keeps exact in-memory dicts,
+e.g. day_8 collection stats) — this is the fixed-memory extension the
+task brief's 100-TB pipeline needs.
 """
 
 from __future__ import annotations

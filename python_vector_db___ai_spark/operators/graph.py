@@ -15,10 +15,13 @@ the iterative plan re-embeds every prior round exponentially (a
 cluster deployment uses reliable ``checkpoint()``).
 
 Variant pinned for cross-engine determinism (replayed by the unrolled
-MATERIALIZED-CTE oracle in ``plans/q_tokenize.py``): undirected edges
+MATERIALIZED-CTE oracle in ``plans/q_dedup.py``): undirected edges
 walked both ways, uniform teleport ``(1-d)/N``, NO dangling-mass
 redistribution (isolated nodes hold the teleport floor), fixed
 iteration count.
+
+Reference analog: none (the reference has no graph operators); the
+canonical-selection use case extends its dedup surface.
 """
 
 from __future__ import annotations

@@ -215,3 +215,16 @@ def test_span_dedup_hot_span_skew(spark):
     # doc 0 keeps the hot span; 19,999 copies drop; ragged tails unique
     assert agg["d"] == 19_999
     assert agg["d0"] == 0
+
+
+def test_pipeline_plan_has_no_cartesian(spark):
+    from python_vector_db___ai_spark.plans.explain import formatted_plan
+    from python_vector_db___ai_spark.plans.q_tokenize import (
+        pipeline_corpus_to_tokens,
+    )
+    from tests.conftest import SF_DIR
+
+    spark.catalog.clearCache()
+    plan = formatted_plan(pipeline_corpus_to_tokens(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan     # keeper aggregations combine map-side
