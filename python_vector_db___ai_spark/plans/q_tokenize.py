@@ -1,9 +1,14 @@
-"""Tokenizer-training and exact-substring-dedup queries.
+"""Tokenizer, substring-dedup, sketch, and pipeline-composition queries.
 
-Two training-data-pipeline operators with no reference analog (the
+Training-data-pipeline operators with no reference analog (the
 reference consumes pre-trained tokenizers and dedups whole documents;
-see ``operators/bpe.py`` / ``operators/substring.py`` docstrings),
-plus the HLL approximate-distinct invariant check.
+see the ``operators/bpe.py`` / ``substring.py`` / ``cms.py``
+docstrings): BPE training (`bpe_train_merges`) and application
+(`bpe_encode_stats`), span-level exact-substring dedup
+(`corpus_span_dedup`), the end-to-end corpus→token-yield pipeline
+(`pipeline_corpus_to_tokens`), the HLL approximate-distinct invariant
+check (`events_approx_distinct`), and count-min heavy hitters
+(`words_heavy_hitters_cms`).
 """
 
 from __future__ import annotations
