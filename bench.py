@@ -64,6 +64,11 @@ HEADLINE = [
 
 
 def main() -> None:
+    # The testdata ships single-row-group parquet (scans cannot split
+    # below a row group → every query's scan stage would run on ONE
+    # core); rebalance inputs so the bench exercises the parallel
+    # plan a multi-split 100-TB table would produce.
+    os.environ.setdefault("SPARK_GRAFT_REBALANCE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
     spark = get_spark("bench")
