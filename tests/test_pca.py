@@ -70,3 +70,19 @@ def test_pca_variance_report_self_validates(emb):
     eigs = [r["eigenvalue"] for r in rows]
     assert eigs == sorted(eigs, reverse=True)
     assert 0 < sum(r["explained_ratio"] for r in rows) <= 1.0 + 1e-9
+
+
+def test_covariance_requires_two_rows(spark):
+    import pytest as _pt
+
+    from python_vector_db___ai_spark.operators.pca import _cov_numpy
+
+    one = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
+    with _pt.raises(ValueError, match="at least 2 rows"):
+        _cov_numpy(one, "embedding")
+
+
+def test_pca_projection_variance_decreases_with_rank(emb):
+    rows = pca_variance_report(emb, k=8).orderBy("component").collect()
+    pv = [r["projected_variance"] for r in rows]
+    assert pv == sorted(pv, reverse=True)

@@ -228,3 +228,28 @@ def test_pipeline_plan_has_no_cartesian(spark):
     plan = formatted_plan(pipeline_corpus_to_tokens(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan     # keeper aggregations combine map-side
+
+
+def test_span_dedup_empty_and_single_word_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, "solo")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(docs, window=3).collect()}
+    assert out[0]["n_spans"] == 0 and out[0]["n_dropped"] == 0
+    assert out[0]["residual_hash"] == md5("")
+    assert out[1]["n_spans"] == 1 and out[1]["n_dropped"] == 0
+    # doc 2's single ragged span duplicates doc 1's
+    assert out[2]["n_dropped"] == 1 and out[2]["words_dropped"] == 1
+
+
+def test_bpe_empty_corpus_yields_no_merges(spark):
+    docs = spark.createDataFrame([(0, "   ")], ["doc_id", "text"])
+    freq = word_frequencies(docs)
+    assert freq.count() == 0
+    assert bpe_train(spark, freq, n_merges=5).count() == 0
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    # single-char words never produce adjacent pairs
+    docs = spark.createDataFrame([(0, "a b c a")], ["doc_id", "text"])
+    merges = bpe_train(spark, word_frequencies(docs), n_merges=5)
+    assert merges.count() == 0
