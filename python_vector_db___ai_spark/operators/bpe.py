@@ -91,9 +91,13 @@ def bpe_merge_list(word_freq: DataFrame,
                 counts[(parts[i], parts[i + 1])] += c
         if not counts:
             break
-        # max weight, ties → lexicographically smallest pair
+        # max weight, ties → smallest SPACE-JOINED pair string: this is
+        # exactly the key the SQL oracle sorts (``ORDER BY pair ASC`` on
+        # the string "a b"), and it differs from the tuple (a, b) order
+        # when a tied symbol extends another with a char below 0x20
+        # (control chars survive the \s+ tokenizer) — round-6 ADVICE.
         (a, b), w = min(counts.items(),
-                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+                        key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
         merges.append((rnd, f"{a} {b}", a + b, w))
         # greedy merge via double-spaced replace (see module docstring);
         # output stays canonically single-spaced

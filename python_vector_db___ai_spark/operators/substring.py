@@ -21,8 +21,13 @@ Scale shape (the whole point at 100 TB):
   aggregate — no window over the (skewed) span key, so a span
   repeated a million times costs one combiner chain, not a
   single-partition sort;
-* one equi-join back on the span hash, then a per-doc aggregate to
-  reassemble the residual text.
+* one plain equi-join back on the span key, then a per-doc aggregate
+  to reassemble the residual text.  (At test scale AQE turns this
+  join into a broadcast — the keepers frame is one row per distinct
+  corpus span, so at 100-TB scale it does NOT fit a broadcast and the
+  join runs as a shuffled equi-join on the span key; both shapes are
+  correct and linear, the broadcast is an AQE bonus, not a design
+  requirement.)
 
 No UDFs anywhere; the DuckDB oracle in ``plans/q_tokenize.py``
 replays the identical keep rule.

@@ -69,7 +69,7 @@ def naive_bpe(word_counts: dict[str, int], n_merges: int):
         if not counts:
             break
         (a, b), w = min(counts.items(),
-                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+                        key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
         merges.append((rnd, f"{a} {b}", a + b, w))
         new_vocab = {}
         for syms, c in vocab.items():
@@ -128,12 +128,15 @@ def test_word_frequencies_vocab_cap(spark):
 
 def test_span_dedup_plan_shape(spark):
     """Scale witnesses: the keeper choice partial-aggregates map-side
-    (one shuffle on the span key), the join back is broadcastable, and
-    the per-doc reduce is the only other shuffle."""
+    (one shuffle on the span key) and the per-doc reduce is the only
+    other shuffle.  The join back is a plain equi-join on the span
+    key — at THIS scale AQE happens to broadcast the keepers frame,
+    but that is size-dependent (one row per distinct corpus span), so
+    the test asserts only the scale-invariant properties: no
+    cartesian product, bounded exchanges, map-side combine."""
     from python_vector_db___ai_spark.plans.explain import (
         count_exchanges,
         formatted_plan,
-        has_broadcast_join,
     )
     from python_vector_db___ai_spark.session import load_table
     from tests.conftest import SF_DIR
@@ -143,7 +146,6 @@ def test_span_dedup_plan_shape(spark):
     plan = formatted_plan(out)
     assert "partial_min" in plan          # map-side combine before shuffle
     assert count_exchanges(out) <= 2, plan  # keeper agg + per-doc agg only
-    assert has_broadcast_join(out)        # keeper frame joins back small
     assert "CartesianProduct" not in plan
 
 
@@ -253,3 +255,37 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     docs = spark.createDataFrame([(0, "a b c a")], ["doc_id", "text"])
     merges = bpe_train(spark, word_frequencies(docs), n_merges=5)
     assert merges.count() == 0
+
+
+def test_bpe_tie_break_matches_sql_string_order(spark):
+    """Round-6 ADVICE regression: when tied pairs involve a symbol
+    that extends another with a sub-0x20 char (control chars survive
+    the \\s+ tokenizer), the Python tuple order (a, b) and the SQL
+    ``ORDER BY pair ASC`` string order diverge.  The engine must sort
+    by the exact space-joined string the oracle sorts — verified here
+    differentially against the real unrolled-CTE DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+
+    from python_vector_db___ai_spark.plans.q_tokenize import (
+        _bpe_oracle,
+    )
+
+    # Round 1 merges (x, \x01) -> 'x\x01' (weight 3).  Round 2 ties
+    # ('x\x01', 'z') and ('x', 'y') at weight 2: tuple order picks
+    # ('x', 'y') ('x' < 'x\x01'), string order picks 'x\x01 z'
+    # ('\x01' < ' ' < 'y').  The oracle's answer is 'x\x01 z'.
+    text = "x\x01z x\x01z wx\x01 xy xy"
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = [(r["round"], r["pair"], r["token"], r["weight"]) for r in
+           bpe_train(spark, word_frequencies(docs), n_merges=2)
+           .orderBy("round").collect()]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [0],
+                                            "text": [text]}))
+    want = [tuple(r) for r in
+            con.execute(_bpe_oracle(2, 50000)
+                        + " ORDER BY round").fetchall()]
+    assert got == want
+    assert got[1][1] == "x\x01 z"  # the string-order winner
