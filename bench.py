@@ -31,6 +31,43 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from python_vector_db___ai_spark.plans.queries import all_queries  # noqa: E402
 from python_vector_db___ai_spark.session import get_spark  # noqa: E402
 
+# FROZEN core set (round-7 VERDICT directive #2): the 21 queries the
+# r5/r6 headline shared.  This list must NEVER change across rounds —
+# ``core_total`` is the one number comparable round-over-round (the
+# growing HEADLINE list's ``headline_total`` moves when coverage
+# grows, for reasons unrelated to speed).  The r6 reference value,
+# recomputed from BENCH_r06.json over exactly this list: 35.18 s.
+CORE_QUERIES = [
+    "knn_exact_batch",
+    "ivf_search_cosine",
+    "ann_recall_ivf",
+    "topk_similar_pairs",
+    "ir_metrics_per_query",
+    "dedup_exact_simhash",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pruned",
+    "text_profile",
+    "text_repetition",
+    "chunk_chars_fixed",
+    "embed_cache_hits",
+    "rag_end_to_end",
+    "events_sessionization",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "bm25_rrf_hybrid",
+    "embedding_quantize_int8",
+    "events_funnel_steps",
+    "events_active_users_rolling",
+]
+
+# Median-of-3 for the queries whose driver-run timings showed ~2x
+# run-to-run noise in r5/r6 (round-6 VERDICT directive #6) — the
+# flagship especially: 2.23 s (BENCH_FULL) vs 4.53 s (driver run
+# 13 min later) on the same commit.
+MEDIAN_OF_3 = {"knn_exact_batch", "bm25_rrf_hybrid",
+               "dedup_incremental_minhash"}
+
 # Headline set: one per operator family (SURVEY §2 coverage).
 HEADLINE = [
     "knn_exact_batch",         # J1/T2 exact batch kNN, 3 metrics (BLAS local top-k)
@@ -87,13 +124,22 @@ def main() -> None:
      .withColumn("_r", F.row_number().over(Window.orderBy("vec_id")))
      .count())
 
+    # Flagship warm-up: one untimed execution so the first timed query
+    # doesn't pay first-plan costs the rest of the list never sees
+    # (round-6 VERDICT directive #6: driver-run flagship was 2x the
+    # same-commit BENCH_FULL value).
+    qs["knn_exact_batch"].spark_fn(spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        qs[name].spark_fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3 if name in MEDIAN_OF_3 else 1):
+            t0 = time.perf_counter()
+            qs[name].spark_fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
 
     ann = ann_benchmark(spark, sf_dir)
 
@@ -124,11 +170,26 @@ def main() -> None:
         timings[f"ivf_search_{label}"] = e["ivf_sec"]
 
     total = round(sum(timings.values()), 4)
+    core_total = round(sum(timings[q] for q in CORE_QUERIES
+                           if q in timings), 4)
+    # Self-describing params (round-6 ADVICE): the bench runs with the
+    # documents table rebalanced (single-row-group testdata cannot
+    # parallelize a scan below one task — see README "Benchmark
+    # methodology"), so the artifact must say so.
+    params = {
+        "rebalance": os.environ.get("SPARK_GRAFT_REBALANCE", "0"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "median_of_3": sorted(MEDIAN_OF_3),
+    }
     full = {
         "metric": "headline_total",
         "value": total,
+        "core_total": core_total,
+        "core_queries": CORE_QUERIES,
         "unit": "sec",
         "queries": timings,
+        "params": params,
         "ann": ann,
         "scale": scale,
         "dedup_scale": dedup_scale,
@@ -147,8 +208,11 @@ def main() -> None:
     compact = {
         "metric": "headline_total",
         "value": total,
+        "core_total": core_total,
         "unit": "sec",
         "sf": sf,
+        "rebalance": params["rebalance"],
+        "parallelism": params["default_parallelism"],
         "queries": timings,
         "ann": {k: ann[k] for k in (
             "corpus_rows", "exact_sec",

@@ -86,9 +86,9 @@ _SPLIT_TRAIN = 80     # pmod(stable_hash64(doc_id), 100) < 80 -> train
 _SPLIT_VAL = 90       # 80..89 -> val; 90..99 -> test
 
 
-@register(
-    "dataset_split_report",
-    oracle=f"""
+# Unregistered in round 7: now the 'split' branch of q_olap's melted
+# ``data_health_report`` (registry consolidation, round-6 VERDICT #1).
+SPLIT_ORACLE = f"""
 WITH assigned AS (
   SELECT source, n_chars,
          CASE WHEN b < {_SPLIT_TRAIN} THEN 'train'
@@ -109,14 +109,15 @@ WITH assigned AS (
 SELECT p.split, p.source, p.n_docs, p.n_chars,
        round(p.n_docs * 1.0 / t.split_total, 6) AS share_of_split
 FROM per p JOIN tot t ON t.split = p.split
-""",
-    doc="deterministic hash-based train/val/test assignment (md5-derived "
-        "bucket, no rand() — replayable on any engine, stable under "
-        "re-partitioning and re-runs) with a per-(split, source) balance "
-        "report; the split column is a pure projection, so the assignment "
-        "scales as a map-only pass at 100 TB",
-)
+"""
+
+
 def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (md5-derived
+    bucket, no rand() — replayable on any engine, stable under
+    re-partitioning and re-runs) with a per-(split, source) balance
+    report; the split column is a pure projection, so the assignment
+    scales as a map-only pass at 100 TB."""
     from python_vector_db___ai_spark.functions.hashing import stable_hash64
 
     docs = load_table(spark, sf_dir, "documents")

@@ -66,9 +66,10 @@ def q_chunk_chars_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_chars_fixed(docs, size=_SIZE, overlap=_OVL)
 
 
-@register(
-    "chunk_stats_chars",
-    oracle=_CHUNK_CTE + """
+# Unregistered in round 7: A4 chunk statistics are now the 'chunks'
+# branch of q_olap's melted ``data_health_report`` (registry
+# consolidation, round-6 VERDICT #1).
+CHUNK_STATS_ORACLE = _CHUNK_CTE + """
 SELECT count(*)::BIGINT AS total_chunks,
        count(DISTINCT doc_id)::BIGINT AS n_documents,
        round(avg(length(chunk_text)), 6) AS avg_chunk_chars,
@@ -76,10 +77,11 @@ SELECT count(*)::BIGINT AS total_chunks,
        max(length(chunk_text))::BIGINT AS max_chunk_chars,
        sum(length(chunk_text))::BIGINT AS total_chars
 FROM chunks
-""",
-    doc="A4 chunk statistics over the char chunker output",
-)
+"""
+
+
 def q_chunk_stats_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 chunk statistics over the char chunker output."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_stats(chunk_chars_fixed(docs, size=_SIZE, overlap=_OVL))
 

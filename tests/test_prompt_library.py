@@ -44,3 +44,28 @@ def test_percent_in_template_is_literal(spark):
     lib.add_template("pct", "100% sure about {x}")
     df = spark.createDataFrame([("this",)], ["x"])
     assert lib.render(df, "pct").first().prompt == "100% sure about this"
+
+
+def test_driver_priority_window_covers_unproven_entries():
+    """Round-7 registry ordering invariant: the driver samples the
+    first 50 registry entries, so (a) DRIVER_PRIORITY must be exactly
+    50 known names with no duplicates, (b) the dict must lead with
+    them, and (c) nothing past slot 50 may lack a CORRECTNESS_r06
+    green row (those slots are the only ones the driver will NOT
+    re-check this round)."""
+    import json
+    from pathlib import Path
+
+    from python_vector_db___ai_spark.plans.queries import (
+        DRIVER_PRIORITY,
+        all_queries,
+    )
+
+    qs = list(all_queries())
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    assert qs[:50] == DRIVER_PRIORITY
+    r6_path = Path(__file__).resolve().parent.parent / "CORRECTNESS_r06.json"
+    r6 = set(json.loads(r6_path.read_text()))
+    missing = [q for q in qs[50:] if q not in r6]
+    assert missing == [], f"tail entries without r06 proof: {missing}"
