@@ -111,40 +111,53 @@ def _select_neighbors(V, found, M):
     return sel
 
 
+def _insert_node(V, nbrs, entry, top, i, li, M, ef_construction):
+    """Insert node ``i`` (level ``li``) into an existing multi-layer
+    NSW whose layer lists already have a slot for ``i``.  Mutates
+    ``nbrs`` in place; returns the (possibly promoted) (entry, top).
+    This is the loop body of ``_build_graph``, factored out so the
+    persisted-index upsert path (``index_store.hnsw_upsert``) replays
+    EXACTLY the build-time insertion — appending nodes in the same
+    order a fresh build would visit them reproduces the fresh graph
+    bit-for-bit."""
+    max_m0 = 2 * M
+    ep = [entry]
+    for layer in range(top, li, -1):
+        ep = [_search_layer(V, nbrs[layer], ep, V[i], 1)[0][1]]
+    for layer in range(min(li, top), -1, -1):
+        cap = max_m0 if layer == 0 else M
+        found = _search_layer(V, nbrs[layer], ep, V[i],
+                              ef_construction)
+        sel = _select_neighbors(V, found, M)
+        nbrs[layer][i] = sel
+        for s in sel:
+            lst = nbrs[layer][s]
+            lst.append(i)
+            if len(lst) > cap:
+                # re-select with the same diversity heuristic
+                # (ties -> lower id via the sort key)
+                ranked = sorted(
+                    ((float(V[s] @ V[x]), x) for x in lst),
+                    key=lambda t: (-t[0], t[1]))
+                del lst[:]
+                lst.extend(_select_neighbors(V, ranked, cap))
+        ep = [found[0][1]]
+    if li > top:
+        entry, top = i, li
+    return entry, top
+
+
 def _build_graph(V, M, ef_construction, m_l):
     """Insert nodes 0..n-1 (ascending == ascending id) into a
     multi-layer NSW.  Returns (levels' neighbor lists, entry point,
     top level)."""
     n = len(V)
     levels = [_node_level(i, m_l) for i in range(n)]
-    max_m0 = 2 * M
     nbrs = [[[] for _ in range(n)] for _ in range(max(levels) + 1)]
     entry, top = 0, levels[0]
     for i in range(1, n):
-        li = levels[i]
-        ep = [entry]
-        for layer in range(top, li, -1):
-            ep = [_search_layer(V, nbrs[layer], ep, V[i], 1)[0][1]]
-        for layer in range(min(li, top), -1, -1):
-            cap = max_m0 if layer == 0 else M
-            found = _search_layer(V, nbrs[layer], ep, V[i],
-                                  ef_construction)
-            sel = _select_neighbors(V, found, M)
-            nbrs[layer][i] = sel
-            for s in sel:
-                lst = nbrs[layer][s]
-                lst.append(i)
-                if len(lst) > cap:
-                    # re-select with the same diversity heuristic
-                    # (ties -> lower id via the sort key)
-                    ranked = sorted(
-                        ((float(V[s] @ V[x]), x) for x in lst),
-                        key=lambda t: (-t[0], t[1]))
-                    del lst[:]
-                    lst.extend(_select_neighbors(V, ranked, cap))
-            ep = [found[0][1]]
-        if li > top:
-            entry, top = i, li
+        entry, top = _insert_node(V, nbrs, entry, top, i, levels[i],
+                                  M, ef_construction)
     return nbrs, entry, top
 
 

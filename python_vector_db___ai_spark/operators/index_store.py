@@ -109,6 +109,141 @@ def hnsw_build_index(corpus: DataFrame, n_partitions: int = 32,
     return part.mapInPandas(op, schema=_INDEX_SCHEMA)
 
 
+def hnsw_upsert(index: DataFrame, batch: DataFrame,
+                n_partitions: int = 32, M: int = 8,
+                ef_construction: int = 64, metric: str = "cosine",
+                corpus_id: str = "vec_id",
+                corpus_vec: str = "embedding") -> DataFrame:
+    """Append a new vector batch into a persisted HNSW artifact and
+    return the updated artifact (same schema as ``hnsw_build_index``).
+
+    The daily-pipeline shape (reference insert surface
+    day_8/endpoints.py:13-49, mirrored on the dedup side by
+    ``dedup_incremental_minhash``): the standing index is NOT rebuilt —
+    the increment is routed to its partitions by the SAME hash key the
+    build used, and each partition graph is extended in place by
+    replaying the build-time insertion (``hnsw._insert_node``) for the
+    new nodes only.  Cost per upsert ∝ increment size × log(corpus),
+    not corpus size.
+
+    Determinism contract: new nodes are inserted in ascending-id order
+    with insertion ordinals continuing after the partition's existing
+    nodes.  When every new id sorts after the partition's existing ids
+    (the append workload — new documents get new ids), this replays
+    exactly the insertion sequence a fresh build of the full corpus
+    would execute, so the upserted artifact is BIT-IDENTICAL to a
+    fresh build (asserted by ``hnsw_index_lifecycle`` and
+    ``tests/test_index_store.py``).  Interleaved ids still produce a
+    valid deterministic graph, just not the fresh-build one (HNSW is
+    insertion-order dependent).
+
+    ``n_partitions``/``M``/``ef_construction``/``metric`` must match
+    the build call — they are graph-shape parameters, not stored in
+    the artifact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from python_vector_db___ai_spark.operators.hnsw import (
+        _insert_node,
+        _node_level,
+    )
+
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unsupported metric {metric!r}")
+    m_l = 1.0 / math.log(M)
+
+    # Route the increment with the build's partitioner: same key, same
+    # numPartitions -> same murmur3 assignment -> same part_id.
+    new_part = (batch.select(corpus_id, corpus_vec)
+                .repartition(n_partitions, F.col(corpus_id))
+                .withColumn("part_id", F.spark_partition_id())
+                .select("part_id",
+                        F.lit(-1).cast("int").alias("seq"),
+                        F.col(corpus_id).cast("long").alias("vec_id"),
+                        F.col(corpus_vec).cast("array<double>")
+                        .alias("vec"),
+                        F.lit(-1).cast("int").alias("level"),
+                        F.lit(-1).cast("int").alias("entry_seq"),
+                        F.lit(-1).cast("int").alias("top_level"),
+                        F.lit(None).cast("array<array<int>>")
+                        .alias("nbrs"),
+                        F.lit(True).alias("is_new")))
+    old_part = index.select(
+        "part_id", "seq", "vec_id", "vec", "level", "entry_seq",
+        "top_level", "nbrs", F.lit(False).alias("is_new"))
+    combined = old_part.unionByName(new_part).repartition(
+        F.col("part_id"))
+
+    def op(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        allp = pd.concat(pdfs, ignore_index=True)
+        for pid, pdf in allp.groupby("part_id", sort=True):
+            old = pdf[~pdf["is_new"]].sort_values("seq")
+            new = pdf[pdf["is_new"]].sort_values("vec_id")
+            n_old, n_new = len(old), len(new)
+            Vn = np.array(new["vec"].tolist(), dtype=np.float64) \
+                if n_new else np.empty((0, 0))
+            if n_new and metric == "cosine":
+                norm = np.linalg.norm(Vn, axis=1)
+                Vn = Vn / np.where(norm > 1e-12, norm, 1.0)[:, None]
+            if n_old:
+                Vo = np.array(old["vec"].tolist(), dtype=np.float64)
+                V = np.vstack([Vo, Vn]) if n_new else Vo
+                levels = list(old["level"].astype(int))
+                entry = int(old["entry_seq"].iloc[0])
+                top = int(old["top_level"].iloc[0])
+                node_lists = old["nbrs"].tolist()
+            else:
+                V = Vn
+                levels, entry, top = [], 0, None
+                node_lists = []
+            levels += [_node_level(n_old + j, m_l) for j in range(n_new)]
+            n = n_old + n_new
+            if n == 0:
+                continue
+            # Rebuild the mutable [layer][node] lists from the
+            # persisted per-node shape, with slots for the new nodes.
+            max_layer = max(max(levels), top if top is not None else 0)
+            nbrs = [[list(node_lists[i][layer])
+                     if i < n_old and layer < len(node_lists[i]) else []
+                     for i in range(n)]
+                    for layer in range(max_layer + 1)]
+            if top is None:
+                entry, top = 0, levels[0]
+                start = 1
+            else:
+                start = n_old
+            for i in range(start, n):
+                entry, top = _insert_node(V, nbrs, entry, top, i,
+                                          levels[i], M, ef_construction)
+            ids = np.concatenate([
+                old["vec_id"].to_numpy(dtype=np.int64)
+                if n_old else np.empty(0, dtype=np.int64),
+                new["vec_id"].to_numpy(dtype=np.int64)
+                if n_new else np.empty(0, dtype=np.int64)])
+            if n == 1:
+                nbrs_by_node = [[[]]]
+            else:
+                nbrs_by_node = [
+                    [list(nbrs[layer][i])
+                     for layer in range(min(levels[i], top) + 1)]
+                    for i in range(n)]
+            yield pd.DataFrame({
+                "part_id": np.full(n, pid, dtype=np.int32),
+                "seq": np.arange(n, dtype=np.int32),
+                "vec_id": ids,
+                "vec": list(V),
+                "level": np.array(levels, dtype=np.int32),
+                "entry_seq": np.full(n, entry, dtype=np.int32),
+                "top_level": np.full(n, top, dtype=np.int32),
+                "nbrs": nbrs_by_node})
+
+    return combined.mapInPandas(op, schema=_INDEX_SCHEMA)
+
+
 def hnsw_save(index: DataFrame, path: str) -> None:
     """Write the graph artifact partitioned by ``part_id`` so a search
     job's scan prunes to the partitions it owns."""

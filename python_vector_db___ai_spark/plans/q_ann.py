@@ -177,15 +177,21 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hnsw_index_lifecycle",
     oracle=None,   # graph topology is engine-internal (seeded md5 levels)
     doc="X5 persisted-index lifecycle (operators/index_store.py): build "
-        "the partition-local HNSW graphs, WRITE them to parquet, load, "
-        "and answer the query batch search-only — the reference keeps "
-        "its indexes alive across queries (pgvector DDL day_9/database/"
-        "01_init_db.sql:34-38, long-lived FAISS objects day_6/"
-        "day6_complete.py:84-153); this is the Spark equivalent, so a "
-        "second query batch never pays the build.  Self-validating "
-        "columns: per-query recall vs the exact scan, index_nodes == "
-        "corpus rows, and matches_inflight (persisted search row-equal "
-        "to the build-in-flight hnsw_knn on the same partitioning).",
+        "the partition-local HNSW graphs on the BASE corpus, WRITE them "
+        "to parquet, load, UPSERT the remaining rows as an increment "
+        "(per-partition graph insertion, cost ∝ increment — the daily "
+        "append pipeline, mirroring dedup_incremental_minhash), save/"
+        "load the v2 artifact, and answer the query batch search-only "
+        "— the reference keeps its indexes alive across queries "
+        "(pgvector DDL day_9/database/01_init_db.sql:34-38, long-lived "
+        "FAISS objects day_6/day6_complete.py:84-153) and inserts into "
+        "them (day_8/endpoints.py:13-49).  Self-validating columns: "
+        "per-query recall vs the exact scan, index_nodes == corpus "
+        "rows, matches_inflight (v2 search row-equal to the in-flight "
+        "hnsw_knn over the FULL corpus), and upsert_matches_fresh (the "
+        "upserted artifact is bit-identical to a fresh full-corpus "
+        "build — append-id workload replays the same insertion "
+        "sequence).",
 )
 def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -197,6 +203,7 @@ def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         hnsw_load,
         hnsw_save,
         hnsw_search,
+        hnsw_upsert,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -204,12 +211,31 @@ def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     n_parts = 8
+    # Base = first ~80% of ids; increment = the id tail (the append
+    # workload: new documents arrive with new, larger ids).
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    split = int(max_id * 0.8)
     tmp = tempfile.mkdtemp(prefix="hnsw_lifecycle_")
     try:
-        hnsw_save(hnsw_build_index(emb, n_partitions=n_parts), tmp + "/g")
-        loaded = hnsw_load(spark, tmp + "/g")
-        n_nodes = loaded.count()
-        got = hnsw_search(queries, loaded, k=K)
+        base = emb.filter(F.col("vec_id") < split)
+        batch = emb.filter(F.col("vec_id") >= split)
+        hnsw_save(hnsw_build_index(base, n_partitions=n_parts),
+                  tmp + "/v1")
+        v1 = hnsw_load(spark, tmp + "/v1")
+        hnsw_save(hnsw_upsert(v1, batch, n_partitions=n_parts),
+                  tmp + "/v2")
+        v2 = hnsw_load(spark, tmp + "/v2")
+        n_nodes = v2.count()
+        # partitionBy("part_id") moves the partition column to the end
+        # of the parquet read schema — re-select canonical order.
+        cols = ["part_id", "seq", "vec_id", "vec", "level",
+                "entry_seq", "top_level", "nbrs"]
+        v2c = v2.select(cols)
+        fresh = hnsw_build_index(emb, n_partitions=n_parts).select(cols)
+        upsert_matches_fresh = (
+            v2c.exceptAll(fresh).count() == 0
+            and fresh.exceptAll(v2c).count() == 0)
+        got = hnsw_search(queries, v2, k=K)
         inflight = hnsw_knn(queries, emb, k=K, n_partitions=n_parts)
         identical = (got.exceptAll(inflight).count() == 0
                      and inflight.exceptAll(got).count() == 0)
@@ -220,13 +246,15 @@ def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # returned frame outlives the temp dir), then re-wrap: the
         # result is N_QUERIES rows, driver-side by contract.
         rows = [(int(r.query_id), int(r.n_exact), int(r.n_hits),
-                 float(r.recall), int(n_nodes), bool(identical))
+                 float(r.recall), int(n_nodes), bool(identical),
+                 bool(upsert_matches_fresh))
                 for r in rec.orderBy("query_id").collect()]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         rows, "query_id long, n_exact long, n_hits long, recall double, "
-              "index_nodes long, matches_inflight boolean")
+              "index_nodes long, matches_inflight boolean, "
+              "upsert_matches_fresh boolean")
 
 
 @register(

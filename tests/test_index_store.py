@@ -172,3 +172,82 @@ def test_minhash_index_roundtrip_matches_inflight(spark, tmp_path):
 
     assert sorted(map(tuple, inflight)) == sorted(map(tuple, persisted))
     assert any(r.is_dup for r in persisted)   # non-degenerate fixture
+
+
+def _artifact_rows(df):
+    return sorted(
+        (r.part_id, r.seq, r.vec_id,
+         tuple(round(x, 12) for x in r.vec), r.level, r.entry_seq,
+         r.top_level, tuple(tuple(layer) for layer in r.nbrs))
+        for r in df.collect())
+
+
+def test_upsert_append_equals_fresh_build(spark, emb, tmpdir_mod):
+    """The daily-pipeline contract: build on the base corpus, save,
+    load, upsert a batch of NEW (higher-id) vectors — the resulting
+    artifact must be BIT-IDENTICAL to a fresh build over the full
+    corpus (same insertion sequence replayed per partition)."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_upsert,
+    )
+
+    split = 40
+    base = emb.filter(F.col("vec_id") < split)
+    batch = emb.filter(F.col("vec_id") >= split)
+    assert base.count() > 0 and batch.count() > 0
+
+    idx = hnsw_build_index(base, n_partitions=N_PART)
+    hnsw_save(idx, f"{tmpdir_mod}/hnsw_base")
+    loaded = hnsw_load(spark, f"{tmpdir_mod}/hnsw_base")
+    upserted = hnsw_upsert(loaded, batch, n_partitions=N_PART)
+    fresh = hnsw_build_index(emb, n_partitions=N_PART)
+    assert _artifact_rows(upserted) == _artifact_rows(fresh)
+
+
+def test_upsert_search_equals_fresh_search(spark, emb, queries,
+                                           tmpdir_mod):
+    """And therefore search over the upserted artifact returns exactly
+    the fresh-build search rows at the same recall."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_upsert,
+    )
+
+    split = 40
+    idx = hnsw_build_index(emb.filter(F.col("vec_id") < split),
+                           n_partitions=N_PART)
+    hnsw_save(idx, f"{tmpdir_mod}/hnsw_base2")
+    loaded = hnsw_load(spark, f"{tmpdir_mod}/hnsw_base2")
+    up = hnsw_upsert(loaded, emb.filter(F.col("vec_id") >= split),
+                     n_partitions=N_PART)
+    hnsw_save(up, f"{tmpdir_mod}/hnsw_v2")
+    v2 = hnsw_load(spark, f"{tmpdir_mod}/hnsw_v2")
+    got = sorted((r.query_id, r.vec_id, r.score, r.rank)
+                 for r in hnsw_search(queries, v2, k=5).collect())
+    want = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in hnsw_search(
+            queries, hnsw_build_index(emb, n_partitions=N_PART),
+            k=5).collect())
+    assert got == want
+
+
+def test_upsert_into_empty_partition_and_interleaved_ids(spark, emb):
+    """Robustness: an upsert whose batch lands in partitions the base
+    index never populated, and one with interleaved (lower) ids, must
+    still produce a searchable graph covering every row."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_upsert,
+    )
+
+    base = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 30))
+    batch = emb.filter(F.col("vec_id") < 10)   # interleaves below base
+    idx = hnsw_build_index(base, n_partitions=N_PART)
+    up = hnsw_upsert(idx, batch, n_partitions=N_PART)
+    assert up.count() == 30
+    assert up.select("vec_id").distinct().count() == 30
+    qs = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    hits = hnsw_search(qs, up, k=5)
+    assert hits.groupBy("query_id").count().agg(
+        F.min("count")).collect()[0][0] == 5
