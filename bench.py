@@ -157,6 +157,12 @@ def main() -> None:
     events_scale = (events_scale_benchmark(spark, sf_dir, ev_factors)
                     if ev_factors else [])
 
+    emb_factors = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_EMB_FACTORS", "10,50,200").split(",") if x]
+    embedding_scale = (embedding_scale_benchmark(spark, sf_dir,
+                                                 emb_factors)
+                       if emb_factors else [])
+
     # Promote the exact-vs-IVF crossover into the headline table at the
     # LARGEST measured scale (>=100k rows) — the regime where the
     # pruned scan earns its keep decisively rather than within noise
@@ -194,6 +200,7 @@ def main() -> None:
         "scale": scale,
         "dedup_scale": dedup_scale,
         "events_scale": events_scale,
+        "embedding_scale": embedding_scale,
         "sf": sf,
     }
     # Full detail goes to a committed artifact; stdout carries a
@@ -233,11 +240,16 @@ def main() -> None:
         compact["events_scale_top"] = {k: e[k] for k in (
             "event_rows", "funnel_sec", "wau_sec", "transition_sec",
             "asof_sec") if k in e}
+    if embedding_scale:
+        e = embedding_scale[-1]
+        compact["emb_scale_top"] = {k: e[k] for k in (
+            "corpus_rows", "decontam_sec", "covariance_sec") if k in e}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         # never ship an unparseable tail — shed detail, keep the contract
         compact.pop("dedup_scale_top", None)
         compact.pop("events_scale_top", None)
+        compact.pop("emb_scale_top", None)
         compact["ann"] = {k: compact["ann"][k]
                           for k in ("ivf_recall", "sketch_recall",
                                     "pq_recall", "hnsw_recall")
@@ -830,6 +842,68 @@ def events_scale_benchmark(spark, sf_dir: str, factors) -> list:
         ev.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
         results.append(entry)
+    return results
+
+
+def embedding_scale_benchmark(spark, sf_dir: str, factors) -> list:
+    """Throughput scaling for the embedding-statistics family whose
+    100-TB claims were previously shape-only (round-6 VERDICT
+    directive #5):
+
+    * semantic decontamination — eval matrix broadcast, one matmul
+      per training partition, training side never shuffles; the eval
+      set stays FIXED-SIZE across factors (eval sets don't grow with
+      the corpus), so cost must scale with training rows only;
+    * d×d covariance — one Arrow pass reducing each partition to
+      (n, Σx, XᵀX) partials, executors × O(d²) transfer.
+
+    Near-linear ``*_sec`` growth across factors is the claim these
+    rows substantiate.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+    from python_vector_db___ai_spark.operators.pca import covariance_matrix
+    from python_vector_db___ai_spark.session import load_table
+    from tools.scale_probe import inflate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Fixed eval set: 40 base vectors with offset ids.  Copies of
+    # these vectors exist at every factor, so the decontamination
+    # check always fires on real hits.
+    benchmark = (emb.filter(F.col("vec_id") % 50 == 0).limit(40)
+                 .select((F.col("vec_id") + 10 ** 9).alias("vec_id"),
+                         "embedding").cache())
+    benchmark.count()
+    results = []
+    for factor in factors:
+        tmp = tempfile.mkdtemp(prefix=f"bench_embscale_{factor}_")
+        try:
+            inflate(emb, factor).write.parquet(tmp, mode="overwrite")
+            corpus = spark.read.parquet(tmp).cache()
+            n = corpus.count()
+            entry = {"factor": factor, "corpus_rows": n}
+
+            t0 = time.perf_counter()
+            hits = semantic_decontaminate(corpus, benchmark,
+                                          threshold=0.9).count()
+            entry["decontam_sec"] = round(time.perf_counter() - t0, 3)
+            entry["decontam_hits"] = int(hits)
+
+            t0 = time.perf_counter()
+            covariance_matrix(corpus).count()
+            entry["covariance_sec"] = round(time.perf_counter() - t0, 3)
+
+            corpus.unpersist()
+            results.append(entry)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    benchmark.unpersist()
     return results
 
 
