@@ -113,6 +113,11 @@ _PSI_WIDTH = 10.0
 _PSI_EPS = 1e-6
 _PSI_SPLIT = "2024-01-16"
 
+# data_health_report derives the histogram branch as the half-marginal
+# of the PSI's 3-key binned aggregate — valid only while both use the
+# same bin width.
+assert _PSI_WIDTH == _HIST_WIDTH
+
 
 _PSI_ORACLE = f"""
 WITH tagged AS (
@@ -260,11 +265,57 @@ def data_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_chunk_stats_chars,
     )
 
-    hist = _melt(events_value_histogram(spark, sf_dir), "hist",
-                 F.col("event_type"), F.col("bin"),
+    # ONE events scan serves both events branches: the histogram is
+    # exactly the half-marginal of the PSI's (event_type, half, bin)
+    # aggregate (same bin width), so the shared 3-key binned frame —
+    # tiny after aggregation — is cached and both branches derive from
+    # it.  At 100 TB this halves the dominant cost (the raw scan);
+    # the standalone events_value_histogram / events_value_drift_psi
+    # builders above keep the independent single-purpose plans.
+    ev = load_table(spark, sf_dir, "events")
+    binned3 = (ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref")
+        .otherwise("cur").alias("half"),
+        F.floor(F.col("value") / _HIST_WIDTH).cast("long").alias("bin"))
+        .groupBy("event_type", "half", "bin")
+        .agg(F.count("*").cast("long").alias("n"))).cache()
+
+    hist_binned = (binned3.groupBy("event_type", "bin")
+                   .agg(F.sum("n").cast("long").alias("n")))
+    hist_tot = hist_binned.groupBy("event_type").agg(
+        F.sum("n").alias("total"))
+    hist_df = (hist_binned.join(F.broadcast(hist_tot), "event_type")
+               .select("event_type", "bin",
+                       F.round(F.col("bin") * _HIST_WIDTH, 6)
+                       .alias("bin_lo"),
+                       F.round((F.col("bin") + 1) * _HIST_WIDTH, 6)
+                       .alias("bin_hi"),
+                       "n",
+                       F.round(F.col("n") / F.col("total"), 6)
+                       .alias("share")))
+
+    tot = binned3.groupBy("event_type", "half").agg(
+        F.sum("n").alias("total"))
+    shares = (binned3.join(F.broadcast(tot), ["event_type", "half"])
+              .groupBy("event_type", "bin")
+              .agg(F.max(F.when(F.col("half") == "ref",
+                                F.col("n") / F.col("total")))
+                   .alias("p_ref"),
+                   F.max(F.when(F.col("half") == "cur",
+                                F.col("n") / F.col("total")))
+                   .alias("p_cur")))
+    p_ref = F.coalesce("p_ref", F.lit(0.0))
+    p_cur = F.coalesce("p_cur", F.lit(0.0))
+    term = (p_cur - p_ref) * F.log((p_cur + _PSI_EPS) / (p_ref + _PSI_EPS))
+    psi_df = (shares.select("event_type", term.alias("term"))
+              .groupBy("event_type")
+              .agg(F.round(F.sum("term"), 6).alias("psi"),
+                   F.count("*").cast("long").alias("n_bins")))
+
+    hist = _melt(hist_df, "hist", F.col("event_type"), F.col("bin"),
                  ["bin_lo", "bin_hi", "n", "share"])
-    psi = _melt(events_value_drift_psi(spark, sf_dir), "psi",
-                F.col("event_type"), F.lit(""),
+    psi = _melt(psi_df, "psi", F.col("event_type"), F.lit(""),
                 ["psi", "n_bins"])
     split = _melt(dataset_split_report(spark, sf_dir), "split",
                   F.col("split"), F.col("source"),
