@@ -5,12 +5,16 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 **compact** JSON line (< ~1.5 KB — the driver keeps only a 2,000-char
 stdout tail, so the parseable line must fit there whole)::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "ann": {...recalls/scan-fracs...}, "detail": "BENCH_FULL.json", ...}
+    {"metric": "headline_total", "value": N, "core_total": N,
+     "unit": "sec", "rebalance": "1", "parallelism": 32,
+     "queries": {...}, "ann": {...recalls/scan-fracs...},
+     "detail": "BENCH_FULL.json", ...}
 
-The full detail (ANN build/search split, the scale sweep, the
-dedup/text scale sweep, all params) is written to ``BENCH_FULL.json``
-next to this file and committed per round.
+``core_total`` sums the FROZEN ``CORE_QUERIES`` list (round-over-round
+comparable); ``value``/``headline_total`` sums the growing HEADLINE
+list.  The full detail (ANN build/search split, the four scale sweeps,
+all params including the rebalance flag) is written to
+``BENCH_FULL.json`` next to this file and committed per round.
 
 Timing is end-to-end per query (logical plan build + execution +
 collect), after a session warm-up action, mirroring the reference's
@@ -61,12 +65,13 @@ CORE_QUERIES = [
     "events_active_users_rolling",
 ]
 
-# Median-of-3 for the queries whose driver-run timings showed ~2x
-# run-to-run noise in r5/r6 (round-6 VERDICT directive #6) — the
-# flagship especially: 2.23 s (BENCH_FULL) vs 4.53 s (driver run
-# 13 min later) on the same commit.
-MEDIAN_OF_3 = {"knn_exact_batch", "bm25_rrf_hybrid",
-               "dedup_incremental_minhash"}
+# Every headline query is timed median-of-3 (round-6 VERDICT
+# directive #6): driver-run timings showed ~2x run-to-run noise on
+# single executions (flagship 2.23 s BENCH_FULL vs 4.53 s driver run
+# 13 min later, same commit), and a first same-round r7 run still
+# showed 1.7x swings on single-run entries.  ~100 s extra wall-clock
+# buys round-over-round comparable numbers.
+N_RUNS = 3
 
 # Headline set: one per operator family (SURVEY §2 coverage).
 HEADLINE = [
@@ -135,7 +140,7 @@ def main() -> None:
         if name not in qs:
             continue
         runs = []
-        for _ in range(3 if name in MEDIAN_OF_3 else 1):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             qs[name].spark_fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
@@ -186,7 +191,7 @@ def main() -> None:
         "rebalance": os.environ.get("SPARK_GRAFT_REBALANCE", "0"),
         "default_parallelism": spark.sparkContext.defaultParallelism,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-        "median_of_3": sorted(MEDIAN_OF_3),
+        "timing": f"median_of_{N_RUNS}",
     }
     full = {
         "metric": "headline_total",

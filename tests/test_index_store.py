@@ -251,3 +251,25 @@ def test_upsert_into_empty_partition_and_interleaved_ids(spark, emb):
     hits = hnsw_search(qs, up, k=5)
     assert hits.groupBy("query_id").count().agg(
         F.min("count")).collect()[0][0] == 5
+
+
+def test_two_sequential_upserts_compose(spark, emb, tmpdir_mod):
+    """Daily-append composition: v0 + batchA + batchB (ascending id
+    ranges) must equal the fresh build — the upsert path is closed
+    under repetition, so the artifact never needs a full rebuild for
+    append workloads."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_upsert,
+    )
+
+    v0 = hnsw_build_index(emb.filter(F.col("vec_id") < 25),
+                          n_partitions=N_PART)
+    v1 = hnsw_upsert(
+        v0, emb.filter((F.col("vec_id") >= 25) & (F.col("vec_id") < 40)),
+        n_partitions=N_PART)
+    hnsw_save(v1, f"{tmpdir_mod}/hnsw_seq_v1")
+    v1l = hnsw_load(spark, f"{tmpdir_mod}/hnsw_seq_v1")
+    v2 = hnsw_upsert(v1l, emb.filter(F.col("vec_id") >= 40),
+                     n_partitions=N_PART)
+    fresh = hnsw_build_index(emb, n_partitions=N_PART)
+    assert _artifact_rows(v2) == _artifact_rows(fresh)
