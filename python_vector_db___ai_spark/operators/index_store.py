@@ -343,6 +343,35 @@ def hnsw_search(queries: DataFrame, index: DataFrame, k: int = 10,
     return topk_window(scored, k, query_id, corpus_id, score_col="score")
 
 
+def ivf_append(batch: DataFrame, centroids: DataFrame, path: str,
+               spill: int = 2, metric: str = "cosine",
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cluster_col: str = "cluster_id") -> None:
+    """Append an increment to a cluster-partitioned IVF list table.
+
+    IVF assignment is per-row (broadcast centroids + one BLAS pass),
+    so incremental maintenance is the trivial case the other tiers
+    aspire to: the standing lists are untouched, the increment is
+    assigned against the SAME frozen coarse quantizer and written
+    ``mode("append")`` into the partitioned layout — cost ∝ increment,
+    and the appended table is row-identical to a fresh assignment of
+    the full corpus (``tests/test_index_store.py``).
+
+    The quantizer is deliberately NOT retrained per batch — the
+    standard IVF maintenance policy (FAISS ``add_with_ids`` appends
+    against a frozen quantizer too): retrain only when distribution
+    drift degrades recall, which the ``ann_recall_ivf`` harness (or at
+    100 TB, a scheduled recall probe over a held-out query set)
+    detects.
+    """
+    from python_vector_db___ai_spark.operators.ivf import assign_clusters
+
+    (assign_clusters(batch, centroids, spill=spill, metric=metric,
+                     id_col=id_col, vec_col=vec_col,
+                     cluster_col=cluster_col)
+     .write.mode("append").partitionBy(cluster_col).parquet(path))
+
+
 def save_matrix(spark: SparkSession, M, path: str) -> None:
     """Persist a small dense float64 matrix (SRP/sketch hyperplanes)
     as ``(i, vals)`` rows — bit-exact through parquet DOUBLE."""

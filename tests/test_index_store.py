@@ -273,3 +273,45 @@ def test_two_sequential_upserts_compose(spark, emb, tmpdir_mod):
                      n_partitions=N_PART)
     fresh = hnsw_build_index(emb, n_partitions=N_PART)
     assert _artifact_rows(v2) == _artifact_rows(fresh)
+
+
+def test_ivf_append_equals_fresh_assignment_and_search(spark, emb,
+                                                       queries,
+                                                       tmpdir_mod):
+    """IVF incremental maintenance: base lists written partitioned,
+    increment appended against the frozen quantizer — the on-disk
+    table must equal a fresh full-corpus assignment, and search over
+    the appended artifact must equal search over the fresh one."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        ivf_append,
+    )
+    from python_vector_db___ai_spark.operators.ivf import (
+        assign_clusters,
+        ivf_search,
+        kmeans_centroids,
+    )
+
+    split = 40
+    base = emb.filter(F.col("vec_id") < split)
+    batch = emb.filter(F.col("vec_id") >= split)
+    cents = kmeans_centroids(base, nlist=8, seed=42).cache()
+    path = f"{tmpdir_mod}/ivf_lists"
+    (assign_clusters(base, cents, spill=2)
+     .write.mode("overwrite").partitionBy("cluster_id").parquet(path))
+    ivf_append(batch, cents, path, spill=2)
+
+    loaded = spark.read.parquet(path)
+    fresh = assign_clusters(emb, cents, spill=2)
+    got = sorted((r.vec_id, r.cluster_id) for r in loaded.collect())
+    want = sorted((r.vec_id, r.cluster_id) for r in fresh.collect())
+    assert got == want
+
+    s1 = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_search(
+        queries, loaded, centroids=cents, nprobe=3, k=5,
+        corpus_id="vec_id", cluster_col="cluster_id",
+        dedup_candidates=True).collect())
+    s2 = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_search(
+        queries, fresh, centroids=cents, nprobe=3, k=5,
+        corpus_id="vec_id", cluster_col="cluster_id",
+        dedup_candidates=True).collect())
+    assert s1 == s2
