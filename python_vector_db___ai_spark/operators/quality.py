@@ -90,7 +90,95 @@ def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
 def repetition_metrics(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        round_to: int = 6) -> DataFrame:
-    """One row per doc with the repetition/quality columns above.
+    """One row per doc with the repetition/quality columns above, as a
+    single MAP-ONLY Arrow pass — zero shuffles.
+
+    Every Gopher repetition metric is row-local (a function of one
+    document's own lines/words/n-grams), so the right 100-TB plan is
+    one scan with per-batch Python counting, not the explode →
+    groupBy(doc, unit) → groupBy(doc) → join chain: that agg form
+    (kept below as :func:`repetition_metrics_agg` and proven
+    row-equal in ``tests/test_text.py``) shuffles the per-(doc, unit)
+    partial counts four times and re-joins four aggregates on the doc
+    key.  The map-only pass's memory is bounded by one Arrow batch,
+    not a shuffle spill, and its cost is exactly one corpus scan.
+
+    Cross-engine notes (the DuckDB oracle must keep hash-matching):
+    tokenization replays Java's ``\\s`` class exactly
+    (``[ \\t\\n\\x0b\\f\\r]``, NOT Python's unicode ``\\s``), the line
+    filter strips ASCII spaces only (Spark ``trim`` semantics), and
+    rounding is HALF_UP like Spark/DuckDB ``round`` (Python's
+    ``round`` is half-even).
+    """
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    scale = 10 ** round_to
+
+    def _round(x: float) -> float:
+        return math.floor(x * scale + 0.5) / scale
+
+    def _frac(num: int, den: int) -> float:
+        return _round(num / den) if den > 0 else 0.0
+
+    def _one(t: str):
+        lines = [ln for ln in t.split("\n") if ln.strip(" ") != ""]
+        lc = Counter(lines)
+        n_lines = len(lines)
+        dup_lines = sum(c for c in lc.values() if c > 1)
+        line_chars = sum(len(ln) for ln in lines)
+        dup_line_chars = sum(c * len(ln) for ln, c in lc.items()
+                             if c > 1)
+        words = [w for w in _ws.split(t.lower()) if w != ""]
+        n_words = len(words)
+        if n_words:
+            wc = Counter(words)
+            ent = -sum((c / n_words) * math.log(c / n_words)
+                       for c in wc.values())
+        else:
+            ent = 0.0
+        bi = Counter(" ".join(words[i:i + 2])
+                     for i in range(n_words - 1))
+        n_2 = max(n_words - 1, 0)
+        top_2 = max(bi.values()) if bi else 0
+        fc = Counter(" ".join(words[i:i + 5])
+                     for i in range(n_words - 4))
+        n_5 = max(n_words - 4, 0)
+        dup_5 = sum(c for c in fc.values() if c > 1)
+        return (n_lines, _frac(dup_lines, n_lines),
+                _frac(dup_line_chars, line_chars),
+                _frac(top_2, n_2), _frac(dup_5, n_5), _round(ent))
+
+    def op(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = [_one(t) for t in pdf[text_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "n_lines": [o[0] for o in out],
+                "dup_line_frac": [o[1] for o in out],
+                "dup_line_char_frac": [o[2] for o in out],
+                "top_2gram_frac": [o[3] for o in out],
+                "dup_5gram_frac": [o[4] for o in out],
+                "unigram_entropy": [o[5] for o in out]})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} long, n_lines long, dup_line_frac double, "
+                   "dup_line_char_frac double, top_2gram_frac double, "
+                   "dup_5gram_frac double, unigram_entropy double")
+
+
+def repetition_metrics_agg(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           round_to: int = 6) -> DataFrame:
+    """The explode + hash-agg form of :func:`repetition_metrics` —
+    kept as the differential reference (``tests/test_text.py`` proves
+    row equality on the corpus and edge docs).
 
     Three explodes (lines, bigrams, 5-grams ∪ unigrams share the word
     split), each aggregated on the (doc, unit) hash key then reduced

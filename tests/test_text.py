@@ -208,3 +208,46 @@ def test_crossdoc_dup_ngrams_hand_computed(spark):
     assert got[2].crossdoc_dup_frac == pytest.approx(0.5)
     assert (got[3].dup_grams, got[3].crossdoc_dup_frac) == (0, 0.0)
     assert (got[4].n_grams, got[4].crossdoc_dup_frac) == (0, 0.0)
+
+
+def test_repetition_map_only_equals_agg_form(spark):
+    """The round-7 map-only Arrow pass must be row-identical to the
+    explode + hash-agg differential reference — on the real corpus AND
+    on edge docs (empty, whitespace-only, tab-only line, duplicated
+    lines, sub-n-gram shorts)."""
+    from python_vector_db___ai_spark.operators.quality import (
+        repetition_metrics,
+        repetition_metrics_agg,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert rows(repetition_metrics(docs)) == \
+        rows(repetition_metrics_agg(docs))
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t"), (4, "a\na\na"),
+         (5, "one"), (6, "w w w w"), (7, "A b\nA B\na b")],
+        "doc_id long, text string")
+    assert rows(repetition_metrics(edge)) == \
+        rows(repetition_metrics_agg(edge))
+
+
+def test_repetition_map_only_plan_is_shuffle_free(spark):
+    from python_vector_db___ai_spark.operators.quality import (
+        repetition_metrics,
+    )
+    from python_vector_db___ai_spark.plans.explain import (
+        count_exchanges,
+        formatted_plan,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    spark.catalog.clearCache()
+    df = repetition_metrics(load_table(spark, SF_DIR, "documents"))
+    assert count_exchanges(df) == 0, formatted_plan(df)
