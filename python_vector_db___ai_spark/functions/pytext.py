@@ -1,0 +1,48 @@
+"""Python-side replicas of the JVM text/hash primitives, for map-only
+Arrow passes over row-local metrics.
+
+Per-document metrics (SimHash fingerprints, Gopher repetition gates)
+are functions of one row, so their right 100-TB plan is a single scan
+with per-batch Python counting — but the Python side must replay the
+JVM semantics BIT-EXACTLY or the DuckDB oracles stop hash-matching:
+
+* ``java_ws_split`` replays ``F.split(F.lower(text), r"\\s+")`` +
+  non-empty filter (``operators/dedup.py: words_col``).  Java's
+  ``\\s`` is the ASCII class ``[ \\t\\n\\x0b\\f\\r]`` — Python's
+  ``\\s`` would also match unicode whitespace (e.g. NBSP) and
+  silently diverge.
+* ``stable_hash64_py`` replays ``functions/hashing.py:
+  stable_hash64`` — the first 15 hex chars of md5 as an integer.
+* ``round_half_up`` replays Spark/DuckDB ``round`` (HALF_UP);
+  Python's builtin ``round`` is half-even and diverges at exact .5
+  boundaries.
+
+Equality with the JVM forms is locked by differential tests
+(``tests/test_text.py``, ``tests/test_dedup.py``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def java_ws_split(text: str) -> list[str]:
+    """Lower-cased ASCII-whitespace tokens, empty strings dropped."""
+    return [w for w in _JAVA_WS.split(text.lower()) if w != ""]
+
+
+def stable_hash64_py(s: str, seed: int = 0, bits: int = 60) -> int:
+    """Bit-exact Python replica of ``hashing.stable_hash64``."""
+    prefixed = f"s{seed}:{s}" if seed else s
+    nhex = bits // 4
+    return int(hashlib.md5(prefixed.encode()).hexdigest()[:nhex], 16)
+
+
+def round_half_up(x: float, digits: int = 6) -> float:
+    """Spark/DuckDB ``round`` semantics for non-negative values."""
+    scale = 10 ** digits
+    return math.floor(x * scale + 0.5) / scale

@@ -325,8 +325,66 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
 def simhash_fingerprints(df: DataFrame, bits: int = 16,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
-    """Per-doc SimHash via explode + groupBy — arbitrary document
-    length.  Returns ``(id_col, simhash)``.
+    """Per-doc SimHash as a single MAP-ONLY Arrow pass — zero
+    shuffles.  Returns ``(id_col, simhash)`` (NULL for wordless docs,
+    matching the agg form's dropped-then-left-joined rows).
+
+    The fingerprint is row-local (a function of one doc's own word
+    counts), so the right 100-TB plan is one scan with per-batch
+    counting, not explode → groupBy(doc, word) → groupBy(doc) (two
+    shuffles of the exploded vocabulary; kept below as
+    :func:`simhash_fingerprints_agg`, proven row-equal in
+    ``tests/test_dedup.py``).  The Python side replays
+    ``stable_hash64`` and the Java ``\\s`` tokenizer bit-exactly
+    (``functions/pytext.py``), so the DuckDB oracle keeps
+    hash-matching; the md5 is still computed once per distinct
+    (doc, word) with ±count weighting.
+    """
+    import pandas as pd
+    from collections import Counter
+
+    from python_vector_db___ai_spark.functions.pytext import (
+        java_ws_split,
+        stable_hash64_py,
+    )
+
+    hash_cache: dict[str, int] = {}
+
+    def fp(t: str):
+        words = java_ws_split(t)
+        if not words:
+            return None
+        sums = [0] * bits
+        if len(hash_cache) > (1 << 20):   # bound worker memory
+            hash_cache.clear()
+        for w, c in Counter(words).items():
+            h = hash_cache.get(w)
+            if h is None:
+                h = hash_cache[w] = stable_hash64_py(w)
+            for j in range(bits):
+                sums[j] += c if h & (1 << j) else -c
+        return sum(1 << j for j in range(bits) if sums[j] > 0)
+
+    def op(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "simhash": pd.array([fp(t) for t in pdf[text_col]],
+                                    dtype="Int64")})
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} long, simhash long")
+
+
+def simhash_fingerprints_agg(df: DataFrame, bits: int = 16,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """The explode + hash-agg form of :func:`simhash_fingerprints` —
+    kept as the differential reference (``tests/test_dedup.py``).
+    NB: drops wordless docs entirely (callers left-join), where the
+    map-only form emits a NULL row.
 
     The md5-derived hash is computed once per DISTINCT (doc, word) and
     its ±1 bit contributions weighted by the occurrence count —

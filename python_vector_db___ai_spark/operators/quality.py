@@ -111,16 +111,17 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
     ``round`` is half-even).
     """
     import math
-    import re
     from collections import Counter
 
     import pandas as pd
 
-    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
-    scale = 10 ** round_to
+    from python_vector_db___ai_spark.functions.pytext import (
+        java_ws_split,
+        round_half_up,
+    )
 
     def _round(x: float) -> float:
-        return math.floor(x * scale + 0.5) / scale
+        return round_half_up(x, round_to)
 
     def _frac(num: int, den: int) -> float:
         return _round(num / den) if den > 0 else 0.0
@@ -133,7 +134,7 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
         line_chars = sum(len(ln) for ln in lines)
         dup_line_chars = sum(c * len(ln) for ln, c in lc.items()
                              if c > 1)
-        words = [w for w in _ws.split(t.lower()) if w != ""]
+        words = java_ws_split(t)
         n_words = len(words)
         if n_words:
             wc = Counter(words)

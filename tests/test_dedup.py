@@ -271,3 +271,53 @@ def test_minhash_incremental_flags(spark):
     assert out[10].best_jaccard == 1.0 and out[10].n_dups == 1
     assert not out[11].is_dup and out[11].best_match is None
     assert out[11].n_candidates == 0
+
+
+def test_simhash_map_only_equals_agg_form(spark):
+    """The round-7 map-only SimHash pass must agree with the explode +
+    hash-agg reference on the real corpus and edge docs; the only
+    intended difference is wordless docs (agg drops the row, map-only
+    emits NULL — identical after the callers' left join)."""
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_fingerprints_agg,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {r.doc_id: r.simhash
+           for r in simhash_fingerprints(docs).collect()}
+    want = {r.doc_id: r.simhash
+            for r in simhash_fingerprints_agg(docs).collect()}
+    assert {k: v for k, v in got.items() if v is not None} == want
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, " \t "), (3, "Hello HELLO hello x"),
+         (4, "a"), (5, "a b a b a")],
+        "doc_id long, text string")
+    g2 = {r.doc_id: r.simhash
+          for r in simhash_fingerprints(edge).collect()}
+    w2 = {r.doc_id: r.simhash
+          for r in simhash_fingerprints_agg(edge).collect()}
+    assert set(g2) == {1, 2, 3, 4, 5}
+    assert g2[1] is None and g2[2] is None
+    assert {k: v for k, v in g2.items() if v is not None} == w2
+
+
+def test_simhash_map_only_plan_is_shuffle_free(spark):
+    from python_vector_db___ai_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+    from python_vector_db___ai_spark.plans.explain import (
+        count_exchanges,
+        formatted_plan,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    spark.catalog.clearCache()
+    df = simhash_fingerprints(load_table(spark, SF_DIR, "documents"))
+    assert count_exchanges(df) == 0, formatted_plan(df)
