@@ -46,3 +46,24 @@ def round_half_up(x: float, digits: int = 6) -> float:
     """Spark/DuckDB ``round`` semantics for non-negative values."""
     scale = 10 ** digits
     return math.floor(x * scale + 0.5) / scale
+
+
+def word_shingles_py(text: str | None, n: int = 1) -> list[str] | None:
+    """Bit-exact replica of ``operators/dedup.py: word_shingles``.
+
+    ``array_distinct`` keeps first-occurrence order, which
+    ``dict.fromkeys`` replays; a text shorter than ``n`` words yields
+    the empty array (the ``sequence(1, x<1)`` counts-down guard).
+    NULL text yields NULL at ``n=1`` but the EMPTY array at ``n>1``:
+    the expression form's ``when(size(ws) >= n, ...)`` evaluates to
+    NULL-condition → ``otherwise(empty)`` — replicated exactly.
+    """
+    if text is None:
+        return None if n == 1 else []
+    words = java_ws_split(text)
+    if n == 1:
+        return list(dict.fromkeys(words))
+    if len(words) < n:
+        return []
+    return list(dict.fromkeys(
+        " ".join(words[i:i + n]) for i in range(len(words) - n + 1)))

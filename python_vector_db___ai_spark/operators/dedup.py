@@ -19,7 +19,12 @@ Five families, each chosen for a different scale/precision trade-off:
 
 All hashing goes through ``functions.hashing.stable_hash64`` (md5-based)
 so the DuckDB oracle reproduces every bucket and signature bit-for-bit.
-No UDFs anywhere — every operator is whole-stage-codegen'd expressions.
+Everything is whole-stage-codegen'd expressions except the two
+row-local fingerprint passes (MinHash signatures, SimHash), which run
+as map-only Arrow batches with per-worker hash caches — bit-exact
+Python replicas of the same md5 primitives (``functions/pytext.py``),
+proven row-equal to their kept expression forms in
+``tests/test_dedup.py``.  No row-at-a-time UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -106,9 +111,71 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, text_col: str = "text",
 def minhash_signature(df: DataFrame, num_hashes: int = 16,
                       shingle_n: int = 1, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
-    """Per-doc MinHash signature: ``sig[s] = min over shingles of
-    stable_hash64(shingle, seed=s)``.  Adds ``sig`` (array<long>) and
-    keeps the shingle set for later verification."""
+    """Per-doc MinHash signature as a MAP-ONLY Arrow pass — zero
+    shuffles: ``sig[s] = min over shingles of stable_hash64(shingle,
+    seed=s)``.  Returns ``(_id, shingles, sig)`` (shingles NULL for
+    NULL text, sig all-NULL for shingle-less docs, matching the
+    expression form).
+
+    Signing is row-local, so the right 100-TB plan is one corpus scan.
+    The expression form (kept as :func:`minhash_signature_expr`, the
+    differential reference) recomputes ``num_hashes`` md5s for every
+    shingle *occurrence* of every row; here each distinct shingle's
+    hash vector is computed once per worker and cached (Zipf makes the
+    vocabulary far smaller than the token stream), and the Python side
+    replays the Java ``\\s`` tokenizer, ``array_distinct`` order, and
+    ``stable_hash64`` bit-exactly via ``functions/pytext.py``, so the
+    DuckDB oracles keep hash-matching.  Row-equality with the
+    expression form is locked in ``tests/test_dedup.py``.
+    """
+    import pandas as pd
+
+    from python_vector_db___ai_spark.functions.pytext import (
+        stable_hash64_py,
+        word_shingles_py,
+    )
+
+    seeds = range(num_hashes)
+    hash_cache: dict[str, tuple] = {}
+
+    def one(t: str | None):
+        shingles = word_shingles_py(t, shingle_n)
+        if not shingles:           # NULL text or shingle-less doc
+            return shingles, [None] * num_hashes
+        mins = [None] * num_hashes
+        if len(hash_cache) > (1 << 18):   # bound worker memory
+            hash_cache.clear()
+        for s in shingles:
+            hv = hash_cache.get(s)
+            if hv is None:
+                hv = hash_cache[s] = tuple(
+                    stable_hash64_py(s, seed=k) for k in seeds)
+            for k, h in enumerate(hv):
+                m = mins[k]
+                if m is None or h < m:
+                    mins[k] = h
+        return shingles, mins
+
+    def op(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pairs = [one(t) for t in pdf[text_col]]
+            yield pd.DataFrame({
+                "_id": pdf[id_col].to_numpy(),
+                "shingles": [p[0] for p in pairs],
+                "sig": [p[1] for p in pairs]})
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema="_id long, shingles array<string>, sig array<long>")
+
+
+def minhash_signature_expr(df: DataFrame, num_hashes: int = 16,
+                           shingle_n: int = 1, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Pure-expression form of :func:`minhash_signature` — the
+    whole-stage-codegen'd differential reference (and the shape the
+    SQL oracles replicate)."""
     sh = word_shingles(F.col(text_col), shingle_n)
 
     def _hasher(s: int):

@@ -321,3 +321,49 @@ def test_simhash_map_only_plan_is_shuffle_free(spark):
     spark.catalog.clearCache()
     df = simhash_fingerprints(load_table(spark, SF_DIR, "documents"))
     assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_minhash_arrow_equals_expr_form(spark):
+    """The round-7 map-only MinHash signing must agree with the
+    pure-expression reference bit-for-bit — shingle arrays (order
+    included: dict.fromkeys vs array_distinct), all 16 min-hashes,
+    and the NULL conventions for empty/short/NULL texts — at both
+    shingle_n=1 and shingle_n=3."""
+    from python_vector_db___ai_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_expr,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, " \t "), (100003, None),
+         (100004, "a"), (100005, "a b"), (100006, "B b A a b"),
+         (100007, "one two three four"),
+         (100008, "café naïve café"),
+         (100009, "nb sp is not ascii whitespace")],
+        "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    for n in (1, 3):
+        got = {r._id: (r.shingles, r.sig)
+               for r in minhash_signature(both, shingle_n=n).collect()}
+        want = {r._id: (r.shingles, r.sig)
+                for r in minhash_signature_expr(both, shingle_n=n).collect()}
+        assert got == want, f"shingle_n={n}"
+
+
+def test_minhash_arrow_plan_is_map_only(spark):
+    from python_vector_db___ai_spark.operators.dedup import (
+        minhash_signature,
+    )
+    from python_vector_db___ai_spark.plans.explain import (
+        count_exchanges,
+        formatted_plan,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    spark.catalog.clearCache()
+    df = minhash_signature(load_table(spark, SF_DIR, "documents"))
+    assert count_exchanges(df) == 0, formatted_plan(df)
