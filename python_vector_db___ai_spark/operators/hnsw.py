@@ -71,11 +71,17 @@ def _search_layer(V, nbrs, entry_points, q, ef):
         neg_s, neg_n = heapq.heappop(cand)
         if -neg_s < best[0][0] and len(best) >= ef:
             break
-        for nb in nbrs[-neg_n]:
-            if nb in visited:
-                continue
-            visited.add(nb)
-            s = float(V[nb] @ q)
+        # Batch the neighbor-list distance evaluations into one gemv
+        # (V[new] @ q) instead of one Python-level dot per candidate —
+        # the push/evict walk below runs in the exact same list order
+        # with the exact same tie-breaks, so the beam is unchanged.
+        new = [nb for nb in nbrs[-neg_n] if nb not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        sims = V[new] @ q
+        for nb, s in zip(new, sims):
+            s = float(s)
             if len(best) < ef or s > best[0][0] or (s == best[0][0]
                                                    and -nb > best[0][1]):
                 heapq.heappush(best, (s, -nb))
@@ -99,7 +105,8 @@ def _select_neighbors(V, found, M):
     for s, node in found:
         if len(sel) >= M:
             break
-        if all(float(V[node] @ V[m]) <= s for m in sel):
+        # one gemv against the kept set instead of per-member dots
+        if not sel or bool((V[sel] @ V[node] <= s).all()):
             sel.append(node)
     if len(sel) < M:
         chosen = set(sel)
@@ -135,9 +142,10 @@ def _insert_node(V, nbrs, entry, top, i, li, M, ef_construction):
             lst.append(i)
             if len(lst) > cap:
                 # re-select with the same diversity heuristic
-                # (ties -> lower id via the sort key)
+                # (ties -> lower id via the sort key); one gemv for
+                # the overfull list's similarities
                 ranked = sorted(
-                    ((float(V[s] @ V[x]), x) for x in lst),
+                    zip((V[lst] @ V[s]).tolist(), lst),
                     key=lambda t: (-t[0], t[1]))
                 del lst[:]
                 lst.extend(_select_neighbors(V, ranked, cap))

@@ -59,6 +59,14 @@ def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
     cost is the sum of postings sizes, never pairs.  Docs shorter than
     ``n`` words keep a row with 0 grams.
 
+    Measured round 7 and deliberately NOT adopted: hashing the gram
+    key to a 60-bit ``stable_hash64`` long before the first exchange
+    (≈3× narrower shuffle rows) ran ~18% SLOWER at 250k docs — the
+    per-occurrence md5 CPU exceeds what the in-memory local shuffle
+    saves.  On a network-bound multi-rack cluster the narrow-key
+    variant is the right trade; flip it there by hashing inside the
+    explode projection (and in the oracle via ``stable_hash_sql``).
+
     Returns ``(id_col, n_grams, dup_grams, crossdoc_dup_frac)``.
     """
     words = words_col(F.col(text_col))
