@@ -417,7 +417,9 @@ def simhash_fingerprints(df: DataFrame, bits: int = 16,
 
     hash_cache: dict[str, int] = {}
 
-    def fp(t: str):
+    def fp(t: str | None):
+        if t is None:       # NULL text — the agg form's explode drops
+            return None     # the row and callers left-join to NULL
         words = java_ws_split(t)
         if not words:
             return None

@@ -43,6 +43,34 @@ _INDEX_SCHEMA = ("part_id int, seq int, vec_id long, vec array<double>, "
                  "nbrs array<array<int>>")
 
 
+def _emit_partition(pid, ids, V, levels, entry, top, nbrs):
+    """One partition's artifact rows — SHARED by build and upsert so
+    the emission shape (the n==1 special case, the per-node layer
+    truncation, the 8-column layout) cannot drift between the two
+    paths that must stay bit-identical.  ``nbrs`` is the mutable
+    [layer][node] list-of-lists (ignored when n == 1)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(ids)
+    if n == 1:
+        nbrs_by_node = [[[]]]
+    else:
+        nbrs_by_node = [
+            [list(nbrs[layer][i])
+             for layer in range(min(levels[i], top) + 1)]
+            for i in range(n)]
+    return pd.DataFrame({
+        "part_id": np.full(n, pid, dtype=np.int32),
+        "seq": np.arange(n, dtype=np.int32),
+        "vec_id": np.asarray(ids, dtype=np.int64),
+        "vec": list(V),
+        "level": np.array(levels, dtype=np.int32),
+        "entry_seq": np.full(n, entry, dtype=np.int32),
+        "top_level": np.full(n, top, dtype=np.int32),
+        "nbrs": nbrs_by_node})
+
+
 def hnsw_build_index(corpus: DataFrame, n_partitions: int = 32,
                      M: int = 8, ef_construction: int = 64,
                      metric: str = "cosine",
@@ -88,23 +116,10 @@ def hnsw_build_index(corpus: DataFrame, n_partitions: int = 32,
             n = len(V)
             levels = [_node_level(i, m_l) for i in range(n)]
             if n == 1:
-                nbrs_by_node = [[[]]]
-                entry, top = 0, levels[0]
+                nbrs, entry, top = None, 0, levels[0]
             else:
                 nbrs, entry, top = _build_graph(V, M, ef_construction, m_l)
-                nbrs_by_node = [
-                    [list(nbrs[layer][i])
-                     for layer in range(min(levels[i], top) + 1)]
-                    for i in range(n)]
-            yield pd.DataFrame({
-                "part_id": np.full(n, pid, dtype=np.int32),
-                "seq": np.arange(n, dtype=np.int32),
-                "vec_id": ids,
-                "vec": list(V),
-                "level": np.array(levels, dtype=np.int32),
-                "entry_seq": np.full(n, entry, dtype=np.int32),
-                "top_level": np.full(n, top, dtype=np.int32),
-                "nbrs": nbrs_by_node})
+            yield _emit_partition(pid, ids, V, levels, entry, top, nbrs)
 
     return part.mapInPandas(op, schema=_INDEX_SCHEMA)
 
@@ -137,6 +152,15 @@ def hnsw_upsert(index: DataFrame, batch: DataFrame,
     valid deterministic graph, just not the fresh-build one (HNSW is
     insertion-order dependent).
 
+    REPLACE semantics (round 7): if a batch id already exists in the
+    index, the new vector wins — graph links cannot be edited in
+    place, so the partition owning that id is rebuilt fresh from its
+    merged node set (old-minus-replaced + batch, ascending-id
+    ordinals — by construction the same graph a from-scratch build of
+    the merged corpus produces, also bit-identical to fresh).  Only
+    partitions actually containing a replaced id pay the rebuild;
+    the rest keep the incremental append cost.
+
     ``n_partitions``/``M``/``ef_construction``/``metric`` must match
     the build call — they are graph-shape parameters, not stored in
     the artifact.
@@ -145,6 +169,7 @@ def hnsw_upsert(index: DataFrame, batch: DataFrame,
     import pandas as pd
 
     from python_vector_db___ai_spark.operators.hnsw import (
+        _build_graph,
         _insert_node,
         _node_level,
     )
@@ -189,6 +214,39 @@ def hnsw_upsert(index: DataFrame, batch: DataFrame,
             if n_new and metric == "cosine":
                 norm = np.linalg.norm(Vn, axis=1)
                 Vn = Vn / np.where(norm > 1e-12, norm, 1.0)[:, None]
+            if (n_old and n_new
+                    and new["vec_id"].isin(old["vec_id"]).any()):
+                # TRUE upsert: a batch id already exists here, and the
+                # new vector must WIN.  Graph links are not editable in
+                # place (unlinking a node invalidates its neighbors'
+                # diversity selections), so rebuild THIS partition
+                # fresh from the merged node set — ascending-id
+                # ordinals, i.e. by construction the exact graph a
+                # from-scratch build of the merged corpus produces.
+                # Cost ∝ this partition only; untouched partitions
+                # still take the append path.
+                keep = old[~old["vec_id"].isin(new["vec_id"])]
+                ids_m = np.concatenate([
+                    keep["vec_id"].to_numpy(dtype=np.int64),
+                    new["vec_id"].to_numpy(dtype=np.int64)])
+                if len(keep):
+                    V_m = np.vstack([
+                        np.array(keep["vec"].tolist(), dtype=np.float64),
+                        Vn])
+                else:
+                    V_m = Vn
+                order = np.argsort(ids_m)
+                ids_m, V_m = ids_m[order], V_m[order]
+                n = len(ids_m)
+                levels = [_node_level(i, m_l) for i in range(n)]
+                if n == 1:
+                    nbrs, entry, top = None, 0, levels[0]
+                else:
+                    nbrs, entry, top = _build_graph(
+                        V_m, M, ef_construction, m_l)
+                yield _emit_partition(pid, ids_m, V_m, levels, entry,
+                                      top, nbrs)
+                continue
             if n_old:
                 Vo = np.array(old["vec"].tolist(), dtype=np.float64)
                 V = np.vstack([Vo, Vn]) if n_new else Vo
@@ -224,22 +282,8 @@ def hnsw_upsert(index: DataFrame, batch: DataFrame,
                 if n_old else np.empty(0, dtype=np.int64),
                 new["vec_id"].to_numpy(dtype=np.int64)
                 if n_new else np.empty(0, dtype=np.int64)])
-            if n == 1:
-                nbrs_by_node = [[[]]]
-            else:
-                nbrs_by_node = [
-                    [list(nbrs[layer][i])
-                     for layer in range(min(levels[i], top) + 1)]
-                    for i in range(n)]
-            yield pd.DataFrame({
-                "part_id": np.full(n, pid, dtype=np.int32),
-                "seq": np.arange(n, dtype=np.int32),
-                "vec_id": ids,
-                "vec": list(V),
-                "level": np.array(levels, dtype=np.int32),
-                "entry_seq": np.full(n, entry, dtype=np.int32),
-                "top_level": np.full(n, top, dtype=np.int32),
-                "nbrs": nbrs_by_node})
+            yield _emit_partition(pid, ids, V, levels, entry, top,
+                                  nbrs if n > 1 else None)
 
     return combined.mapInPandas(op, schema=_INDEX_SCHEMA)
 

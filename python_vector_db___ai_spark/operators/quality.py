@@ -134,7 +134,11 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
     def _frac(num: int, den: int) -> float:
         return _round(num / den) if den > 0 else 0.0
 
-    def _one(t: str):
+    def _one(t: str | None):
+        if t is None:
+            # the agg reference keeps NULL-text docs as all-zero rows
+            # (its id-spine left-join coalesces every metric to 0)
+            t = ""
         lines = [ln for ln in t.split("\n") if ln.strip(" ") != ""]
         lc = Counter(lines)
         n_lines = len(lines)

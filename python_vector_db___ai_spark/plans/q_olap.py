@@ -90,6 +90,20 @@ FROM binned b JOIN totals t ON t.event_type = b.event_type
 """
 
 
+def _hist_from_binned(binned: DataFrame) -> DataFrame:
+    """Histogram rows (bin edges + per-type share) from an
+    ``(event_type, bin, n)`` count frame — shared by the standalone
+    histogram and the health report's hist branch."""
+    totals = binned.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (binned.join(F.broadcast(totals), "event_type")
+            .select("event_type", "bin",
+                    F.round(F.col("bin") * _HIST_WIDTH, 6).alias("bin_lo"),
+                    F.round((F.col("bin") + 1) * _HIST_WIDTH, 6)
+                    .alias("bin_hi"),
+                    "n",
+                    F.round(F.col("n") / F.col("total"), 6).alias("share")))
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type (floor-binning in one
     hash agg + broadcast per-type totals); bins are data-independent so
@@ -99,14 +113,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.floor(F.col("value") / _HIST_WIDTH).cast("long")
                          .alias("bin"))
               .agg(F.count("*").cast("long").alias("n")))
-    totals = binned.groupBy("event_type").agg(F.sum("n").alias("total"))
-    return (binned.join(F.broadcast(totals), "event_type")
-            .select("event_type", "bin",
-                    F.round(F.col("bin") * _HIST_WIDTH, 6).alias("bin_lo"),
-                    F.round((F.col("bin") + 1) * _HIST_WIDTH, 6)
-                    .alias("bin_hi"),
-                    "n",
-                    F.round(F.col("n") / F.col("total"), 6).alias("share")))
+    return _hist_from_binned(binned)
 
 
 _PSI_WIDTH = 10.0
@@ -151,19 +158,11 @@ FROM terms GROUP BY event_type
 """
 
 
-def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift: value distribution of each
-    event type, first half-month vs second, fixed-width bins — two hash
-    aggs and a bounded pivot; the epsilon-smoothed PSI is the standard
-    drift gate a feature-monitoring layer alarms on."""
-    ev = load_table(spark, sf_dir, "events")
-    tagged = ev.select(
-        "event_type",
-        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref")
-        .otherwise("cur").alias("half"),
-        F.floor(F.col("value") / _PSI_WIDTH).cast("long").alias("bin"))
-    binned = (tagged.groupBy("event_type", "half", "bin")
-              .agg(F.count("*").cast("long").alias("n")))
+def _psi_from_binned(binned: DataFrame) -> DataFrame:
+    """Epsilon-smoothed PSI per event type from a ``(event_type, half,
+    bin, n)`` count frame — the ONE implementation shared by the
+    standalone drift query and the health report's PSI branch, so the
+    smoothing/share semantics cannot drift between them."""
     tot = binned.groupBy("event_type", "half").agg(F.sum("n").alias("total"))
     shares = (binned.join(F.broadcast(tot), ["event_type", "half"])
               .groupBy("event_type", "bin")
@@ -178,6 +177,27 @@ def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.round(F.sum("term"), 6).alias("psi"),
                  F.count("*").cast("long").alias("n_bins")))
+
+
+def _psi_binned(ev: DataFrame, width: float) -> DataFrame:
+    """The ``(event_type, half, bin, n)`` count frame feeding
+    :func:`_psi_from_binned`."""
+    return (ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref")
+        .otherwise("cur").alias("half"),
+        F.floor(F.col("value") / width).cast("long").alias("bin"))
+        .groupBy("event_type", "half", "bin")
+        .agg(F.count("*").cast("long").alias("n")))
+
+
+def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift: value distribution of each
+    event type, first half-month vs second, fixed-width bins — two hash
+    aggs and a bounded pivot; the epsilon-smoothed PSI is the standard
+    drift gate a feature-monitoring layer alarms on."""
+    ev = load_table(spark, sf_dir, "events")
+    return _psi_from_binned(_psi_binned(ev, _PSI_WIDTH))
 
 
 def _melt(df: DataFrame, section: str, k1, k2,
@@ -273,45 +293,16 @@ def data_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the standalone events_value_histogram / events_value_drift_psi
     # builders above keep the independent single-purpose plans.
     ev = load_table(spark, sf_dir, "events")
-    binned3 = (ev.select(
-        "event_type",
-        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref")
-        .otherwise("cur").alias("half"),
-        F.floor(F.col("value") / _HIST_WIDTH).cast("long").alias("bin"))
-        .groupBy("event_type", "half", "bin")
-        .agg(F.count("*").cast("long").alias("n"))).cache()
+    # .cache() is keyed on logical-plan equality, so repeated calls of
+    # this query reuse ONE cached entry (a few hundred aggregated rows)
+    # rather than accumulating storage.
+    binned3 = _psi_binned(ev, _HIST_WIDTH).cache()
 
-    hist_binned = (binned3.groupBy("event_type", "bin")
-                   .agg(F.sum("n").cast("long").alias("n")))
-    hist_tot = hist_binned.groupBy("event_type").agg(
-        F.sum("n").alias("total"))
-    hist_df = (hist_binned.join(F.broadcast(hist_tot), "event_type")
-               .select("event_type", "bin",
-                       F.round(F.col("bin") * _HIST_WIDTH, 6)
-                       .alias("bin_lo"),
-                       F.round((F.col("bin") + 1) * _HIST_WIDTH, 6)
-                       .alias("bin_hi"),
-                       "n",
-                       F.round(F.col("n") / F.col("total"), 6)
-                       .alias("share")))
+    hist_df = _hist_from_binned(
+        binned3.groupBy("event_type", "bin")
+        .agg(F.sum("n").cast("long").alias("n")))
 
-    tot = binned3.groupBy("event_type", "half").agg(
-        F.sum("n").alias("total"))
-    shares = (binned3.join(F.broadcast(tot), ["event_type", "half"])
-              .groupBy("event_type", "bin")
-              .agg(F.max(F.when(F.col("half") == "ref",
-                                F.col("n") / F.col("total")))
-                   .alias("p_ref"),
-                   F.max(F.when(F.col("half") == "cur",
-                                F.col("n") / F.col("total")))
-                   .alias("p_cur")))
-    p_ref = F.coalesce("p_ref", F.lit(0.0))
-    p_cur = F.coalesce("p_cur", F.lit(0.0))
-    term = (p_cur - p_ref) * F.log((p_cur + _PSI_EPS) / (p_ref + _PSI_EPS))
-    psi_df = (shares.select("event_type", term.alias("term"))
-              .groupBy("event_type")
-              .agg(F.round(F.sum("term"), 6).alias("psi"),
-                   F.count("*").cast("long").alias("n_bins")))
+    psi_df = _psi_from_binned(binned3)
 
     hist = _melt(hist_df, "hist", F.col("event_type"), F.col("bin"),
                  ["bin_lo", "bin_hi", "n", "share"])

@@ -296,14 +296,14 @@ def test_simhash_map_only_equals_agg_form(spark):
 
     edge = spark.createDataFrame(
         [(1, ""), (2, " \t "), (3, "Hello HELLO hello x"),
-         (4, "a"), (5, "a b a b a")],
+         (4, "a"), (5, "a b a b a"), (6, None)],
         "doc_id long, text string")
     g2 = {r.doc_id: r.simhash
           for r in simhash_fingerprints(edge).collect()}
     w2 = {r.doc_id: r.simhash
           for r in simhash_fingerprints_agg(edge).collect()}
-    assert set(g2) == {1, 2, 3, 4, 5}
-    assert g2[1] is None and g2[2] is None
+    assert set(g2) == {1, 2, 3, 4, 5, 6}
+    assert g2[1] is None and g2[2] is None and g2[6] is None
     assert {k: v for k, v in g2.items() if v is not None} == w2
 
 

@@ -315,3 +315,40 @@ def test_ivf_append_equals_fresh_assignment_and_search(spark, emb,
         corpus_id="vec_id", cluster_col="cluster_id",
         dedup_candidates=True).collect())
     assert s1 == s2
+
+
+def test_upsert_replaces_existing_ids(spark, emb):
+    """REPLACE semantics (round 7): re-ingesting EXISTING ids with
+    corrected vectors must not duplicate nodes.  Partitions owning a
+    replaced id rebuild from their merged node set (new vector wins),
+    so the artifact is bit-identical to a fresh build over the
+    corrected corpus; untouched partitions keep their graphs."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_upsert,
+    )
+
+    idx = hnsw_build_index(emb, n_partitions=N_PART)
+    batch = (emb.filter(F.col("vec_id") < 10)
+             .select("vec_id",
+                     F.transform(F.col("embedding"),
+                                 lambda x: x + F.lit(0.25))
+                     .alias("embedding")))
+    assert batch.count() > 0
+    up = hnsw_upsert(idx, batch, n_partitions=N_PART)
+    n = emb.count()
+    assert up.count() == n                                 # no dup nodes
+    assert up.select("vec_id").distinct().count() == n
+    corrected = (emb.select("vec_id", "embedding")
+                 .filter(F.col("vec_id") >= 10).unionByName(batch))
+    fresh = hnsw_build_index(corrected, n_partitions=N_PART)
+    assert _artifact_rows(up) == _artifact_rows(fresh)
+
+    # search must see the NEW vector: querying with a corrected
+    # vector returns its own id at rank 1 with ~unit cosine
+    qs = (batch.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    top = {r.query_id: (r.vec_id, r.score)
+           for r in hnsw_search(qs, up, k=1).collect()}
+    for qid, (vid, score) in top.items():
+        assert vid == qid and score > 0.999999

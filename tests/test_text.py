@@ -231,7 +231,8 @@ def test_repetition_map_only_equals_agg_form(spark):
 
     edge = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "\t"), (4, "a\na\na"),
-         (5, "one"), (6, "w w w w"), (7, "A b\nA B\na b")],
+         (5, "one"), (6, "w w w w"), (7, "A b\nA B\na b"),
+         (8, None)],
         "doc_id long, text string")
     assert rows(repetition_metrics(edge)) == \
         rows(repetition_metrics_agg(edge))
