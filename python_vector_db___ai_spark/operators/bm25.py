@@ -87,8 +87,9 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
         weight = (F.when(cond, float(qtf[t])) if weight is None
                   else weight.when(cond, float(qtf[t])))
     weight = F.lit(1.0) if weight is None else weight.otherwise(F.lit(1.0))
+    # postings carry one row per (doc, term), so df is a plain count
     df_counts = (matched.groupBy("term")
-                 .agg(F.countDistinct(id_col).cast("double").alias("df")))
+                 .agg(F.count("*").cast("double").alias("df")))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     scored = (matched
@@ -163,8 +164,9 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
               .agg(F.count("*").cast("double").alias("qtf")))
     bterms = qterms.select("term").distinct()
     matched = postings.join(F.broadcast(bterms), "term")
+    # postings carry one row per (doc, term), so df is a plain count
     df_counts = (matched.groupBy("term")
-                 .agg(F.countDistinct(id_col).cast("double").alias("df")))
+                 .agg(F.count("*").cast("double").alias("df")))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     scored = (matched
@@ -253,8 +255,9 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 3,
     """
     postings = (prebuilt if prebuilt is not None
                 else term_postings(docs, text_col, id_col))
+    # one row per (doc, term) -> plain count, no distinct expand
     dfreq = postings.groupBy("term").agg(
-        F.countDistinct(id_col).cast("double").alias("df"))
+        F.count("*").cast("double").alias("df"))
     stats = docs.agg(F.count("*").cast("double").alias("n"))
     scored = (postings.join(dfreq, "term")
               .crossJoin(F.broadcast(stats))

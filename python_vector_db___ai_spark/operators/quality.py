@@ -74,8 +74,10 @@ def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
                         F.explode(_ngrams_all(words, n)).alias("gram"))
     per = grams.groupBy(id_col, "gram").agg(
         F.count("*").cast("long").alias("c"))
+    # ``per`` is one row per (doc, gram) by construction, so df is a
+    # plain count — no two-phase distinct machinery on the gram key
     dfreq = per.groupBy("gram").agg(
-        F.countDistinct(id_col).cast("long").alias("df"))
+        F.count("*").cast("long").alias("df"))
     stats = (per.join(dfreq, "gram")
              .groupBy(id_col)
              .agg(F.sum("c").alias("n_grams"),
