@@ -155,3 +155,83 @@ def test_funnel_matches_python_reference(sp, evts):
     assert got == {k: expected[k] for k in range(len(steps))}
     # monotone: each step can only lose users
     assert all(got[k] >= got[k + 1] for k in range(len(steps) - 1))
+
+
+_asof_left = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),     # key
+              st.integers(min_value=0, max_value=40)),   # ts
+    min_size=1, max_size=20)
+_asof_right = st.sets(
+    st.tuples(st.integers(min_value=0, max_value=2),
+              st.integers(min_value=0, max_value=40)),
+    min_size=0, max_size=20)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lrows=_asof_left, rkeys=_asof_right)
+def test_asof_matches_python_replay(sp, lrows, rkeys):
+    """Differential test: the union-and-carry as-of join equals a direct
+    per-key Python replay (greatest right ts <= left ts, inclusive) on
+    arbitrary key/timestamp soup, including duplicate left rows and
+    unmatched keys."""
+    from python_vector_db___ai_spark.operators.asof import asof_join
+
+    left = sp.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "row_id long, key long, ts long")
+    right = sp.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in sorted(rkeys)] or [(99, -1, 0)],
+        "key long, ts long, payload long")
+    got = {r.row_id: (r.asof_ts, r.asof_payload)
+           for r in asof_join(left, right, on="key",
+                              right_cols=["payload"]).collect()}
+    assert set(got) == set(range(len(lrows)))
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t in (sorted(rkeys) or [(99, -1)]):
+        by_key.setdefault(k, []).append((t, k * 1000 + t))
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, p) for rt, p in by_key.get(k, []) if rt <= t]
+        expected = max(cands) if cands else (None, None)
+        assert got[i] == expected
+
+
+_rank_lists = st.dictionaries(
+    st.integers(min_value=0, max_value=2),               # query_id
+    st.tuples(st.permutations(list(range(8))),           # system-A order
+              st.permutations(list(range(8)))),          # system-B order
+    min_size=1, max_size=3)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ranks=_rank_lists, cut_a=st.integers(min_value=1, max_value=8),
+       cut_b=st.integers(min_value=1, max_value=8))
+def test_rrf_fusion_matches_python(sp, ranks, cut_a, cut_b):
+    """Differential test: rrf_fuse_batch equals a Python RRF replay
+    (1/(k0+rank) per system, missing docs contribute one term only,
+    round-before-rank, ascending-id tie-break) on random rankings with
+    asymmetric cutoffs, so each system retrieves docs the other missed."""
+    from python_vector_db___ai_spark.operators.bm25 import rrf_fuse_batch
+
+    k0, k = 60, 5
+    a_rows = [(q, d, r + 1) for q, (pa, _) in ranks.items()
+              for r, d in enumerate(pa[:cut_a])]
+    b_rows = [(q, d, r + 1) for q, (_, pb) in ranks.items()
+              for r, d in enumerate(pb[:cut_b])]
+    schema = "query_id long, doc_id long, rank long"
+    got = [(r.query_id, r.doc_id, r.rrf, r.rank)
+           for r in rrf_fuse_batch(
+               sp.createDataFrame(a_rows, schema),
+               sp.createDataFrame(b_rows, schema),
+               k0=k0, k=k).collect()]
+
+    expected = []
+    for q, (pa, pb) in ranks.items():
+        ra = {d: r + 1 for r, d in enumerate(pa[:cut_a])}
+        rb = {d: r + 1 for r, d in enumerate(pb[:cut_b])}
+        fused = [(round((1.0 / (k0 + ra[d]) if d in ra else 0.0)
+                        + (1.0 / (k0 + rb[d]) if d in rb else 0.0), 6), d)
+                 for d in set(ra) | set(rb)]
+        fused.sort(key=lambda p: (-p[0], p[1]))
+        expected += [(q, d, s, r + 1)
+                     for r, (s, d) in enumerate(fused[:k])]
+    assert sorted(got) == sorted(expected)
