@@ -154,6 +154,45 @@ def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                       / F.size(vec_col)), 6).alias("avg_component_mean"))
 
 
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  round_to: int = 6) -> DataFrame:
+    """Per-vector absmax int8 quantization with reconstruction-error
+    accounting (beyond-reference memory tier: 4x smaller vectors at
+    100 TB; the reference stores float32 end to end,
+    day_6/day6_complete.py:84-153).
+
+    ``scale = absmax/127`` (1.0 for all-zero vectors so the division
+    is total), codes are ``round(x/scale)`` — every reconstructed
+    element is within ``scale/2`` of the original by construction.
+    Pure JVM array expressions; the scalar ``scale`` is staged as a
+    materialized column so the lambdas reference a column, not a
+    re-expanded ``array_max`` per element (64x expression blowup
+    otherwise).  Adds ``scale``, ``l2_error``, ``max_abs_error``.
+    """
+    staged = (df
+              .withColumn("_v", F.transform(F.col(vec_col),
+                                            lambda x: x.cast("double")))
+              .withColumn("_mx", F.array_max(
+                  F.transform(F.col("_v"), lambda x: F.abs(x))))
+              .withColumn("scale", F.when(F.col("_mx") > 1e-12,
+                                          F.col("_mx") / 127.0)
+                          .otherwise(F.lit(1.0)))
+              .withColumn("_diff", F.transform(
+                  F.col("_v"),
+                  lambda x: x - F.round(x / F.col("scale"))
+                  * F.col("scale"))))
+    return (staged
+            .withColumn("l2_error", F.round(
+                F.sqrt(F.aggregate(F.col("_diff"), F.lit(0.0),
+                                   lambda acc, d: acc + d * d)),
+                round_to))
+            .withColumn("max_abs_error", F.round(
+                F.array_max(F.transform(F.col("_diff"),
+                                        lambda d: F.abs(d))), round_to))
+            .withColumn("scale", F.round("scale", round_to))
+            .drop("_v", "_mx", "_diff"))
+
+
 def embedding_outlier_zscores(df: DataFrame, cluster_col: str = "label",
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",

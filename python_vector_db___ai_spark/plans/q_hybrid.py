@@ -258,26 +258,8 @@ FROM recon
         "memory at 100 TB; reconstruction error reported per vector",
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_vector_db___ai_spark.operators.embedding import quantize_int8
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # Stage scalars as materialized columns: referencing F.col("scale")
-    # inside the lambdas evaluates a column, not a re-expanded
-    # array_max expression per element (64x blowup otherwise).
-    staged = (emb
-              .withColumn("v", F.transform(F.col("embedding"),
-                                           lambda x: x.cast("double")))
-              .withColumn("mx", F.array_max(
-                  F.transform(F.col("v"), lambda x: F.abs(x))))
-              .withColumn("scale", F.when(F.col("mx") > 1e-12,
-                                          F.col("mx") / 127.0)
-                          .otherwise(F.lit(1.0)))
-              .withColumn("diff", F.transform(
-                  F.col("v"),
-                  lambda x: x - F.round(x / F.col("scale")) * F.col("scale"))))
-    return staged.select(
-        "vec_id",
-        F.round(F.col("scale"), 6).alias("scale"),
-        F.round(F.sqrt(F.aggregate(F.col("diff"), F.lit(0.0),
-                                   lambda acc, d: acc + d * d)), 6)
-        .alias("l2_error"),
-        F.round(F.array_max(F.transform(F.col("diff"), lambda d: F.abs(d))), 6)
-        .alias("max_abs_error"))
+    return quantize_int8(emb).select(
+        "vec_id", "scale", "l2_error", "max_abs_error")

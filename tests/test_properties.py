@@ -195,6 +195,25 @@ def test_asof_matches_python_replay(sp, lrows, rkeys):
         assert got[i] == expected
 
 
+@settings(max_examples=12, deadline=None)
+@given(v=vec)
+def test_quantize_int8_error_bounds(sp, v):
+    """Absmax int8 quantization invariants on arbitrary vectors:
+    scale == absmax/127 (1.0 for the all-zero vector), every
+    reconstructed element within scale/2 of the original, and
+    l2_error <= sqrt(d) * scale/2."""
+    from python_vector_db___ai_spark.operators.embedding import quantize_int8
+
+    df = sp.createDataFrame([(1, v)], ["vec_id", "embedding"])
+    r = quantize_int8(df, round_to=12).first()
+    mx = max(abs(x) for x in v)
+    expected_scale = mx / 127.0 if mx > 1e-12 else 1.0
+    assert r.scale == pytest.approx(expected_scale, rel=1e-9)
+    half = expected_scale / 2
+    assert r.max_abs_error <= half * (1 + 1e-9) + 1e-12
+    assert r.l2_error <= math.sqrt(len(v)) * half * (1 + 1e-9) + 1e-12
+
+
 _rank_lists = st.dictionaries(
     st.integers(min_value=0, max_value=2),               # query_id
     st.tuples(st.permutations(list(range(8))),           # system-A order
