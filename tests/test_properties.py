@@ -195,6 +195,89 @@ def test_asof_matches_python_replay(sp, lrows, rkeys):
         assert got[i] == expected
 
 
+@settings(max_examples=8, deadline=None)
+@given(edges=st.sets(st.tuples(st.integers(min_value=0, max_value=6),
+                               st.integers(min_value=0, max_value=6)),
+                     min_size=0, max_size=12),
+       n_nodes=st.integers(min_value=1, max_value=7))
+def test_pagerank_matches_python_power_iteration(sp, edges, n_nodes):
+    """Differential test: the join-per-round distributed PageRank
+    equals a dense Python power iteration on random undirected graphs
+    (self-loops dropped, out-of-spine endpoints ignored, isolated
+    nodes held at the teleport floor)."""
+    from python_vector_db___ai_spark.operators.graph import pagerank
+
+    damping, iters = 0.85, 4
+    e = [(i, j) for i, j in edges if i != j
+         and i < n_nodes and j < n_nodes]
+    nodes = sp.createDataFrame([(i,) for i in range(n_nodes)],
+                               ["doc_id"])
+    edf = (sp.createDataFrame(e or [(99, 98)], "i long, j long")
+           .limit(len(e)))
+    got = {r.doc_id: r.rank
+           for r in pagerank(edf, nodes, iters=iters,
+                             damping=damping).collect()}
+
+    adj = {i: set() for i in range(n_nodes)}
+    for i, j in e:
+        adj[i].add(j)
+        adj[j].add(i)
+    rank = [1.0 / n_nodes] * n_nodes
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        nxt = [teleport] * n_nodes
+        for src, nbrs in adj.items():
+            if nbrs:
+                share = damping * rank[src] / len(nbrs)
+                for dst in nbrs:
+                    nxt[dst] += share
+        rank = nxt
+    assert set(got) == set(range(n_nodes))
+    for i in range(n_nodes):
+        assert got[i] == pytest.approx(rank[i], rel=1e-9, abs=1e-12)
+
+
+_tm_events = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),    # user
+              st.integers(min_value=0, max_value=10),   # ts offset
+              st.sampled_from(["a", "b", "c"])),        # type
+    min_size=0, max_size=20)
+
+
+@settings(max_examples=10, deadline=None)
+@given(evts=_tm_events)
+def test_transition_matrix_matches_python_replay(sp, evts):
+    """Differential test: the windowed bigram transition matrix equals
+    a per-user Python replay over (ts, event_id)-sorted events,
+    including duplicate timestamps resolved by the id tie-break."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from python_vector_db___ai_spark.operators.behavior import (
+        transition_matrix,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, u, base + timedelta(seconds=off), y)
+            for i, (u, off, y) in enumerate(evts)]
+    df = sp.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r.prev_type, r.cur_type): (r.n_transitions, r.p_next)
+           for r in transition_matrix(df).collect()}
+
+    counts: Counter = Counter()
+    for u in {u for _, u, _, _ in rows}:
+        seq = [y for ts, i, y in
+               sorted((ts, i, y) for i, uu, ts, y in rows if uu == u)]
+        counts.update(zip(seq, seq[1:]))
+    by_prev: Counter = Counter()
+    for (p, _), c in counts.items():
+        by_prev[p] += c
+    expected = {(p, c): (n, round(n / by_prev[p], 6))
+                for (p, c), n in counts.items()}
+    assert got == expected
+
+
 @settings(max_examples=12, deadline=None)
 @given(v=vec)
 def test_quantize_int8_error_bounds(sp, v):
