@@ -239,7 +239,8 @@ def main() -> None:
         e = dedup_scale[-1]
         compact["dedup_scale_top"] = {k: e[k] for k in (
             "doc_rows", "minhash_lsh_sec", "components_sec",
-            "repetition_sec", "crossdoc_sec") if k in e}
+            "repetition_sec", "crossdoc_sec", "bm25_batch_sec",
+            "pagerank_sec") if k in e}
     if events_scale:
         e = events_scale[-1]
         compact["events_scale_top"] = {k: e[k] for k in (
@@ -651,7 +652,11 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
     * exact-dup star edges ∪ MinHash pairs -> connected components,
     * Gopher repetition gates (per-doc explode + hash-agg),
     * cross-doc duplicated n-grams (postings join on the gram key —
-      the spot to watch for hot-shingle skew at scale).
+      the spot to watch for hot-shingle skew at scale),
+    * BM25 index build + worst-case top-df 20-query batch (the
+      maintained inverted-index path),
+    * PageRank over the MinHash near-dup graph (join-per-round,
+      rank-mass conservation emitted as the invariant).
 
     Near-linear ``*_sec`` growth across factors is the scale claim
     these rows substantiate.
@@ -752,6 +757,56 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         t0 = time.perf_counter()
         entry["bpe_vocab_rows"] = word_frequencies(docs).count()
         entry["bpe_freq_sec"] = round(time.perf_counter() - t0, 3)
+
+        # BM25 retrieval at scale: the two halves of the maintained
+        # inverted-index story, timed separately — index BUILD (one
+        # explode + two hash aggs over the whole corpus, amortized
+        # across queries in production) and a 20-query BATCH against
+        # the prebuilt index (postings equi-join on the term key +
+        # per-query window).  Query terms are the corpus's own top-df
+        # terms — the worst case for the postings join, since every
+        # term matches the maximum number of documents.
+        from python_vector_db___ai_spark.operators.bm25 import (
+            bm25_topk_batch,
+            doc_lengths,
+            term_postings,
+        )
+
+        t0 = time.perf_counter()
+        post = term_postings(docs).cache()
+        dls = doc_lengths(docs).cache()
+        post.count(), dls.count()
+        entry["bm25_index_sec"] = round(time.perf_counter() - t0, 3)
+        top_terms = [r["term"] for r in
+                     (post.groupBy("term")
+                      .agg(F.count("*").alias("df"))
+                      .orderBy(F.col("df").desc(), F.col("term").asc())
+                      .limit(60).collect())]
+        qtable = spark.createDataFrame(
+            [(qi, top_terms[3 * qi:3 * qi + 3]) for qi in range(20)],
+            "query_id long, terms array<string>")
+        t0 = time.perf_counter()
+        entry["bm25_batch_rows"] = bm25_topk_batch(
+            docs, qtable, k=10, prebuilt=(post, dls)).count()
+        entry["bm25_batch_sec"] = round(time.perf_counter() - t0, 3)
+        post.unpersist()
+        dls.unpersist()
+
+        # PageRank over the MinHash near-dup graph (the canonical-pick
+        # refinement): per-round cost is one equi-join + one hash agg
+        # over |edges| + |nodes| rows, so the near-linear pair growth
+        # above bounds this too.  rank_sum is the retained-mass
+        # invariant: dangling (isolated) nodes drop their damped mass,
+        # so (1-damping) <= rank_sum <= 1, and because the inflated
+        # corpus keeps the SAME dup-family structure at every factor
+        # the value should be scale-invariant across rows.
+        from python_vector_db___ai_spark.operators.graph import pagerank
+
+        t0 = time.perf_counter()
+        pr = pagerank(mh, docs.select("doc_id"), iters=3).agg(
+            F.sum("rank").alias("s")).collect()[0]
+        entry["pagerank_sec"] = round(time.perf_counter() - t0, 3)
+        entry["pagerank_rank_sum"] = round(float(pr["s"]), 6)
 
         mh.unpersist()
         docs.unpersist()
