@@ -337,3 +337,136 @@ def test_rrf_fusion_matches_python(sp, ranks, cut_a, cut_b):
         expected += [(q, d, s, r + 1)
                      for r, (s, d) in enumerate(fused[:k])]
     assert sorted(got) == sorted(expected)
+
+
+_vocab = ["a", "B", "c", "D", "e"]
+_doc = st.lists(st.sampled_from([w.lower() for w in _vocab]),
+                min_size=0, max_size=8)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+_query = st.lists(st.sampled_from(_vocab + ["z"]), min_size=1, max_size=4)
+_queries = st.lists(_query, min_size=1, max_size=3)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpus, qs=_queries)
+def test_bm25_batch_matches_python(sp, corpus, qs):
+    """Differential test: bm25_scores_batch equals a pure-Python BM25
+    replay (ln(1+(N-df+0.5)/(df+0.5)) idf, bag-of-terms query
+    multiplicity, corpus-wide N/avgdl including empty docs) on random
+    corpora and random query bags with case-folding and unseen terms."""
+    from python_vector_db___ai_spark.operators.bm25 import bm25_scores_batch
+
+    k1, b = 1.2, 0.75
+    docs = sp.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string")
+    qtable = sp.createDataFrame(list(enumerate(qs)),
+                                "query_id long, terms array<string>")
+    got = {(r.query_id, r.doc_id): r.bm25
+           for r in bm25_scores_batch(docs, qtable, k1=k1, b=b).collect()}
+
+    n = len(corpus)
+    dls = [float(len(ws)) for ws in corpus]
+    avgdl = sum(dls) / n
+    tfs = [{w: ws.count(w) for w in set(ws)} for ws in corpus]
+    expected = {}
+    for qi, terms in enumerate(qs):
+        from collections import Counter
+        qtf = Counter(t.lower() for t in terms)
+        for t, mult in qtf.items():
+            df = sum(1 for tf in tfs if t in tf)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, tf in enumerate(tfs):
+                if t not in tf:
+                    continue
+                denom = tf[t] + k1 * (1 - b + b * dls[d] / avgdl)
+                expected[(qi, d)] = (expected.get((qi, d), 0.0)
+                                     + mult * idf * tf[t] * (k1 + 1) / denom)
+    assert set(got) == set(expected)
+    for key, v in expected.items():
+        assert got[key] == pytest.approx(v, rel=1e-9, abs=1e-12)
+
+
+_activity = st.sets(st.tuples(st.integers(min_value=0, max_value=4),
+                              st.integers(min_value=0, max_value=9)),
+                    min_size=1, max_size=20)
+
+
+@settings(max_examples=10, deadline=None)
+@given(act=_activity, w=st.integers(min_value=1, max_value=4))
+def test_rolling_active_users_matches_python(sp, act, w):
+    """Differential test: rolling_active_users (bounded x window_days
+    explode + one count-distinct, no day-range theta-join) equals a
+    Python trailing-window replay on random (user, day) activity sets
+    with gaps: dau counts the day's users, wau the trailing window's,
+    days past the last observed day are clipped, and a report day
+    appears iff some user was active in its window."""
+    from datetime import datetime, timedelta
+
+    from python_vector_db___ai_spark.operators.behavior import (
+        rolling_active_users,
+    )
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(i, u, base + timedelta(days=d, hours=u % 3), "x")
+            for i, (u, d) in enumerate(sorted(act))]
+    ev = sp.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r.day: (r.dau, r.wau, r.dau_wau_ratio)
+           for r in rolling_active_users(ev, window_days=w).collect()}
+
+    days = {d for _, d in act}
+    lo, hi = min(days), max(days)
+    expected = {}
+    for r in range(lo, hi + 1):
+        wau = len({u for u, d in act if r - w + 1 <= d <= r})
+        if wau == 0:
+            continue
+        dau = len({u for u, d in act if d == r})
+        day = (base + timedelta(days=r)).strftime("%Y-%m-%d")
+        expected[day] = (dau, wau, round(dau / wau, 6))
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(act=_activity, cap=st.integers(min_value=0, max_value=9))
+def test_retention_cohorts_matches_python(sp, act, cap):
+    """Differential test: retention_cohorts equals a Python replay
+    (cohort = each user's first active day, per-(cohort, offset)
+    distinct-active counts, offsets capped at max_offset_days,
+    retention = round(n_active/cohort_size, 6)) on random activity
+    sets, including users whose whole tail falls past the cap."""
+    from datetime import datetime, timedelta
+
+    from python_vector_db___ai_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(i, u, base + timedelta(days=d, hours=u % 3), "x")
+            for i, (u, d) in enumerate(sorted(act))]
+    ev = sp.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r.cohort_day, r.day_offset): (r.n_active, r.cohort_size,
+                                          r.retention)
+           for r in retention_cohorts(ev, max_offset_days=cap).collect()}
+
+    first = {}
+    for u, d in act:
+        first[u] = min(first.get(u, d), d)
+    sizes = {}
+    for u, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    cells = {}
+    for u, d in act:
+        off = d - first[u]
+        if off <= cap:
+            cells.setdefault((first[u], off), set()).add(u)
+    expected = {}
+    for (c, off), users in cells.items():
+        day = (base + timedelta(days=c)).strftime("%Y-%m-%d")
+        expected[(day, off)] = (len(users), sizes[c],
+                                round(len(users) / sizes[c], 6))
+    assert got == expected
