@@ -470,3 +470,71 @@ def test_retention_cohorts_matches_python(sp, act, cap):
         expected[(day, off)] = (len(users), sizes[c],
                                 round(len(users) / sizes[c], 6))
     assert got == expected
+
+
+_docs_pack = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=99),        # doc_id
+              st.sampled_from(["web", "code", "wiki"]),      # source
+              st.integers(min_value=1, max_value=500)),      # n_tokens
+    min_size=1, max_size=25,
+    unique_by=lambda t: t[0])
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_docs_pack, budget=st.integers(min_value=1, max_value=800),
+       n_shards=st.integers(min_value=1, max_value=4))
+def test_pack_sequences_matches_python(sp, docs, budget, n_shards):
+    """Differential test: pack_sequences equals a Python replay
+    (shard = stable_hash64(id + ':shard') % n_shards via the
+    parity-tested replica, per-(source, shard) id-ascending cumsum,
+    seq_id = floor(preceding_tokens / budget)) on random corpora."""
+    from python_vector_db___ai_spark.functions.pytext import (
+        stable_hash64_py,
+    )
+    from python_vector_db___ai_spark.operators.packing import pack_sequences
+
+    df = sp.createDataFrame(list(docs),
+                            "doc_id long, source string, n_tokens long")
+    got = {r.doc_id: (r.shard, r.seq_start_tok, r.seq_id)
+           for r in pack_sequences(df, budget, n_shards=n_shards).collect()}
+
+    shard = {d: stable_hash64_py(f"{d}:shard") % n_shards
+             for d, _, _ in docs}
+    expected = {}
+    groups = {}
+    for d, src, nt in sorted(docs):
+        groups.setdefault((src, shard[d]), []).append((d, nt))
+    for (_, sh), members in groups.items():
+        cum = 0
+        for d, nt in members:
+            expected[d] = (sh, cum, cum // budget)
+            cum += nt
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_docs_pack,
+       w_web=st.floats(min_value=0.0, max_value=1.0),
+       w_code=st.floats(min_value=0.0, max_value=1.0),
+       seed=st.integers(min_value=0, max_value=3))
+def test_sample_mixture_matches_python(sp, docs, w_web, w_code, seed):
+    """Differential test: sample_mixture's hash gate equals the Python
+    replay (stable_hash64(id + ':mix<seed>') % 1e6 < weight * 1e6,
+    default weight for unlisted sources) on random corpora and random
+    per-source weights, including 0.0 (drop all) and 1.0 (keep all)."""
+    from python_vector_db___ai_spark.functions.pytext import (
+        stable_hash64_py,
+    )
+    from python_vector_db___ai_spark.operators.packing import sample_mixture
+
+    weights = {"web": w_web, "code": w_code}
+    df = sp.createDataFrame(list(docs),
+                            "doc_id long, source string, n_tokens long")
+    got = sorted(r.doc_id for r in
+                 sample_mixture(df, weights, seed=seed).collect())
+
+    expected = sorted(
+        d for d, src, _ in docs
+        if stable_hash64_py(f"{d}:mix{seed}") % 1_000_000
+        < int(weights.get(src, 1.0) * 1_000_000))
+    assert got == expected
