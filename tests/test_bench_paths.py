@@ -41,3 +41,24 @@ def test_srp_prebuilt_matches_fresh(spark):
     built = srp_lsh_knn(queries, emb, k=5, n_tables=6, n_bits=4,
                         prebuilt=pre).collect()
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, built))
+
+
+def test_bm25_prebuilt_matches_fresh(spark):
+    """The bench's dedup_scale sweep scores its 20-query batch against
+    a cached (postings, lengths) index — results must be identical to
+    the tokenize-inline path."""
+    from python_vector_db___ai_spark.operators.bm25 import (
+        bm25_topk_batch,
+        doc_lengths,
+        term_postings,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    qtable = spark.createDataFrame(
+        [(0, ["the", "fast"]), (1, ["key", "value", "the"])],
+        "query_id long, terms array<string>")
+    fresh = bm25_topk_batch(docs, qtable, k=5).collect()
+    pre = (term_postings(docs), doc_lengths(docs))
+    built = bm25_topk_batch(docs, qtable, k=5, prebuilt=pre).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, built))
+    assert len(fresh) > 0
