@@ -87,3 +87,23 @@ def test_hnsw_clustered_data_bridges_cliques(spark):
            .agg(F.avg("recall")).collect()[0][0])
     assert rec >= 0.9
     exact.unpersist()
+
+
+def test_hnsw_exhaustive_beam_equals_exact(spark):
+    """With one partition and ef_search >= corpus size, the beam visits
+    every reachable node (insertion keeps the graph connected), so the
+    result must be ROW-IDENTICAL to the exact BLAS scan — same ids,
+    same rounded scores, same id-tie-broken ranks — on random vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    vecs = rng.normal(size=(60, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    q = _queries(emb, n=7)
+    exact = sorted(map(tuple, knn_join_blas(
+        q, emb, k=10, metric="cosine", corpus_id="vec_id").collect()))
+    got = sorted(map(tuple, hnsw_knn(
+        q, emb, k=10, ef_search=60, n_partitions=1).collect()))
+    assert got == exact
