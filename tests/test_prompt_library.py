@@ -47,12 +47,13 @@ def test_percent_in_template_is_literal(spark):
 
 
 def test_driver_priority_window_covers_unproven_entries():
-    """Round-7 registry ordering invariant: the driver samples the
-    first 50 registry entries, so (a) DRIVER_PRIORITY must be exactly
-    50 known names with no duplicates, (b) the dict must lead with
-    them, and (c) nothing past slot 50 may lack a CORRECTNESS_r06
-    green row (those slots are the only ones the driver will NOT
-    re-check this round)."""
+    """Registry ordering invariant (rotated each round): the driver
+    samples the first 50 registry entries, so (a) DRIVER_PRIORITY must
+    be exactly 50 known names with no duplicates, (b) the dict must
+    lead with them, and (c) nothing past slot 50 may lack a green row
+    in the PREVIOUS round's correctness artifact (those slots are the
+    only ones the driver will NOT re-check this round) — this keeps
+    every entry's driver evidence at most one round old."""
     import json
     from pathlib import Path
 
@@ -65,7 +66,7 @@ def test_driver_priority_window_covers_unproven_entries():
     assert len(DRIVER_PRIORITY) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
     assert qs[:50] == DRIVER_PRIORITY
-    r6_path = Path(__file__).resolve().parent.parent / "CORRECTNESS_r06.json"
-    r6 = set(json.loads(r6_path.read_text()))
-    missing = [q for q in qs[50:] if q not in r6]
-    assert missing == [], f"tail entries without r06 proof: {missing}"
+    prev_path = Path(__file__).resolve().parent.parent / "CORRECTNESS_r07.json"
+    prev = set(json.loads(prev_path.read_text()))
+    missing = [q for q in qs[50:] if q not in prev]
+    assert missing == [], f"tail entries without prior-round proof: {missing}"
