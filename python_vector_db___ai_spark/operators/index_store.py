@@ -288,6 +288,53 @@ def hnsw_upsert(index: DataFrame, batch: DataFrame,
     return combined.mapInPandas(op, schema=_INDEX_SCHEMA)
 
 
+def hnsw_connectivity(index: DataFrame) -> DataFrame:
+    """Layer-0 reachability audit of a graph artifact: BFS each
+    partition's base layer from its entry point and report
+    ``(part_id, n_nodes, n_reachable)``.
+
+    The HNSW diversity heuristic keeps graphs connected in practice
+    but does not formally guarantee it; beam search (including the
+    exhaustive ``ef >= n`` mode that ``hnsw_index_lifecycle`` compares
+    against the exact scan) can only return reachable nodes.  Callers
+    that rely on exhaustive-beam == exact assert
+    ``n_reachable == n_nodes`` first, so a disconnected graph fails
+    loudly as "lost connectivity" instead of masquerading as a
+    scoring bug.
+    """
+    import numpy as np
+    import pandas as pd
+
+    part = index.repartition(F.col("part_id"))
+
+    def op(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        allp = pd.concat(pdfs, ignore_index=True)
+        for pid, pdf in allp.groupby("part_id", sort=True):
+            pdf = pdf.sort_values("seq")
+            n = len(pdf)
+            entry = int(pdf["entry_seq"].iloc[0])
+            adj = [list(layers[0]) if len(layers) else []
+                   for layers in pdf["nbrs"].tolist()]
+            seen = {entry}
+            stack = [entry]
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            yield pd.DataFrame({
+                "part_id": np.array([pid], dtype=np.int32),
+                "n_nodes": np.array([n], dtype=np.int64),
+                "n_reachable": np.array([len(seen)], dtype=np.int64)})
+
+    return part.mapInPandas(
+        op, schema="part_id int, n_nodes long, n_reachable long")
+
+
 def hnsw_save(index: DataFrame, path: str) -> None:
     """Write the graph artifact partitioned by ``part_id`` so a search
     job's scan prunes to the partitions it owns."""

@@ -175,7 +175,28 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hnsw_index_lifecycle",
-    oracle=None,   # graph topology is engine-internal (seeded md5 levels)
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), topk AS (
+  SELECT query_id, vec_id, score, rank FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT q.query_id, c.vec_id,
+             round({_cos_sql('q.qv', 'c.cv')}, 6) AS score
+      FROM q CROSS JOIN
+           (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+    )
+  ) WHERE rank <= {K}
+)
+SELECT b.branch, t.query_id, t.vec_id, t.score, t.rank
+FROM topk t
+CROSS JOIN (SELECT 'exact' AS branch
+            UNION ALL SELECT 'index_exhaustive') b
+""",
     doc="X5 persisted-index lifecycle (operators/index_store.py): build "
         "the partition-local HNSW graphs on the BASE corpus, WRITE them "
         "to parquet, load, UPSERT the remaining rows as an increment "
@@ -185,13 +206,20 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— the reference keeps its indexes alive across queries "
         "(pgvector DDL day_9/database/01_init_db.sql:34-38, long-lived "
         "FAISS objects day_6/day6_complete.py:84-153) and inserts into "
-        "them (day_8/endpoints.py:13-49).  Self-validating columns: "
-        "per-query recall vs the exact scan, index_nodes == corpus "
-        "rows, matches_inflight (v2 search row-equal to the in-flight "
-        "hnsw_knn over the FULL corpus), and upsert_matches_fresh (the "
-        "upserted artifact is bit-identical to a fresh full-corpus "
-        "build — append-id workload replays the same insertion "
-        "sequence).",
+        "them (day_8/endpoints.py:13-49).  Round-8 oracle upgrade "
+        "(dedup_embedding_pruned's branch-tagged pattern): the emitted "
+        "frame is the exact BLAS top-k UNION the v2-artifact search "
+        "run with an exhaustive beam (ef = corpus size) — per-partition "
+        "connectivity is asserted first via hnsw_connectivity, under "
+        "which exhaustive-beam == exact holds, so DuckDB reproduces "
+        "BOTH branches from relational algebra.  The engine-internal "
+        "invariants are promoted from rows-only columns to hard "
+        "in-query asserts: index_nodes == corpus rows, "
+        "upsert_matches_fresh (the upserted artifact is bit-identical "
+        "to a fresh full-corpus build — append-id workload replays the "
+        "same insertion sequence), and matches_inflight (v2 search at "
+        "the PRODUCTION beam width ef=64 row-equal to the in-flight "
+        "hnsw_knn over the full corpus).",
 )
 def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -200,6 +228,7 @@ def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
     from python_vector_db___ai_spark.operators.index_store import (
         hnsw_build_index,
+        hnsw_connectivity,
         hnsw_load,
         hnsw_save,
         hnsw_search,
@@ -225,36 +254,64 @@ def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         hnsw_save(hnsw_upsert(v1, batch, n_partitions=n_parts),
                   tmp + "/v2")
         v2 = hnsw_load(spark, tmp + "/v2")
+        n_corpus = emb.count()
         n_nodes = v2.count()
+        if n_nodes != n_corpus:
+            raise AssertionError(
+                f"lifecycle: index has {n_nodes} nodes, corpus has "
+                f"{n_corpus} rows — upsert lost or duplicated ids")
         # partitionBy("part_id") moves the partition column to the end
         # of the parquet read schema — re-select canonical order.
         cols = ["part_id", "seq", "vec_id", "vec", "level",
                 "entry_seq", "top_level", "nbrs"]
         v2c = v2.select(cols)
         fresh = hnsw_build_index(emb, n_partitions=n_parts).select(cols)
-        upsert_matches_fresh = (
-            v2c.exceptAll(fresh).count() == 0
-            and fresh.exceptAll(v2c).count() == 0)
+        if (v2c.exceptAll(fresh).count() != 0
+                or fresh.exceptAll(v2c).count() != 0):
+            raise AssertionError(
+                "lifecycle: upserted artifact != fresh full-corpus "
+                "build (upsert_matches_fresh violated)")
+        # Production-beam fidelity: the persisted graph answers exactly
+        # like the in-flight build at the default ef.
         got = hnsw_search(queries, v2, k=K)
         inflight = hnsw_knn(queries, emb, k=K, n_partitions=n_parts)
-        identical = (got.exceptAll(inflight).count() == 0
-                     and inflight.exceptAll(got).count() == 0)
+        if (got.exceptAll(inflight).count() != 0
+                or inflight.exceptAll(got).count() != 0):
+            raise AssertionError(
+                "lifecycle: v2 search != in-flight hnsw_knn "
+                "(matches_inflight violated)")
+        # Connectivity gate for the oracle branch below: exhaustive
+        # beam returns only REACHABLE nodes, so assert layer-0 BFS
+        # covers every node first — a disconnected graph fails here
+        # with an attributable message, not as an oracle hash mismatch.
+        bad = (hnsw_connectivity(v2)
+               .filter(F.col("n_reachable") != F.col("n_nodes"))
+               .collect())
+        if bad:
+            raise AssertionError(
+                f"lifecycle: disconnected layer-0 graph(s): {bad}")
         exact = knn_join_blas(queries, emb, k=K, metric="cosine",
                               corpus_id="vec_id")
-        rec = recall_against_exact(got, exact, corpus_id="vec_id")
+        exhaustive = hnsw_search(queries, v2, k=K, ef_search=n_corpus)
+        out_cols = ["branch", "query_id", "vec_id", "score", "rank"]
+        result = (exact.withColumn("branch", F.lit("exact"))
+                  .select(out_cols)
+                  .unionByName(
+                      exhaustive.withColumn(
+                          "branch", F.lit("index_exhaustive"))
+                      .select(out_cols)))
         # Materialize while the artifact still exists on disk (the
         # returned frame outlives the temp dir), then re-wrap: the
-        # result is N_QUERIES rows, driver-side by contract.
-        rows = [(int(r.query_id), int(r.n_exact), int(r.n_hits),
-                 float(r.recall), int(n_nodes), bool(identical),
-                 bool(upsert_matches_fresh))
-                for r in rec.orderBy("query_id").collect()]
+        # result is 2 x N_QUERIES x K rows, driver-side by contract.
+        rows = [(r.branch, int(r.query_id), int(r.vec_id),
+                 float(r.score), int(r.rank))
+                for r in result.orderBy("branch", "query_id",
+                                        "rank").collect()]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
-        rows, "query_id long, n_exact long, n_hits long, recall double, "
-              "index_nodes long, matches_inflight boolean, "
-              "upsert_matches_fresh boolean")
+        rows, "branch string, query_id long, vec_id long, "
+              "score double, rank long")
 
 
 @register(

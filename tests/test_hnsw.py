@@ -101,6 +101,20 @@ def test_hnsw_exhaustive_beam_equals_exact(spark):
     emb = spark.createDataFrame(
         [(i, [float(x) for x in vecs[i]]) for i in range(60)],
         "vec_id long, embedding array<double>")
+    # Precheck: exhaustive beam visits only REACHABLE nodes, and the
+    # insertion heuristic does not formally guarantee connectivity —
+    # BFS the layer-0 graph first so a future change to M / the
+    # diversity heuristic / corpus size fails HERE as "lost
+    # connectivity", not below as an inexplicable scoring mismatch.
+    # (hnsw_build_index builds the identical graph: same _build_graph,
+    # same defaults, same ascending-id insertion.)
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_build_index,
+        hnsw_connectivity,
+    )
+    audit = hnsw_connectivity(
+        hnsw_build_index(emb, n_partitions=1)).collect()
+    assert all(r.n_reachable == r.n_nodes for r in audit), audit
     q = _queries(emb, n=7)
     exact = sorted(map(tuple, knn_join_blas(
         q, emb, k=10, metric="cosine", corpus_id="vec_id").collect()))

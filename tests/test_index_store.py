@@ -74,6 +74,62 @@ def test_index_rows_cover_corpus(spark, emb, tmpdir_mod):
     assert all(r.e == 1 and r.t == 1 for r in meta)
 
 
+def test_connectivity_audit_and_exhaustive_search(spark, emb, queries,
+                                                  tmpdir_mod):
+    """hnsw_connectivity reports every layer-0 graph fully reachable
+    on the sf-fixture corpus, and under that precondition the saved
+    artifact searched with an exhaustive beam (ef = corpus size) is
+    ROW-IDENTICAL to the exact BLAS scan — the invariant
+    hnsw_index_lifecycle's oracle branch rests on."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_connectivity,
+    )
+    from python_vector_db___ai_spark.operators.search import knn_join_blas
+
+    loaded = hnsw_load(spark, f"{tmpdir_mod}/hnsw")
+    audit = hnsw_connectivity(loaded).collect()
+    assert len(audit) == N_PART
+    assert sum(r.n_nodes for r in audit) == emb.count()
+    assert all(r.n_reachable == r.n_nodes for r in audit), audit
+    n = emb.count()
+    got = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in hnsw_search(queries, loaded, k=5,
+                             ef_search=n).collect())
+    want = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in knn_join_blas(queries, emb, k=5, metric="cosine",
+                               corpus_id="vec_id").collect())
+    assert got == want
+
+
+def test_connectivity_audit_flags_disconnected_graph(spark):
+    """A hand-built artifact with an unreachable node must be reported
+    (n_reachable < n_nodes) — the audit exists so lost connectivity
+    fails attributably instead of as an oracle hash mismatch."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_connectivity,
+    )
+
+    # part 0: 3 nodes, node 2 has no in-edges from {0,1}; part 1: a
+    # connected pair.  Schema mirrors _INDEX_SCHEMA.
+    rows = [
+        (0, 0, 10, [1.0, 0.0], 0, 0, 0, [[1]]),
+        (0, 1, 11, [0.0, 1.0], 0, 0, 0, [[0]]),
+        (0, 2, 12, [0.5, 0.5], 0, 0, 0, [[0, 1]]),
+        (1, 0, 20, [1.0, 0.0], 0, 0, 0, [[1]]),
+        (1, 1, 21, [0.0, 1.0], 0, 0, 0, [[0]]),
+    ]
+    idx = spark.createDataFrame(
+        rows, "part_id int, seq int, vec_id long, vec array<double>, "
+              "level int, entry_seq int, top_level int, "
+              "nbrs array<array<int>>")
+    audit = {r.part_id: (r.n_nodes, r.n_reachable)
+             for r in hnsw_connectivity(idx).collect()}
+    assert audit[0] == (3, 2)
+    assert audit[1] == (2, 2)
+
+
 def test_search_is_search_only(spark, queries, tmpdir_mod):
     """The search path must not reference the corpus table at all —
     its only scan is the index artifact."""
