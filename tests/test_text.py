@@ -210,6 +210,38 @@ def test_crossdoc_dup_ngrams_hand_computed(spark):
     assert (got[4].n_grams, got[4].crossdoc_dup_frac) == (0, 0.0)
 
 
+def test_crossdoc_dup_ngrams_within_doc_repeats_not_dup(spark):
+    """A gram repeated INSIDE one doc but present in no other doc is
+    not cross-doc duplicated — the solo-mass subtraction must credit
+    all of its positions (c > 1 with df == 1) back to the doc."""
+    from python_vector_db___ai_spark.operators.quality import (
+        crossdoc_dup_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z w")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in crossdoc_dup_ngrams(docs, n=3).collect()}
+    assert (got[1].n_grams, got[1].dup_grams) == (7, 0)
+    assert (got[2].n_grams, got[2].dup_grams) == (2, 0)
+
+
+def test_crossdoc_dup_ngrams_hashed_equals_string_keyed(spark):
+    """Differential: the xxhash64-keyed scale plan returns exactly the
+    string-keyed (collision-free) form on the fixture corpus."""
+    from python_vector_db___ai_spark.operators.quality import (
+        crossdoc_dup_ngrams,
+    )
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fast = sorted(map(tuple, crossdoc_dup_ngrams(docs, n=8).collect()))
+    exact = sorted(map(tuple, crossdoc_dup_ngrams(
+        docs, n=8, exact_strings=True).collect()))
+    assert fast == exact
+
+
 def test_repetition_map_only_equals_agg_form(spark):
     """The round-7 map-only Arrow pass must be row-identical to the
     explode + hash-agg differential reference — on the real corpus AND
