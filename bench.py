@@ -702,12 +702,23 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         # near-dups stay at J~1; max_bucket drops any residual
         # degenerate bucket before the self-join.
         t0 = time.perf_counter()
+        stages: dict = {}
         mh = (minhash_lsh_pairs(docs, num_hashes=16, bands=4,
                                 shingle_n=3, verify_threshold=0.9,
-                                max_bucket=1000)
+                                max_bucket=1000, stage_timings=stages)
               .select("i", "j").cache())
         entry["minhash_pairs"] = mh.count()
         entry["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
+        # Stage split (r7 directive #4): sign = map-only Arrow signing,
+        # band = bucket agg + capped self-join + distinct, verify = the
+        # id-pruned Jaccard join (the remainder).
+        entry["minhash_sign_sec"] = stages.get("sign_sec")
+        entry["minhash_band_sec"] = stages.get("band_sec")
+        entry["minhash_verify_sec"] = round(
+            entry["minhash_lsh_sec"]
+            - (stages.get("sign_sec") or 0.0)
+            - (stages.get("band_sec") or 0.0), 3)
+        entry["minhash_candidates"] = stages.get("n_candidates")
 
         t0 = time.perf_counter()
         hashed = docs.select("doc_id", md5_hex(F.col("text")).alias("_ch"))

@@ -112,49 +112,59 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
                       shingle_n: int = 1, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Per-doc MinHash signature as a MAP-ONLY Arrow pass — zero
-    shuffles: ``sig[s] = min over shingles of stable_hash64(shingle,
-    seed=s)``.  Returns ``(_id, shingles, sig)`` (shingles NULL for
-    NULL text, sig all-NULL for shingle-less docs, matching the
-    expression form).
+    shuffles: ``sig[k] = min over shingles of (a_k * h30(shingle) +
+    b_k) mod P`` — ONE md5 per distinct shingle (the 30-bit base
+    hash), then ``num_hashes`` Carter-Wegman affine maps
+    (``functions/hashing.py: minhash_consts``).  Returns
+    ``(_id, shingles, sig)`` (shingles NULL for NULL text, sig
+    all-NULL for shingle-less docs, matching the expression form).
 
     Signing is row-local, so the right 100-TB plan is one corpus scan.
-    The expression form (kept as :func:`minhash_signature_expr`, the
-    differential reference) recomputes ``num_hashes`` md5s for every
-    shingle *occurrence* of every row; here each distinct shingle's
-    hash vector is computed once per worker and cached (Zipf makes the
-    vocabulary far smaller than the token stream), and the Python side
-    replays the Java ``\\s`` tokenizer, ``array_distinct`` order, and
-    ``stable_hash64`` bit-exactly via ``functions/pytext.py``, so the
-    DuckDB oracles keep hash-matching.  Row-equality with the
-    expression form is locked in ``tests/test_dedup.py``.
+    The r7 family hashed every (shingle, seed) pair with md5 — 16 md5s
+    per distinct shingle — and profiling (r7 directive #4) showed that
+    WAS the MinHash pipeline's dominant cost (~80% of 1M-doc wall).
+    Here each distinct shingle's base hash is computed once per worker
+    and cached (Zipf makes the vocabulary far smaller than the token
+    stream); the affine derivation is one vectorized numpy broadcast
+    per doc.  The Python side replays the Java ``\\s`` tokenizer,
+    ``array_distinct`` order, and ``stable_hash64`` bit-exactly via
+    ``functions/pytext.py``, so the DuckDB oracles keep hash-matching.
+    Row-equality with the expression form is locked in
+    ``tests/test_dedup.py``.
     """
+    import numpy as np
     import pandas as pd
 
+    from python_vector_db___ai_spark.functions.hashing import (
+        MINHASH_MASK,
+        MINHASH_P,
+        minhash_consts,
+    )
     from python_vector_db___ai_spark.functions.pytext import (
         stable_hash64_py,
         word_shingles_py,
     )
 
-    seeds = range(num_hashes)
-    hash_cache: dict[str, tuple] = {}
+    consts = minhash_consts(num_hashes)
+    A = np.array([a for a, _ in consts], dtype=np.int64)
+    B = np.array([b for _, b in consts], dtype=np.int64)
+    hash_cache: dict[str, int] = {}
 
     def one(t: str | None):
         shingles = word_shingles_py(t, shingle_n)
         if not shingles:           # NULL text or shingle-less doc
             return shingles, [None] * num_hashes
-        mins = [None] * num_hashes
-        if len(hash_cache) > (1 << 18):   # bound worker memory
+        if len(hash_cache) > (1 << 20):   # bound worker memory
             hash_cache.clear()
-        for s in shingles:
-            hv = hash_cache.get(s)
-            if hv is None:
-                hv = hash_cache[s] = tuple(
-                    stable_hash64_py(s, seed=k) for k in seeds)
-            for k, h in enumerate(hv):
-                m = mins[k]
-                if m is None or h < m:
-                    mins[k] = h
-        return shingles, mins
+        hs = np.empty(len(shingles), dtype=np.int64)
+        for i, s in enumerate(shingles):
+            h = hash_cache.get(s)
+            if h is None:
+                h = hash_cache[s] = stable_hash64_py(s) & MINHASH_MASK
+            hs[i] = h
+        # (m, 1) * (k,) -> (m, k); all values < 2^62, exact in int64.
+        sig = ((hs[:, None] * A + B) % MINHASH_P).min(axis=0)
+        return shingles, [int(x) for x in sig]
 
     def op(batches):
         for pdf in batches:
@@ -176,25 +186,35 @@ def minhash_signature_expr(df: DataFrame, num_hashes: int = 16,
     """Pure-expression form of :func:`minhash_signature` — the
     whole-stage-codegen'd differential reference (and the shape the
     SQL oracles replicate)."""
+    from python_vector_db___ai_spark.functions.hashing import (
+        MINHASH_P,
+        minhash_base,
+        minhash_consts,
+    )
+
     sh = word_shingles(F.col(text_col), shingle_n)
 
-    def _hasher(s: int):
+    def _affine(a: int, b: int):
         # NB: a default-arg lambda won't do — PySpark passes the array
         # index to any second lambda parameter.
-        return lambda w: stable_hash64(w, seed=s)
+        return lambda h: (F.lit(a).cast("long") * h + F.lit(b)) \
+            % F.lit(MINHASH_P)
 
-    # Two-step select: the shingle expression (split + filter + n-gram
-    # transform) is aliased ONCE and the 16 min-hash expressions read
-    # the alias.  Inlining ``sh`` into every array_min used to make
-    # each row re-tokenize the text 17 times — and CollapseProject
-    # keeps the split because the alias is referenced many times and
-    # the expression is non-cheap.
+    # Three-step select: the shingle expression (split + filter +
+    # n-gram transform) is aliased ONCE, the md5 base-hash array is
+    # aliased ONCE, and the 16 min-affine expressions read the alias.
+    # Inlining would make each row re-tokenize (and re-md5) the text
+    # 16 times — CollapseProject keeps the aliases because they are
+    # referenced many times and the expressions are non-cheap.
     base = df.select(F.col(id_col).alias("_id"), sh.alias("shingles"))
+    hashed = base.select(
+        "_id", "shingles",
+        F.transform(F.col("shingles"), minhash_base).alias("_h30"))
     sig = F.array(*[
-        F.array_min(F.transform(F.col("shingles"), _hasher(s)))
-        for s in range(num_hashes)
+        F.array_min(F.transform(F.col("_h30"), _affine(a, b)))
+        for a, b in minhash_consts(num_hashes)
     ])
-    return base.select("_id", "shingles", sig.alias("sig"))
+    return hashed.select("_id", "shingles", sig.alias("sig"))
 
 
 def _band_frame(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -318,7 +338,9 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 1, text_col: str = "text",
                       id_col: str = "doc_id",
                       verify_threshold: float | None = None,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      stage_timings: dict | None = None,
+                      prune_candidate_ids: bool = False) -> DataFrame:
     """LSH-banded candidate pairs with estimated and true Jaccard.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
@@ -338,12 +360,38 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     the exact-dup (content-hash) pass anyway.  ``None`` (default)
     keeps every bucket — the oracle-checked configuration of the
     registered queries.
+
+    ``stage_timings`` (optional dict) is filled with ``sign_sec``,
+    ``band_sec`` and ``n_candidates`` by materializing each stage —
+    profiling mode for the bench sweep; leave ``None`` in production
+    plans (no extra barriers).  Round-8 profiling finding (r7
+    directive #4): SIGNING dominated — ~80% of the 1M-doc wall went
+    to the 16-md5s-per-shingle hash family, now replaced by one md5 +
+    affine derivation (see :func:`minhash_signature`); banding + the
+    capped self-join is join-bound at parquet-scan speed, and the
+    verify join is minor because the signature frame is already
+    cached.
+
+    ``prune_candidate_ids=True`` semi-joins the signature frame down
+    to the ids that survive banding before the verify join — the
+    right call on a real cluster where candidates are a sliver of the
+    corpus (the verify join then never shuffles corpus-sized shingle
+    arrays).  OFF by default: in the copy-salted bench corpus banding
+    marks most docs as candidates, so the prune measured neutral at
+    1M docs (48–81 s, within run variance of 48–55 s without) while
+    adding heap pressure at the 8g local bench config.
     """
+    import time as _time
+
     # The signature frame feeds banding AND both sides of the verify
     # join — cache it so the 16 md5 min-hashes run once per doc.  (At
     # cluster scale this would be a checkpoint/table write instead.)
     sigs = minhash_signature(df, num_hashes, shingle_n, text_col, id_col) \
         .cache()
+    if stage_timings is not None:
+        t0 = _time.perf_counter()
+        sigs.count()
+        stage_timings["sign_sec"] = round(_time.perf_counter() - t0, 3)
     banded = _band_frame(sigs, num_hashes, bands)
     if max_bucket is not None:
         keep = (banded.groupBy("band", "bucket")
@@ -356,10 +404,23 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
             .filter(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
             .distinct())
-    left = sigs.select(F.col("_id").alias("i"), F.col("shingles").alias("sha"),
-                       F.col("sig").alias("siga"))
-    right = sigs.select(F.col("_id").alias("j"), F.col("shingles").alias("shb"),
-                        F.col("sig").alias("sigb"))
+    if stage_timings is not None:
+        # cache only in profile mode: the count barrier would otherwise
+        # recompute the banding self-join for the verify pass.
+        cand = cand.cache()
+        t0 = _time.perf_counter()
+        stage_timings["n_candidates"] = cand.count()
+        stage_timings["band_sec"] = round(_time.perf_counter() - t0, 3)
+    src = sigs
+    if prune_candidate_ids:
+        ids = (cand.select(F.col("i").alias("_id"))
+               .union(cand.select(F.col("j").alias("_id")))
+               .distinct())
+        src = sigs.join(ids, "_id", "left_semi")
+    left = src.select(F.col("_id").alias("i"), F.col("shingles").alias("sha"),
+                      F.col("sig").alias("siga"))
+    right = src.select(F.col("_id").alias("j"), F.col("shingles").alias("shb"),
+                       F.col("sig").alias("sigb"))
     est = (F.size(F.filter(F.zip_with(F.col("siga"), F.col("sigb"),
                                       lambda x, y: x == y), lambda m: m))
            .cast("double") / num_hashes)

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_vector_db___ai_spark.functions.hashing import stable_hash_sql
+from python_vector_db___ai_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_base_sql,
+    minhash_consts,
+    stable_hash_sql,
+)
 from python_vector_db___ai_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup_flags,
@@ -143,8 +148,9 @@ def _minhash_oracle() -> str:
     rows = _MH_HASHES // _MH_BANDS
     ws = _WORDS.format(t="text")
     sig_exprs = ", ".join(
-        f"list_min(list_transform(sh, w -> {stable_hash_sql('w', seed=s)})) AS s{s}"
-        for s in range(_MH_HASHES))
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) "
+        f"AS s{s}"
+        for s, (a, b) in enumerate(minhash_consts(_MH_HASHES)))
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         f"md5(concat_ws('_', {', '.join(f's{b * rows + i}' for i in range(rows))})) "
@@ -156,8 +162,12 @@ def _minhash_oracle() -> str:
 WITH d AS (
   SELECT doc_id, list_distinct({ws}) AS sh
   FROM documents WHERE doc_id < {_MH_DOCS}
+), dh AS (
+  SELECT doc_id, sh,
+         list_transform(sh, w -> {minhash_base_sql("w")}) AS hs
+  FROM d
 ), sig AS (
-  SELECT doc_id, sh, {sig_exprs} FROM d
+  SELECT doc_id, sh, {sig_exprs} FROM dh
 ), banded AS (
   {band_rows}
 ), cand AS (
@@ -452,8 +462,9 @@ def _minhash_incremental_oracle() -> str:
     rows = _MH_HASHES // _MH_BANDS
     ws = _WORDS.format(t="text")
     sig_exprs = ", ".join(
-        f"list_min(list_transform(sh, w -> {stable_hash_sql('w', seed=s)})) AS s{s}"
-        for s in range(_MH_HASHES))
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) "
+        f"AS s{s}"
+        for s, (a, b) in enumerate(minhash_consts(_MH_HASHES)))
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         f"md5(concat_ws('_', {', '.join(f's{b * rows + i}' for i in range(rows))})) "
@@ -463,8 +474,12 @@ def _minhash_incremental_oracle() -> str:
 WITH d AS (
   SELECT doc_id, list_distinct({ws}) AS sh
   FROM documents WHERE doc_id < {_INC_DOCS}
+), dh AS (
+  SELECT doc_id, sh,
+         list_transform(sh, w -> {minhash_base_sql("w")}) AS hs
+  FROM d
 ), sig AS (
-  SELECT doc_id, sh, {sig_exprs} FROM d
+  SELECT doc_id, sh, {sig_exprs} FROM dh
 ), banded AS (
   {band_rows}
 ), cand AS (
