@@ -73,6 +73,23 @@ CORE_QUERIES = [
 # buys round-over-round comparable numbers.
 N_RUNS = 3
 
+
+def timed_median(fn, n_runs: int = N_RUNS):
+    """Median-of-n wall time for a collect-style action; returns
+    ``(median_sec, last_result)``.  Every SEARCH timing in the
+    ann/scale sweeps goes through this (r7 directive #2:
+    ``hnsw_search_sec`` spanned 2.0–9.4 s across same-commit runs
+    when timed once); build timings stay single-shot — a build is one
+    job per corpus version, and re-running it would triple sweep wall
+    for a number whose variance nobody disputed."""
+    runs = []
+    res = None
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        res = fn()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[len(runs) // 2], res
+
 # Headline set: one per operator family (SURVEY §2 coverage).
 HEADLINE = [
     "knn_exact_batch",         # J1/T2 exact batch kNN, 3 metrics (BLAS local top-k)
@@ -299,11 +316,10 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
 
     out: dict = {"n_queries": n_queries, "k": 10, "corpus_rows": n}
 
-    t0 = time.perf_counter()
     exact = knn_join_blas(queries, emb, k=10, metric="cosine",
                           corpus_id="vec_id")
-    exact_rows = exact.collect()
-    out["exact_sec"] = round(time.perf_counter() - t0, 4)
+    sec, exact_rows = timed_median(exact.collect)
+    out["exact_sec"] = round(sec, 4)
     exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
 
     # IVF: KMeans quantizer + spill-2 assignment, build timed separately
@@ -320,13 +336,12 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     assigned.count()
     out["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
 
-    t0 = time.perf_counter()
     ivf = ivf_search(queries, assigned, centroids=cents, nprobe=nprobe,
                      k=10, metric="cosine", corpus_id="vec_id",
                      corpus_vec="embedding", cluster_col="cluster_id",
                      dedup_candidates=True)
-    ivf_rows = ivf.collect()
-    out["ivf_sec"] = round(time.perf_counter() - t0, 4)
+    sec, ivf_rows = timed_median(ivf.collect)
+    out["ivf_sec"] = round(sec, 4)
     ivf_cached = spark.createDataFrame(ivf_rows, ivf.schema)
     out["ivf_recall"] = round(
         recall_against_exact(ivf_cached, exact_cached, corpus_id="vec_id")
@@ -358,10 +373,9 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     skc = skc.cache()
     skc.count()
     out["sketch_build_sec"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
     sk = sketch_knn(queries, emb, k=10, n_bits=256, L=L, prebuilt=(Hs, skc))
-    sk_rows = sk.collect()
-    out["sketch_sec"] = round(time.perf_counter() - t0, 4)
+    sec, sk_rows = timed_median(sk.collect)
+    out["sketch_sec"] = round(sec, 4)
     sk_cached = spark.createDataFrame(sk_rows, sk.schema)
     out["sketch_recall"] = round(
         recall_against_exact(sk_cached, exact_cached, corpus_id="vec_id")
@@ -385,11 +399,10 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     enc = pq_encode(emb, books).cache()
     enc.count()
     out["pq_build_sec"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
     pq = pq_search_rerank(queries, emb, enc, books, k=10,
                           overfetch=overfetch, metric="cosine")
-    pq_rows = pq.collect()
-    out["pq_sec"] = round(time.perf_counter() - t0, 4)
+    sec, pq_rows = timed_median(pq.collect)
+    out["pq_sec"] = round(sec, 4)
     pq_cached = spark.createDataFrame(pq_rows, pq.schema)
     out["pq_recall"] = round(
         recall_against_exact(pq_cached, exact_cached, corpus_id="vec_id")
@@ -425,10 +438,9 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         hnsw_save(hnsw_build_index(emb, n_partitions=32), idx_dir + "/g")
         out["hnsw_build_sec"] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
         hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"), k=10)
-        hn_rows = hn.collect()
-        out["hnsw_search_sec"] = round(time.perf_counter() - t0, 4)
+        sec, hn_rows = timed_median(hn.collect)
+        out["hnsw_search_sec"] = round(sec, 4)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
     hn_cached = spark.createDataFrame(hn_rows, hn.schema)
@@ -491,11 +503,10 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         entry = {"factor": factor, "corpus_rows": n,
                  "ivf_params": {"nlist": nlist, "nprobe": nprobe}}
 
-        t0 = time.perf_counter()
         exact = knn_join_blas(queries, corpus, k=10, metric="cosine",
                               corpus_id="vec_id")
-        exact_rows = exact.collect()
-        entry["exact_sec"] = round(time.perf_counter() - t0, 3)
+        sec, exact_rows = timed_median(exact.collect)
+        entry["exact_sec"] = round(sec, 3)
         exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
 
         t0 = time.perf_counter()
@@ -503,12 +514,11 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                                    cluster_col="cluster_id").cache()
         assigned.count()
         entry["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
         ivf = ivf_search(queries, assigned, centroids=cents, nprobe=nprobe,
                          k=10, metric="cosine", corpus_id="vec_id",
                          cluster_col="cluster_id")
-        ivf_rows = ivf.collect()
-        entry["ivf_sec"] = round(time.perf_counter() - t0, 3)
+        sec, ivf_rows = timed_median(ivf.collect)
+        entry["ivf_sec"] = round(sec, 3)
         ivf_df = spark.createDataFrame(ivf_rows, ivf.schema)
         entry["ivf_recall"] = round(
             recall_against_exact(ivf_df, exact_cached, corpus_id="vec_id")
@@ -519,11 +529,10 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         cb = cb.cache()
         cb.count()
         entry["lsh_build_sec"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
         lsh = srp_lsh_knn(queries, corpus, k=10, n_tables=8, n_bits=12,
                           prebuilt=(H, cb))
-        lsh_rows = lsh.collect()
-        entry["lsh_sec"] = round(time.perf_counter() - t0, 3)
+        sec, lsh_rows = timed_median(lsh.collect)
+        entry["lsh_sec"] = round(sec, 3)
         lsh_df = spark.createDataFrame(lsh_rows, lsh.schema)
         entry["lsh_recall"] = round(
             recall_against_exact(lsh_df, exact_cached, corpus_id="vec_id")
@@ -542,11 +551,10 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         skc = skc.cache()
         skc.count()
         entry["sketch_build_sec"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
         sk = sketch_knn(queries, corpus, k=10, n_bits=256, L=Ls,
                         prebuilt=(Hs, skc))
-        sk_rows = sk.collect()
-        entry["sketch_sec"] = round(time.perf_counter() - t0, 3)
+        sec, sk_rows = timed_median(sk.collect)
+        entry["sketch_sec"] = round(sec, 3)
         sk_df = spark.createDataFrame(sk_rows, sk.schema)
         entry["sketch_recall"] = round(
             recall_against_exact(sk_df, exact_cached, corpus_id="vec_id")
@@ -570,11 +578,10 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         enc = pq_encode(corpus, books).cache()
         enc.count()
         entry["pq_build_sec"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
         pq = pq_search_rerank(queries, corpus, enc, books, k=10,
                               overfetch=overfetch, metric="cosine")
-        pq_rows = pq.collect()
-        entry["pq_sec"] = round(time.perf_counter() - t0, 3)
+        sec, pq_rows = timed_median(pq.collect)
+        entry["pq_sec"] = round(sec, 3)
         pq_df = spark.createDataFrame(pq_rows, pq.schema)
         entry["pq_recall"] = round(
             recall_against_exact(pq_df, exact_cached, corpus_id="vec_id")
@@ -600,11 +607,10 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
             hnsw_save(hnsw_build_index(corpus, n_partitions=32),
                       idx_dir + "/g")
             entry["hnsw_build_sec"] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
             hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"),
                              k=10)
-            hn_rows = hn.collect()
-            entry["hnsw_search_sec"] = round(time.perf_counter() - t0, 3)
+            sec, hn_rows = timed_median(hn.collect)
+            entry["hnsw_search_sec"] = round(sec, 3)
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
         hn_df = spark.createDataFrame(hn_rows, hn.schema)
@@ -621,11 +627,10 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         ea = (assigned.select("vec_id", "cluster_id")
               .join(enc, "vec_id").cache())
         ea.count()
-        t0 = time.perf_counter()
         ipq = ivfpq_search(queries, corpus, ea, cents, books,
                            nprobe=nprobe, k=10, overfetch=overfetch)
-        ipq_rows = ipq.collect()
-        entry["ivfpq_sec"] = round(time.perf_counter() - t0, 3)
+        sec, ipq_rows = timed_median(ipq.collect)
+        entry["ivfpq_sec"] = round(sec, 3)
         ipq_df = spark.createDataFrame(ipq_rows, ipq.schema)
         entry["ivfpq_recall"] = round(
             recall_against_exact(ipq_df, exact_cached, corpus_id="vec_id")
@@ -793,8 +798,14 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                       .agg(F.count("*").alias("df"))
                       .orderBy(F.col("df").desc(), F.col("term").asc())
                       .limit(60).collect())]
+        # Cycle modulo the vocabulary so every query carries exactly 3
+        # terms even if the corpus has < 60 distinct terms (a silent
+        # short slice would quietly weaken the stated worst-case
+        # top-df workload).
+        assert top_terms, "bm25 batch: empty vocabulary"
         qtable = spark.createDataFrame(
-            [(qi, top_terms[3 * qi:3 * qi + 3]) for qi in range(20)],
+            [(qi, [top_terms[(3 * qi + o) % len(top_terms)]
+                   for o in range(3)]) for qi in range(20)],
             "query_id long, terms array<string>")
         t0 = time.perf_counter()
         entry["bm25_batch_rows"] = bm25_topk_batch(

@@ -167,8 +167,17 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     Pure JVM array expressions; the scalar ``scale`` is staged as a
     materialized column so the lambdas reference a column, not a
     re-expanded ``array_max`` per element (64x expression blowup
-    otherwise).  Adds ``scale``, ``l2_error``, ``max_abs_error``.
+    otherwise).  Adds ``scale``, ``l2_error``, ``max_abs_error``;
+    raises if the input already carries any of the output (or staging)
+    column names — ``withColumn`` would silently overwrite them.
     """
+    clash = {"scale", "l2_error", "max_abs_error",
+             "_v", "_mx", "_diff"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"quantize_int8: input already has column(s) {sorted(clash)}; "
+            "rename them first — the operator adds scale/l2_error/"
+            "max_abs_error and would overwrite")
     staged = (df
               .withColumn("_v", F.transform(F.col(vec_col),
                                             lambda x: x.cast("double")))

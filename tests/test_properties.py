@@ -297,6 +297,18 @@ def test_quantize_int8_error_bounds(sp, v):
     assert r.l2_error <= math.sqrt(len(v)) * half * (1 + 1e-9) + 1e-12
 
 
+def test_quantize_int8_rejects_colliding_columns(sp):
+    """The operator adds scale/l2_error/max_abs_error — a pre-existing
+    column of any of those names (or a staging temporary) must raise,
+    not be silently overwritten."""
+    from python_vector_db___ai_spark.operators.embedding import quantize_int8
+
+    df = sp.createDataFrame([(1, [1.0, 2.0], 9.9)],
+                            ["vec_id", "embedding", "scale"])
+    with pytest.raises(ValueError, match="scale"):
+        quantize_int8(df)
+
+
 _rank_lists = st.dictionaries(
     st.integers(min_value=0, max_value=2),               # query_id
     st.tuples(st.permutations(list(range(8))),           # system-A order
