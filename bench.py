@@ -74,19 +74,25 @@ CORE_QUERIES = [
 N_RUNS = 3
 
 
-def timed_median(fn, n_runs: int = N_RUNS):
-    """Median-of-n wall time for a collect-style action; returns
-    ``(median_sec, last_result)``.  Every SEARCH timing in the
-    ann/scale sweeps goes through this (r7 directive #2:
-    ``hnsw_search_sec`` spanned 2.0–9.4 s across same-commit runs
-    when timed once); build timings stay single-shot — a build is one
-    job per corpus version, and re-running it would triple sweep wall
-    for a number whose variance nobody disputed."""
+def timed_median(build_and_collect, n_runs: int = N_RUNS):
+    """Median-of-n wall time; returns ``(median_sec, last_result)``.
+    Every SEARCH timing in the ann/scale sweeps goes through this (r7
+    directive #2: ``hnsw_search_sec`` spanned 2.0–9.4 s across
+    same-commit runs when timed once); build timings stay single-shot
+    — a build is one job per corpus version, and re-running it would
+    triple sweep wall for a number whose variance nobody disputed.
+
+    ``build_and_collect`` must CONSTRUCT the DataFrame and collect it
+    (a zero-arg closure over the operator call).  Re-collecting one
+    prebuilt DataFrame object would reuse its already-materialized
+    shuffle map stages across runs (Spark skips stages for the same
+    RDD lineage), timing only the result stage — observed as sweep
+    "medians" of ~30 ms for second-scale searches."""
     runs = []
     res = None
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        res = fn()
+        res = build_and_collect()
         runs.append(time.perf_counter() - t0)
     return sorted(runs)[len(runs) // 2], res
 
@@ -316,10 +322,13 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
 
     out: dict = {"n_queries": n_queries, "k": 10, "corpus_rows": n}
 
+    def run_exact():
+        return knn_join_blas(queries, emb, k=10, metric="cosine",
+                             corpus_id="vec_id").collect()
+    sec, exact_rows = timed_median(run_exact)
+    out["exact_sec"] = round(sec, 4)
     exact = knn_join_blas(queries, emb, k=10, metric="cosine",
                           corpus_id="vec_id")
-    sec, exact_rows = timed_median(exact.collect)
-    out["exact_sec"] = round(sec, 4)
     exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
 
     # IVF: KMeans quantizer + spill-2 assignment, build timed separately
@@ -336,12 +345,18 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     assigned.count()
     out["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
 
+    def run_ivf():
+        return ivf_search(queries, assigned, centroids=cents,
+                          nprobe=nprobe, k=10, metric="cosine",
+                          corpus_id="vec_id", corpus_vec="embedding",
+                          cluster_col="cluster_id",
+                          dedup_candidates=True).collect()
+    sec, ivf_rows = timed_median(run_ivf)
+    out["ivf_sec"] = round(sec, 4)
     ivf = ivf_search(queries, assigned, centroids=cents, nprobe=nprobe,
                      k=10, metric="cosine", corpus_id="vec_id",
                      corpus_vec="embedding", cluster_col="cluster_id",
                      dedup_candidates=True)
-    sec, ivf_rows = timed_median(ivf.collect)
-    out["ivf_sec"] = round(sec, 4)
     ivf_cached = spark.createDataFrame(ivf_rows, ivf.schema)
     out["ivf_recall"] = round(
         recall_against_exact(ivf_cached, exact_cached, corpus_id="vec_id")
@@ -373,9 +388,12 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     skc = skc.cache()
     skc.count()
     out["sketch_build_sec"] = round(time.perf_counter() - t0, 4)
-    sk = sketch_knn(queries, emb, k=10, n_bits=256, L=L, prebuilt=(Hs, skc))
-    sec, sk_rows = timed_median(sk.collect)
+    def run_sk():
+        return sketch_knn(queries, emb, k=10, n_bits=256, L=L,
+                          prebuilt=(Hs, skc)).collect()
+    sec, sk_rows = timed_median(run_sk)
     out["sketch_sec"] = round(sec, 4)
+    sk = sketch_knn(queries, emb, k=10, n_bits=256, L=L, prebuilt=(Hs, skc))
     sk_cached = spark.createDataFrame(sk_rows, sk.schema)
     out["sketch_recall"] = round(
         recall_against_exact(sk_cached, exact_cached, corpus_id="vec_id")
@@ -399,10 +417,14 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
     enc = pq_encode(emb, books).cache()
     enc.count()
     out["pq_build_sec"] = round(time.perf_counter() - t0, 4)
+    def run_pq():
+        return pq_search_rerank(queries, emb, enc, books, k=10,
+                                overfetch=overfetch,
+                                metric="cosine").collect()
+    sec, pq_rows = timed_median(run_pq)
+    out["pq_sec"] = round(sec, 4)
     pq = pq_search_rerank(queries, emb, enc, books, k=10,
                           overfetch=overfetch, metric="cosine")
-    sec, pq_rows = timed_median(pq.collect)
-    out["pq_sec"] = round(sec, 4)
     pq_cached = spark.createDataFrame(pq_rows, pq.schema)
     out["pq_recall"] = round(
         recall_against_exact(pq_cached, exact_cached, corpus_id="vec_id")
@@ -438,9 +460,13 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         hnsw_save(hnsw_build_index(emb, n_partitions=32), idx_dir + "/g")
         out["hnsw_build_sec"] = round(time.perf_counter() - t0, 4)
-        hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"), k=10)
-        sec, hn_rows = timed_median(hn.collect)
+        def run_hn():
+            return hnsw_search(queries,
+                               hnsw_load(spark, idx_dir + "/g"),
+                               k=10).collect()
+        sec, hn_rows = timed_median(run_hn)
         out["hnsw_search_sec"] = round(sec, 4)
+        hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"), k=10)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
     hn_cached = spark.createDataFrame(hn_rows, hn.schema)
@@ -503,10 +529,13 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         entry = {"factor": factor, "corpus_rows": n,
                  "ivf_params": {"nlist": nlist, "nprobe": nprobe}}
 
+        def run_exact():
+            return knn_join_blas(queries, corpus, k=10, metric="cosine",
+                                 corpus_id="vec_id").collect()
+        sec, exact_rows = timed_median(run_exact)
+        entry["exact_sec"] = round(sec, 3)
         exact = knn_join_blas(queries, corpus, k=10, metric="cosine",
                               corpus_id="vec_id")
-        sec, exact_rows = timed_median(exact.collect)
-        entry["exact_sec"] = round(sec, 3)
         exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
 
         t0 = time.perf_counter()
@@ -514,11 +543,16 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                                    cluster_col="cluster_id").cache()
         assigned.count()
         entry["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+        def run_ivf():
+            return ivf_search(queries, assigned, centroids=cents,
+                              nprobe=nprobe, k=10, metric="cosine",
+                              corpus_id="vec_id",
+                              cluster_col="cluster_id").collect()
+        sec, ivf_rows = timed_median(run_ivf)
+        entry["ivf_sec"] = round(sec, 3)
         ivf = ivf_search(queries, assigned, centroids=cents, nprobe=nprobe,
                          k=10, metric="cosine", corpus_id="vec_id",
                          cluster_col="cluster_id")
-        sec, ivf_rows = timed_median(ivf.collect)
-        entry["ivf_sec"] = round(sec, 3)
         ivf_df = spark.createDataFrame(ivf_rows, ivf.schema)
         entry["ivf_recall"] = round(
             recall_against_exact(ivf_df, exact_cached, corpus_id="vec_id")
@@ -529,10 +563,13 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         cb = cb.cache()
         cb.count()
         entry["lsh_build_sec"] = round(time.perf_counter() - t0, 3)
+        def run_lsh():
+            return srp_lsh_knn(queries, corpus, k=10, n_tables=8,
+                               n_bits=12, prebuilt=(H, cb)).collect()
+        sec, lsh_rows = timed_median(run_lsh)
+        entry["lsh_sec"] = round(sec, 3)
         lsh = srp_lsh_knn(queries, corpus, k=10, n_tables=8, n_bits=12,
                           prebuilt=(H, cb))
-        sec, lsh_rows = timed_median(lsh.collect)
-        entry["lsh_sec"] = round(sec, 3)
         lsh_df = spark.createDataFrame(lsh_rows, lsh.schema)
         entry["lsh_recall"] = round(
             recall_against_exact(lsh_df, exact_cached, corpus_id="vec_id")
@@ -551,10 +588,13 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         skc = skc.cache()
         skc.count()
         entry["sketch_build_sec"] = round(time.perf_counter() - t0, 3)
+        def run_sk():
+            return sketch_knn(queries, corpus, k=10, n_bits=256, L=Ls,
+                              prebuilt=(Hs, skc)).collect()
+        sec, sk_rows = timed_median(run_sk)
+        entry["sketch_sec"] = round(sec, 3)
         sk = sketch_knn(queries, corpus, k=10, n_bits=256, L=Ls,
                         prebuilt=(Hs, skc))
-        sec, sk_rows = timed_median(sk.collect)
-        entry["sketch_sec"] = round(sec, 3)
         sk_df = spark.createDataFrame(sk_rows, sk.schema)
         entry["sketch_recall"] = round(
             recall_against_exact(sk_df, exact_cached, corpus_id="vec_id")
@@ -578,10 +618,14 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         enc = pq_encode(corpus, books).cache()
         enc.count()
         entry["pq_build_sec"] = round(time.perf_counter() - t0, 3)
+        def run_pq():
+            return pq_search_rerank(queries, corpus, enc, books, k=10,
+                                    overfetch=overfetch,
+                                    metric="cosine").collect()
+        sec, pq_rows = timed_median(run_pq)
+        entry["pq_sec"] = round(sec, 3)
         pq = pq_search_rerank(queries, corpus, enc, books, k=10,
                               overfetch=overfetch, metric="cosine")
-        sec, pq_rows = timed_median(pq.collect)
-        entry["pq_sec"] = round(sec, 3)
         pq_df = spark.createDataFrame(pq_rows, pq.schema)
         entry["pq_recall"] = round(
             recall_against_exact(pq_df, exact_cached, corpus_id="vec_id")
@@ -607,10 +651,14 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
             hnsw_save(hnsw_build_index(corpus, n_partitions=32),
                       idx_dir + "/g")
             entry["hnsw_build_sec"] = round(time.perf_counter() - t0, 3)
+            def run_hn():
+                return hnsw_search(queries,
+                                   hnsw_load(spark, idx_dir + "/g"),
+                                   k=10).collect()
+            sec, hn_rows = timed_median(run_hn)
+            entry["hnsw_search_sec"] = round(sec, 3)
             hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"),
                              k=10)
-            sec, hn_rows = timed_median(hn.collect)
-            entry["hnsw_search_sec"] = round(sec, 3)
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
         hn_df = spark.createDataFrame(hn_rows, hn.schema)
@@ -627,10 +675,14 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         ea = (assigned.select("vec_id", "cluster_id")
               .join(enc, "vec_id").cache())
         ea.count()
+        def run_ipq():
+            return ivfpq_search(queries, corpus, ea, cents, books,
+                                nprobe=nprobe, k=10,
+                                overfetch=overfetch).collect()
+        sec, ipq_rows = timed_median(run_ipq)
+        entry["ivfpq_sec"] = round(sec, 3)
         ipq = ivfpq_search(queries, corpus, ea, cents, books,
                            nprobe=nprobe, k=10, overfetch=overfetch)
-        sec, ipq_rows = timed_median(ipq.collect)
-        entry["ivfpq_sec"] = round(sec, 3)
         ipq_df = spark.createDataFrame(ipq_rows, ipq.schema)
         entry["ivfpq_recall"] = round(
             recall_against_exact(ipq_df, exact_cached, corpus_id="vec_id")
