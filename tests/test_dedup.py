@@ -323,6 +323,44 @@ def test_simhash_map_only_plan_is_shuffle_free(spark):
     assert count_exchanges(df) == 0, formatted_plan(df)
 
 
+def test_minhash_affine_family_mixes():
+    """Regression guard for the near-monotonic affine trap (round 8):
+    with a modulus far above the 30-bit base domain, ``(a*h + b) mod
+    P`` wraps at most once and is otherwise monotonic in ``h`` — every
+    signature slot then picks the same min-base-hash shingle, the
+    slots collapse, and LSH banding degenerates into giant buckets
+    (observed as an OOM in the 1M-doc sweep's candidate self-join
+    before the modulus was fixed to 2^31 - 1).  Two checks, no Spark:
+    every ``a`` must sweep the product across many multiples of P,
+    and over a deterministic shingle-hash sample the per-slot argmins
+    must not all coincide with the base argmin."""
+    import numpy as np
+
+    from python_vector_db___ai_spark.functions.hashing import (
+        MINHASH_MASK,
+        MINHASH_P,
+        minhash_consts,
+    )
+    from python_vector_db___ai_spark.functions.pytext import (
+        stable_hash64_py,
+    )
+
+    consts = minhash_consts(16)
+    for a, b in consts:
+        assert 1 <= a < MINHASH_P and 0 <= b < MINHASH_P
+        # the product must cross many multiples of P over the domain,
+        # else the map is near-monotonic in h
+        assert (a * MINHASH_MASK) // MINHASH_P > 100
+    hs = np.array([stable_hash64_py(f"shingle:{i}") & MINHASH_MASK
+                   for i in range(64)], dtype=np.int64)
+    sigs = (hs[:, None] * np.array([a for a, _ in consts])
+            + np.array([b for _, b in consts])) % MINHASH_P
+    argmins = sigs.argmin(axis=0)
+    base_argmin = int(hs.argmin())
+    assert len(set(argmins.tolist())) >= 8, argmins
+    assert (argmins == base_argmin).sum() <= 3, argmins
+
+
 def test_minhash_arrow_equals_expr_form(spark):
     """The round-7 map-only MinHash signing must agree with the
     pure-expression reference bit-for-bit — shingle arrays (order
