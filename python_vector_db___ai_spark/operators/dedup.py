@@ -219,14 +219,24 @@ def minhash_signature_expr(df: DataFrame, num_hashes: int = 16,
 
 def _band_frame(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """LSH banding of a signature frame: ``(_id, band, bucket)`` where
-    the bucket is the md5 of the band's hash slice."""
+    the bucket keys the band's hash slice.
+
+    The bucket is only ever compared for EQUALITY (same band, same
+    bucket → candidate pair), so any injective-enough function of the
+    slice induces the same candidate sets: the engine uses
+    ``xxhash64`` over the joined slice (8-byte shuffle key, JVM
+    codegen) while the DuckDB oracles keep ``md5`` of the same string
+    — both collapse exactly the equal slices (a cross-engine VALUE
+    match is never required because buckets stay internal).  The
+    ``_``-join is unambiguous: signature values are decimal digits, so
+    the separator cannot collide across slot boundaries."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         band_slice = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
         band_cols.append(F.struct(
             F.lit(b).alias("band"),
-            md5_hex(F.concat_ws("_", *[band_slice[i] for i in range(rows_per_band)]))
+            F.xxhash64(F.concat_ws("_", *[band_slice[i] for i in range(rows_per_band)]))
             .alias("bucket")))
     return (sigs.select("_id",
                         F.explode(F.array(*band_cols)).alias("bb"))

@@ -1,8 +1,12 @@
 """Deduplication queries over the ``documents`` / ``embeddings`` tables.
 
-Every hash the Spark side computes is md5-derived
+Every VALUE-compared hash the Spark side computes is md5-derived
 (functions/hashing.py), so the DuckDB oracles below rebuild the exact
-same signatures, buckets, and fingerprints in SQL.
+same signatures and fingerprints in SQL.  LSH band buckets are the
+one exception: they are only compared for equality and never emitted,
+so the engine keys them with ``xxhash64`` while the oracles use md5
+over the same slice string — identical equivalence classes, hence
+identical candidate pairs (operators/dedup.py: ``_band_frame``).
 """
 
 from __future__ import annotations
