@@ -828,20 +828,22 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
 
         # BM25 retrieval at scale: the two halves of the maintained
         # inverted-index story, timed separately — index BUILD (one
-        # explode + two hash aggs over the whole corpus, amortized
-        # across queries in production) and a 20-query BATCH against
-        # the prebuilt index (postings equi-join on the term key +
-        # per-query window).  Query terms are the corpus's own top-df
+        # explode + hash aggs over the whole corpus plus the dl-attach
+        # window, amortized across queries in production) and a
+        # 20-query BATCH against the prebuilt index (postings
+        # equi-join on the term key + per-query window; dl rides the
+        # postings so the batch never re-joins the corpus-sized
+        # lengths table).  Query terms are the corpus's own top-df
         # terms — the worst case for the postings join, since every
         # term matches the maximum number of documents.
         from python_vector_db___ai_spark.operators.bm25 import (
+            bm25_index,
             bm25_topk_batch,
             doc_lengths,
-            term_postings,
         )
 
         t0 = time.perf_counter()
-        post = term_postings(docs).cache()
+        post = bm25_index(docs).cache()
         dls = doc_lengths(docs).cache()
         post.count(), dls.count()
         entry["bm25_index_sec"] = round(time.perf_counter() - t0, 3)

@@ -45,6 +45,24 @@ def doc_lengths(docs: DataFrame, text_col: str = "text",
                        F.size(words).cast("double").alias("dl"))
 
 
+def bm25_index(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Postings carrying the document length: ``(id_col, term, tf,
+    dl)`` — the layout a maintained 100-TB inverted index would
+    persist.  ``dl`` is ``sum(tf)`` over the doc's terms (identical to
+    ``size(words)``), attached by ONE build-time shuffle on the doc
+    key, so per-batch scoring reads it straight off the matched
+    postings instead of re-joining the corpus-sized lengths table for
+    every query batch.  Hand the result to ``prebuilt`` in place of
+    plain :func:`term_postings` output; the scorers detect the ``dl``
+    column and skip the lengths join (values are bit-identical either
+    way — the oracles are unchanged)."""
+    postings = term_postings(docs, text_col, id_col)
+    return postings.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+        .cast("double"))
+
+
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 k1: float = 1.2, b: float = 0.75,
                 text_col: str = "text", id_col: str = "doc_id",
@@ -92,9 +110,10 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
                  .agg(F.count("*").cast("double").alias("df")))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
-    scored = (matched
-              .join(F.broadcast(df_counts), "term")
-              .join(lengths, id_col)
+    scored = matched.join(F.broadcast(df_counts), "term")
+    if "dl" not in postings.columns:  # plain postings: fetch dl by join
+        scored = scored.join(lengths, id_col)
+    scored = (scored
               .crossJoin(F.broadcast(stats))
               .withColumn(
                   "term_score",
@@ -171,8 +190,10 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
                 / (F.col("df") + 0.5))
     scored = (matched
               .join(F.broadcast(qterms), "term")
-              .join(F.broadcast(df_counts), "term")
-              .join(lengths, id_col)
+              .join(F.broadcast(df_counts), "term"))
+    if "dl" not in postings.columns:  # plain postings: fetch dl by join
+        scored = scored.join(lengths, id_col)
+    scored = (scored
               .crossJoin(F.broadcast(stats))
               .withColumn(
                   "term_score",

@@ -170,18 +170,20 @@ FROM brrf_top
 )
 def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vector_db___ai_spark.operators.bm25 import (
+        bm25_index,
         doc_lengths,
-        term_postings,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
     # Shared inverted index: tokenize + aggregate the corpus ONCE and
-    # hand the cached (postings, lengths) pair to both the single-query
-    # and the batch branch — at scale this pair is the maintained
-    # postings table, not a per-query rebuild.
-    index = (term_postings(docs).cache(), doc_lengths(docs).cache())
+    # hand the cached (postings-with-dl, lengths) pair to both the
+    # single-query and the batch branch — at scale this pair is the
+    # maintained postings table, not a per-query rebuild.  The dl
+    # column rides the postings, so scoring never re-joins the
+    # corpus-sized lengths table (it only feeds the 1-row stats agg).
+    index = (bm25_index(docs).cache(), doc_lengths(docs).cache())
 
     # One batch kNN scores ALL query vectors (the single-query branch's
     # vector ranking is the batch result filtered to query 0 — same

@@ -62,3 +62,32 @@ def test_bm25_prebuilt_matches_fresh(spark):
     built = bm25_topk_batch(docs, qtable, k=5, prebuilt=pre).collect()
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, built))
     assert len(fresh) > 0
+
+
+def test_bm25_dl_index_matches_fresh(spark):
+    """The dl-carrying inverted index (bm25_index) skips the lengths
+    join at score time — results must be bit-identical to the fresh
+    path, in both the batch and the single-query form."""
+    from python_vector_db___ai_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk,
+        bm25_topk_batch,
+        doc_lengths,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pre = (bm25_index(docs), doc_lengths(docs))
+    assert "dl" in pre[0].columns
+
+    qtable = spark.createDataFrame(
+        [(0, ["the", "fast"]), (1, ["key", "value", "the"])],
+        "query_id long, terms array<string>")
+    fresh = bm25_topk_batch(docs, qtable, k=5).collect()
+    built = bm25_topk_batch(docs, qtable, k=5, prebuilt=pre).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, built))
+    assert len(fresh) > 0
+
+    fresh1 = bm25_topk(docs, ["the", "fast"], k=5).collect()
+    built1 = bm25_topk(docs, ["the", "fast"], k=5, prebuilt=pre).collect()
+    assert sorted(map(tuple, fresh1)) == sorted(map(tuple, built1))
+    assert len(fresh1) > 0
