@@ -829,28 +829,30 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         # BM25 retrieval at scale: the two halves of the maintained
         # inverted-index story, timed separately — index BUILD (one
         # explode + hash aggs over the whole corpus plus the dl-attach
-        # window, amortized across queries in production) and a
-        # 20-query BATCH against the prebuilt index (postings
-        # equi-join on the term key + per-query window; dl rides the
-        # postings so the batch never re-joins the corpus-sized
-        # lengths table).  Query terms are the corpus's own top-df
-        # terms — the worst case for the postings join, since every
-        # term matches the maximum number of documents.
+        # window and the vocab-sized term-df dictionary, amortized
+        # across queries in production) and a 20-query BATCH against
+        # the prebuilt index (ONE postings scan: term equi-join +
+        # per-query window; dl rides the postings and df comes from
+        # the dictionary, so the batch neither re-joins the
+        # corpus-sized lengths table nor re-scans postings for df).
+        # Query terms are the corpus's own top-df terms — the worst
+        # case for the postings join, since every term matches the
+        # maximum number of documents.
         from python_vector_db___ai_spark.operators.bm25 import (
             bm25_index,
             bm25_topk_batch,
             doc_lengths,
+            term_df,
         )
 
         t0 = time.perf_counter()
         post = bm25_index(docs).cache()
         dls = doc_lengths(docs).cache()
-        post.count(), dls.count()
+        tdf = term_df(post).cache()
+        post.count(), dls.count(), tdf.count()
         entry["bm25_index_sec"] = round(time.perf_counter() - t0, 3)
         top_terms = [r["term"] for r in
-                     (post.groupBy("term")
-                      .agg(F.count("*").alias("df"))
-                      .orderBy(F.col("df").desc(), F.col("term").asc())
+                     (tdf.orderBy(F.col("df").desc(), F.col("term").asc())
                       .limit(60).collect())]
         # Cycle modulo the vocabulary so every query carries exactly 3
         # terms even if the corpus has < 60 distinct terms (a silent

@@ -63,10 +63,31 @@ def bm25_index(docs: DataFrame, text_col: str = "text",
         .cast("double"))
 
 
+def term_df(postings: DataFrame) -> DataFrame:
+    """The index *dictionary*: per-term document frequency ``(term,
+    df)``, one row per vocabulary term.  Postings carry one row per
+    (doc, term), so df is a plain count — and computing it ONCE at
+    build time (map-side combine shrinks the shuffle to vocab-sized
+    partials) lets every query batch skip the df aggregation that
+    otherwise forces a SECOND full scan of the postings table.  Pass
+    as the optional third element of ``prebuilt``; df values are
+    identical to the matched-derived aggregate because a term's
+    matched postings ARE all its postings."""
+    return (postings.groupBy("term")
+            .agg(F.count("*").cast("double").alias("df")))
+
+
+def _unpack_prebuilt(prebuilt):
+    """(postings, lengths) or (postings, lengths, term_df) -> 3-tuple."""
+    if len(prebuilt) == 2:
+        return prebuilt[0], prebuilt[1], None
+    return prebuilt
+
+
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 k1: float = 1.2, b: float = 0.75,
                 text_col: str = "text", id_col: str = "doc_id",
-                prebuilt: tuple[DataFrame, DataFrame] | None = None,
+                prebuilt: tuple[DataFrame, ...] | None = None,
                 ) -> DataFrame:
     """BM25 score of every document against a bag of query terms.
     IDF uses the standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form
@@ -81,13 +102,16 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     ``prebuilt`` hands in a shared ``(postings, lengths)`` pair (from
     :func:`term_postings` / :func:`doc_lengths`, typically cached or a
     maintained inverted-index table at scale) so multiple searches
-    tokenize the corpus once.
+    tokenize the corpus once; an optional third element (the
+    :func:`term_df` dictionary) additionally skips the per-search df
+    aggregation — bit-identical scores either way.
     """
     if prebuilt is not None:
-        postings, lengths = prebuilt
+        postings, lengths, tdf = _unpack_prebuilt(prebuilt)
     else:
         postings = term_postings(docs, text_col, id_col)
         lengths = doc_lengths(docs, text_col, id_col)
+        tdf = None
     stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
                         F.avg("dl").alias("avgdl"))
 
@@ -105,9 +129,12 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
         weight = (F.when(cond, float(qtf[t])) if weight is None
                   else weight.when(cond, float(qtf[t])))
     weight = F.lit(1.0) if weight is None else weight.otherwise(F.lit(1.0))
-    # postings carry one row per (doc, term), so df is a plain count
-    df_counts = (matched.groupBy("term")
-                 .agg(F.count("*").cast("double").alias("df")))
+    if tdf is not None:  # dictionary df: no second pass over postings
+        df_counts = tdf.filter(F.col("term").isin(terms))
+    else:
+        # postings carry one row per (doc, term), so df is a plain count
+        df_counts = (matched.groupBy("term")
+                     .agg(F.count("*").cast("double").alias("df")))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     scored = matched.join(F.broadcast(df_counts), "term")
@@ -128,7 +155,7 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id",
               round_to: int = 6,
-              prebuilt: tuple[DataFrame, DataFrame] | None = None,
+              prebuilt: tuple[DataFrame, ...] | None = None,
               ) -> DataFrame:
     """Ranked BM25 top-k with the engine's deterministic tie-break.
 
@@ -150,7 +177,7 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       query_id: str = "query_id",
                       terms_col: str = "terms",
-                      prebuilt: tuple[DataFrame, DataFrame] | None = None,
+                      prebuilt: tuple[DataFrame, ...] | None = None,
                       ) -> DataFrame:
     """BM25 over a *table* of queries — the batch form matching the
     reference's per-query evaluation surface (day_13/src/main.py:126-237)
@@ -169,10 +196,11 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
     pair across searches (see :func:`bm25_scores`).
     """
     if prebuilt is not None:
-        postings, lengths = prebuilt
+        postings, lengths, tdf = _unpack_prebuilt(prebuilt)
     else:
         postings = term_postings(docs, text_col, id_col)
         lengths = doc_lengths(docs, text_col, id_col)
+        tdf = None
     stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
                         F.avg("dl").alias("avgdl"))
     qterms = (queries
@@ -183,9 +211,12 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
               .agg(F.count("*").cast("double").alias("qtf")))
     bterms = qterms.select("term").distinct()
     matched = postings.join(F.broadcast(bterms), "term")
-    # postings carry one row per (doc, term), so df is a plain count
-    df_counts = (matched.groupBy("term")
-                 .agg(F.count("*").cast("double").alias("df")))
+    if tdf is not None:  # dictionary df: no second pass over postings
+        df_counts = tdf.join(F.broadcast(bterms), "term")
+    else:
+        # postings carry one row per (doc, term), so df is a plain count
+        df_counts = (matched.groupBy("term")
+                     .agg(F.count("*").cast("double").alias("df")))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     scored = (matched
@@ -209,7 +240,7 @@ def bm25_topk_batch(docs: DataFrame, queries: DataFrame, k: int = 10,
                     text_col: str = "text", id_col: str = "doc_id",
                     query_id: str = "query_id", terms_col: str = "terms",
                     round_to: int = 6,
-                    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+                    prebuilt: tuple[DataFrame, ...] | None = None,
                     ) -> DataFrame:
     """Per-query ranked BM25 top-k: the standard per-query window
     (WindowGroupLimit trims each partition to k before the shuffle),

@@ -172,18 +172,22 @@ def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vector_db___ai_spark.operators.bm25 import (
         bm25_index,
         doc_lengths,
+        term_df,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
     # Shared inverted index: tokenize + aggregate the corpus ONCE and
-    # hand the cached (postings-with-dl, lengths) pair to both the
-    # single-query and the batch branch — at scale this pair is the
-    # maintained postings table, not a per-query rebuild.  The dl
-    # column rides the postings, so scoring never re-joins the
-    # corpus-sized lengths table (it only feeds the 1-row stats agg).
-    index = (bm25_index(docs).cache(), doc_lengths(docs).cache())
+    # hand the cached (postings-with-dl, lengths, term-df dictionary)
+    # triple to both the single-query and the batch branch — at scale
+    # this is the maintained postings table + dictionary, not a
+    # per-query rebuild.  dl rides the postings (no corpus-sized
+    # lengths join at score time) and df comes from the dictionary (no
+    # second postings scan per batch); lengths only feeds the 1-row
+    # stats agg.
+    posts = bm25_index(docs).cache()
+    index = (posts, doc_lengths(docs).cache(), term_df(posts).cache())
 
     # One batch kNN scores ALL query vectors (the single-query branch's
     # vector ranking is the batch result filtered to query 0 — same
