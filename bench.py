@@ -236,7 +236,12 @@ def main() -> None:
     # tail of stdout, so the parseable line must fit there whole —
     # five rounds of BENCH_r*.json were `parsed: null` because the
     # full object (~4.5 KB) was truncated mid-way.
-    with open(Path(__file__).resolve().parent / "BENCH_FULL.json",
+    # Only the canonical sf0.1 run may overwrite the committed
+    # artifact — a quick sf0.001 smoke must not clobber the numbers
+    # README and the judge quote (that exact accident happened once).
+    detail_name = ("BENCH_FULL.json" if sf == 0.1
+                   else f"BENCH_FULL_sf{sf}.json")
+    with open(Path(__file__).resolve().parent / detail_name,
               "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
@@ -256,7 +261,7 @@ def main() -> None:
             "pq_sec", "pq_recall", "pq_vec_scan_frac",
             "hnsw_build_sec", "hnsw_search_sec", "hnsw_recall",
         ) if k in ann},
-        "detail": "BENCH_FULL.json",
+        "detail": detail_name,
     }
     if dedup_scale:
         e = dedup_scale[-1]
