@@ -480,6 +480,12 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
         .agg(F.avg("recall")).collect()[0][0], 4)
     skc.unpersist()
     emb.unpersist()
+    # Release everything this section pinned: `assigned` holds
+    # spill x corpus rows WITH vectors — leaking it kept a corpus-sized
+    # block in the executor heap through every later sweep (GC noise).
+    assigned.unpersist()
+    cents.unpersist()
+    exact_cached.unpersist()
     return out
 
 
@@ -698,7 +704,10 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
         cb.unpersist()
         skc.unpersist()
         enc.unpersist()
+        exact_cached.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
         results.append(entry)
+    cents.unpersist()
     return results
 
 
@@ -870,10 +879,11 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
             "query_id long, terms array<string>")
         t0 = time.perf_counter()
         entry["bm25_batch_rows"] = bm25_topk_batch(
-            docs, qtable, k=10, prebuilt=(post, dls)).count()
+            docs, qtable, k=10, prebuilt=(post, dls, tdf)).count()
         entry["bm25_batch_sec"] = round(time.perf_counter() - t0, 3)
         post.unpersist()
         dls.unpersist()
+        tdf.unpersist()
 
         # PageRank over the MinHash near-dup graph (the canonical-pick
         # refinement): per-round cost is one equi-join + one hash agg
