@@ -87,6 +87,41 @@ def test_bm25_batch_matches_single(docs):
     assert batch == pytest.approx(single, abs=1e-12)
 
 
+def test_bm25_prebuilt_dictionary_identical(docs):
+    """The three index-feeding forms — inline tokenize, prebuilt
+    (postings, lengths), and prebuilt (postings, lengths, term_df
+    dictionary) — must produce BIT-identical scores for both the
+    single-query and the batch scorer: the dictionary's build-time df
+    equals the matched-derived count because a term's matched postings
+    are all its postings."""
+    from python_vector_db___ai_spark.operators.bm25 import (
+        bm25_index,
+        bm25_scores_batch,
+        doc_lengths,
+        term_df,
+    )
+
+    spark = docs.sparkSession
+    post, dls = bm25_index(docs), doc_lengths(docs)
+    tdf = term_df(post)
+    terms = ["spark", "engine", "missingterm"]
+    single = [
+        {r.doc_id: r.bm25 for r in bm25_scores(docs, terms,
+                                               prebuilt=pb).collect()}
+        for pb in (None, (post, dls), (post, dls, tdf))]
+    assert single[1] == pytest.approx(single[0], abs=1e-12)
+    assert single[2] == pytest.approx(single[0], abs=1e-12)
+    qtable = spark.createDataFrame(
+        [(0, ["spark"]), (1, ["engine", "duck"])],
+        "query_id long, terms array<string>")
+    batch = [
+        {(r.query_id, r.doc_id): r.bm25
+         for r in bm25_scores_batch(docs, qtable, prebuilt=pb).collect()}
+        for pb in (None, (post, dls), (post, dls, tdf))]
+    assert batch[1] == pytest.approx(batch[0], abs=1e-12)
+    assert batch[2] == pytest.approx(batch[0], abs=1e-12)
+
+
 def test_bm25_batch_per_query_isolation(docs):
     """Each query scores independently: a term in query A must not leak
     into query B's scores, and repeated terms weight by multiplicity."""
