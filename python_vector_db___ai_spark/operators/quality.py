@@ -82,8 +82,10 @@ def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
 
     Measured (1M docs / 47M grams, local[32]): 132 s (r7) → 56 s
     (xxhash64 key + solo-mass subtraction, still two wide aggs) →
-    **38 s** (single-shuffle form below), identical aggregates.  Docs
-    shorter than ``n`` words keep a row with 0 grams.
+    **38–53 s** (single-shuffle form below; 38 s on a quiet machine,
+    53.3 s in the committed median-run BENCH_FULL), identical
+    aggregates.  Docs shorter than ``n`` words keep a row with 0
+    grams.
 
     Returns ``(id_col, n_grams, dup_grams, crossdoc_dup_frac)``.
     """
