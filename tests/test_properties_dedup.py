@@ -155,6 +155,51 @@ def test_dedup_components_matches_union_find(sp, edges):
         assert row.converged is True
 
 
+@settings(max_examples=8, deadline=None)
+@given(corpus=st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "Σ"]),
+                                min_size=0, max_size=8),
+                       min_size=1, max_size=6),
+       shingle_n=st.integers(min_value=1, max_value=2))
+def test_minhash_signature_expr_matches_python(sp, corpus, shingle_n):
+    """Third-angle lock on the r8 signing rewrite: the pure-expression
+    signature (the shape the SQL oracles replicate, and the form the
+    Arrow pass is row-equality-locked against in test_dedup) must equal
+    an independent Python replay of the whole chain — md5 base hash,
+    30-bit mask, Carter-Wegman affine maps mod 2^31-1, min over
+    distinct shingles."""
+    from python_vector_db___ai_spark.functions.hashing import (
+        MINHASH_MASK,
+        MINHASH_P,
+        minhash_consts,
+    )
+    from python_vector_db___ai_spark.functions.pytext import (
+        stable_hash64_py,
+        word_shingles_py,
+    )
+    from python_vector_db___ai_spark.operators.dedup import (
+        minhash_signature_expr,
+    )
+
+    k = 4
+    docs = _mk_docs(sp, corpus)
+    got = {r["_id"]: r for r in
+           minhash_signature_expr(docs, num_hashes=k,
+                                  shingle_n=shingle_n).collect()}
+    consts = minhash_consts(k)
+    assert set(got) == set(range(len(corpus)))
+    for i, ws in enumerate(corpus):
+        text = " ".join(ws)
+        shingles = word_shingles_py(text, shingle_n)
+        assert got[i].shingles == shingles
+        if not shingles:
+            assert list(got[i].sig) == [None] * k
+            continue
+        bases = [stable_hash64_py(s) & MINHASH_MASK for s in shingles]
+        want = [min((a * h + b) % MINHASH_P for h in bases)
+                for a, b in consts]
+        assert list(got[i].sig) == want
+
+
 @settings(max_examples=10, deadline=None)
 @given(train=_corpus, bench=_corpus)
 def test_decontaminate_matches_python(sp, train, bench):
