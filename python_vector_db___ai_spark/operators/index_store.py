@@ -357,6 +357,15 @@ def hnsw_search(queries: DataFrame, index: DataFrame, k: int = 10,
 
     Identical results to ``hnsw_knn`` on the same partitioning: the
     artifact stores exactly the graph the in-flight path builds.
+
+    ``ef_search`` sizing: the default 64 measures recall 1.0 through
+    400k rows on the bench corpus, but in TIE-DENSE neighborhoods
+    (many near-identical vectors — e.g. the 1M-row inflated probe
+    with 500 copies per base vector) the true top-``k`` becomes a
+    near-tie set and a 64-beam reads 0.86; widening the beam is the
+    whole fix (``tools/hnsw_ef_probe.py``: ef 64/128/256 → recall
+    0.86/0.95/1.0 at 1M rows, no measured search-time penalty —
+    per-query cost stays partitions × ef evaluations).
     """
     import numpy as np
     import pandas as pd
