@@ -136,6 +136,11 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_REBALANCE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+    # Machine state at start, for the artifact's noise context (1-min
+    # load > ~1 before the bench's own work begins means the run is
+    # contending with something and its totals read 15-25% high).
+    global _LOADAVG_START
+    _LOADAVG_START = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -215,6 +220,11 @@ def main() -> None:
         "default_parallelism": spark.sparkContext.defaultParallelism,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "timing": f"median_of_{N_RUNS}",
+        # Noise context: 1/5/15-min load averages at bench start (the
+        # 1-min value should be ~0 on a clean run) and at artifact
+        # assembly (dominated by the bench's own work).
+        "loadavg_start": globals().get("_LOADAVG_START"),
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     full = {
         "metric": "headline_total",
