@@ -158,3 +158,56 @@ def test_pq_adc_empty_queries_returns_empty(emb, queries):
     out = pq_adc_search(none, encoded, books, k=5)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "adc_dist", "rank"]
+
+
+@pytest.mark.parametrize("seed", [0, 7, 123])
+def test_pq_adc_matches_numpy_replay(spark, seed):
+    """Differential test: the distributed ADC pipeline — Spark-side
+    encode (expanded-form argmin, little-endian bigint packing), LUT
+    gather over Arrow batches, local top-k, window merge — must equal
+    an independent NumPy replay that encodes with direct
+    ``||x - c||^2`` argmin and ranks by (rounded dist, vec_id).  The
+    two encode forms differ by float-eps only, so any divergence is a
+    packing/gather/ranking bug, not numerics."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n, d, m, n_codes = 30, 8, 4, 8
+    V = rng.standard_normal((n, d))
+    Qm = V[:3] + 0.05 * rng.standard_normal((3, d))
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100 + qi, [float(x) for x in Qm[qi]]) for qi in range(3)],
+        "query_id long, query_vec array<double>")
+
+    books = pq_train(corpus, m=m, n_codes=n_codes, iters=4,
+                     normalize=False)
+    enc = pq_encode(corpus, books)
+    got = pq_adc_search(queries, enc, books, k=n).collect()
+
+    B = books[2]                      # (m, n_codes, d/m)
+    sub = d // m
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        diff = V[:, j * sub:(j + 1) * sub][:, None, :] - B[j][None, :, :]
+        codes[:, j] = (diff ** 2).sum(-1).argmin(1)
+    want = {}
+    for qi in range(3):
+        dist = np.zeros(n)
+        for j in range(m):
+            lut = ((Qm[qi, j * sub:(j + 1) * sub][None, :]
+                    - B[j]) ** 2).sum(-1)
+            dist += lut[codes[:, j]]
+        dist = np.round(np.sqrt(np.clip(dist, 0.0, None)), 6)
+        order = sorted(range(n), key=lambda i: (dist[i], i))
+        for rank, i in enumerate(order, start=1):
+            want[(100 + qi, i)] = (float(dist[i]), rank)
+
+    assert len(got) == 3 * n
+    for r in got:
+        wd, wr = want[(r.query_id, r.vec_id)]
+        assert r.adc_dist == pytest.approx(wd, abs=1e-9)
+        assert r.rank == wr
