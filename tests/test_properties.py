@@ -550,3 +550,50 @@ def test_sample_mixture_matches_python(sp, docs, w_web, w_code, seed):
         if stable_hash64_py(f"{d}:mix{seed}") % 1_000_000
         < int(weights.get(src, 1.0) * 1_000_000))
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [0, 11])
+def test_sketch_knn_matches_numpy_replay(sp, seed):
+    """Differential test: the two-stage sketch tier — SRP sign bits
+    packed to bigint words, per-partition Hamming top-L with
+    (hamming, id) tie-break, global window, exact cosine re-rank —
+    must equal a from-scratch NumPy replay (the hyperplanes are
+    seed-reproducible, so the replay regenerates them independently)."""
+    import numpy as np
+
+    from python_vector_db___ai_spark.operators.lsh import sketch_knn
+
+    rng = np.random.default_rng(seed)
+    n, d, n_bits, L, k = 40, 16, 64, 10, 5
+    V = rng.standard_normal((n, d))
+    Qm = V[:3] + 0.05 * rng.standard_normal((3, d))
+
+    corpus = sp.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    queries = sp.createDataFrame(
+        [(100 + qi, [float(x) for x in Qm[qi]]) for qi in range(3)],
+        "query_id long, query_vec array<double>")
+    got = sketch_knn(queries, corpus, k=k, n_bits=n_bits, L=L,
+                     seed=42).collect()
+
+    H = np.random.default_rng(42).standard_normal((n_bits, d))
+    cbits = V @ H.T > 0
+    want = {}
+    for qi in range(3):
+        qbits = Qm[qi] @ H.T > 0
+        ham = (qbits[None, :] != cbits).sum(axis=1)
+        cand = sorted(range(n), key=lambda i: (ham[i], i))[:L]
+        score = {
+            i: round(float(V[i] @ Qm[qi])
+                     / (np.linalg.norm(V[i]) * np.linalg.norm(Qm[qi])), 6)
+            for i in cand}
+        top = sorted(cand, key=lambda i: (-score[i], i))[:k]
+        for rank, i in enumerate(top, start=1):
+            want[(100 + qi, i)] = (score[i], rank)
+
+    assert len(got) == 3 * k
+    for r in got:
+        ws, wr = want[(r.query_id, r.vec_id)]
+        assert r.score == pytest.approx(ws, abs=1e-9)
+        assert r.rank == wr
