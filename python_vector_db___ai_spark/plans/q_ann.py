@@ -136,19 +136,110 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # what matters — BENCH reports it per round.
 
 
+def _lsh_oracle() -> str:
+    """DuckDB replay of the SRP-sketch tier from FIRST PRINCIPLES: the
+    seeded hyperplanes are regenerated at import (the same
+    ``default_rng(42).standard_normal`` draw ``sketch_build`` makes,
+    the way ``tests/test_properties.py`` already replays them) and
+    inlined as
+    a 256-row VALUES literal, so DuckDB independently computes the
+    sign bits, Hamming distances, the top-L candidate cut (ties on
+    vec_id, matching ``sketch_knn``), the exact re-rank, and the
+    recall arithmetic — a full differential check of the engine path,
+    not an echo of it.  ``L = greatest(20, n // 10)`` is derived
+    relationally so the oracle tracks the corpus size like the Spark
+    side does."""
+    import numpy as np
+
+    n_bits, d, seed = 256, 64, 42
+    H = np.random.default_rng(seed).standard_normal((n_bits, d))
+    planes = ",\n".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in H[i]))
+        for i in range(n_bits))
+    return f"""
+WITH planes(i, h) AS (VALUES
+{planes}
+), base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), params AS (
+  SELECT greatest(20, count(*) // 10) AS L FROM base
+), bits AS (
+  SELECT b.vec_id, p.i,
+         CASE WHEN list_dot_product(b.v, p.h) > 0 THEN 1 ELSE 0 END AS bit
+  FROM base b CROSS JOIN planes p
+), ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         sum(CASE WHEN q.bit <> c.bit THEN 1 ELSE 0 END) AS ham
+  FROM (SELECT * FROM bits WHERE vec_id < {N_QUERIES}) q
+  JOIN bits c USING (i)
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ham ASC, vec_id ASC) AS hr
+    FROM ham
+  ) WHERE hr <= (SELECT L FROM params)
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {N_QUERIES}
+), sk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY round({_cos_sql('q.qv', 'b.v')}, 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM cand c JOIN q USING (query_id) JOIN base b ON b.vec_id = c.vec_id
+  ) WHERE rank <= {K}
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('q.qv', 'b.v')}, 6) DESC,
+                      b.vec_id ASC) AS rank
+    FROM q CROSS JOIN base b
+  ) WHERE rank <= {K}
+)
+SELECT 'sketch_hamming' AS method, e.query_id,
+       count(*)::BIGINT AS n_exact,
+       coalesce(any_value(h.n_hits), 0)::BIGINT AS n_hits,
+       round(coalesce(any_value(h.n_hits), 0) * 1.0 / count(*), 6)
+         AS recall
+FROM exact e LEFT JOIN (
+  SELECT s.query_id, count(*)::BIGINT AS n_hits
+  FROM sk s JOIN exact x
+    ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+  GROUP BY s.query_id
+) h ON h.query_id = e.query_id
+GROUP BY e.query_id
+UNION ALL
+SELECT 'hnsw_partition' AS method, query_id,
+       count(*)::BIGINT AS n_exact, count(*)::BIGINT AS n_hits,
+       round(count(*) * 1.0 / count(*), 6) AS recall
+FROM exact GROUP BY query_id
+"""
+
+
 @register(
     "lsh_ann_recall",
-    oracle=None,   # seeded hyperplanes / graph topology, engine-internal
+    oracle=_lsh_oracle(),
     doc="X3/X4 graph + sketch tiers: distributed HNSW (partition-local "
         "numpy graphs with the paper's diversity heuristic, broadcast "
         "query batch, per-query global merge) and the 256-bit SRP sketch "
         "+ Hamming top-L filter + exact re-rank — recall@10 vs the exact "
         "scan for both (>= 0.95 on sf0.1, above the reference's weakest "
-        "HNSW recall 0.752).  The query-directed multi-probe bucket-LSH "
-        "tier (Lv et al. VLDB'07) is demoted to the bench ANN section: "
-        "on this corpus it needs a ~29% candidate fraction for 0.73 "
-        "recall, strictly dominated — measured there, not a registered "
-        "quality claim.",
+        "HNSW recall 0.752).  Round-9 oracle upgrade (r8 directive #2a): "
+        "the SKETCH branch is replayed end-to-end in DuckDB from the "
+        "seed — literal hyperplanes, sign bits, Hamming top-L, exact "
+        "re-rank, recall arithmetic — an independent differential "
+        "check; the HNSW branch follows the lifecycle pattern: the "
+        "engine rows are HARD-ASSERTED row-equal to the exact top-k "
+        "before emission (raising, not hash-mismatching, on any recall "
+        "regression), under which the oracle replays it from the exact "
+        "scan.  The query-directed multi-probe bucket-LSH tier (Lv et "
+        "al. VLDB'07) stays demoted to the bench ANN section: on this "
+        "corpus it needs a ~29% candidate fraction for 0.73 recall, "
+        "strictly dominated — measured there, not a registered quality "
+        "claim.",
 )
 def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vector_db___ai_spark.operators.hnsw import hnsw_knn
@@ -165,6 +256,21 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                           corpus_id="vec_id").cache()
     sk = sketch_knn(queries, emb, k=K, n_bits=256, L=max(20, n // 10))
     hn = hnsw_knn(queries, emb, k=K)
+    # Hard assert (the hnsw_index_lifecycle discipline): the oracle's
+    # hnsw branch is derived from the exact scan, which is only sound
+    # if the engine's hit set IS the exact set — check it and raise
+    # loudly instead of letting a recall regression surface as an
+    # opaque hash mismatch.
+    hn_ids = hn.select("query_id", "vec_id")
+    ex_ids = exact.select("query_id", "vec_id")
+    n_diff = (hn_ids.exceptAll(ex_ids)
+              .unionAll(ex_ids.exceptAll(hn_ids)).count())
+    if n_diff:
+        raise AssertionError(
+            f"hnsw_knn hit set diverged from the exact top-{K} on "
+            f"{n_diff} rows — the partition-local beam no longer "
+            "covers this corpus; widen ef_search or investigate "
+            "connectivity before trusting the recall branch.")
     out_sk = (recall_against_exact(sk, exact, corpus_id="vec_id")
               .withColumn("method", F.lit("sketch_hamming")))
     out_hn = (recall_against_exact(hn, exact, corpus_id="vec_id")

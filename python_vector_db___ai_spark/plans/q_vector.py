@@ -337,11 +337,22 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_variance",
-    oracle=None,  # no SQL eigensolver; self-validating columns instead
+    # Stays rows-only BY NECESSITY (r8 directive #2b considered): the
+    # eigenvectors are data-dependent, so the literal-inlining trick
+    # that cracked lsh_ann_recall (whose hyperplanes depend only on a
+    # seed) cannot apply, and DuckDB has no eigensolver — a recursive-
+    # CTE Jacobi/power iteration would not match LAPACK eigh at the
+    # 6th decimal for near-degenerate eigenvalues.  The compensating
+    # evidence is the in-query var_matches_eigen flag (an INDEPENDENT
+    # distributed var_samp over the projections must equal each
+    # eigenvalue) + the numpy replay in tests/test_pca.py.
+    oracle=None,
     doc="top-8 PCA report: eigenvalue vs the INDEPENDENTLY computed "
         "distributed var_samp of each projected component "
         "(var_matches_eigen must be true per row), explained-variance "
-        "ratio, orthonormality flag — numpy replay in tests/test_pca.py",
+        "ratio, orthonormality flag — numpy replay in tests/test_pca.py; "
+        "rows-only by necessity (no SQL eigensolver; eigenvectors are "
+        "data-dependent so seed-replay inlining cannot apply)",
 )
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vector_db___ai_spark.operators.pca import pca_variance_report
