@@ -94,6 +94,11 @@ def timed_median(build_and_collect, n_runs: int = N_RUNS):
         t0 = time.perf_counter()
         res = build_and_collect()
         runs.append(time.perf_counter() - t0)
+    # Per-call spread (r8 directive #5): callers copy this next to the
+    # median they record, so a drifted driver-vs-committed median is
+    # attributable to run variance (wide spread) vs a plan change
+    # (tight spread, shifted level).
+    timed_median.last_runs = [round(x, 4) for x in sorted(runs)]
     return sorted(runs)[len(runs) // 2], res
 
 # Headline set: one per operator family (SURVEY §2 coverage).
@@ -164,6 +169,10 @@ def main() -> None:
     qs["knn_exact_batch"].spark_fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    # min/median/max of each query's N_RUNS timings (r8 directive #5):
+    # lets a >1.3x driver-vs-committed delta be attributed to run
+    # variance (wide spread) vs a plan regression (tight spread).
+    query_spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -172,7 +181,11 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name].spark_fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        query_spread[name] = [round(runs[0], 4),
+                              round(runs[len(runs) // 2], 4),
+                              round(runs[-1], 4)]
 
     ann = ann_benchmark(spark, sf_dir)
 
@@ -180,8 +193,12 @@ def main() -> None:
         "SPARK_GRAFT_SCALE_FACTORS", "10,50,200").split(",") if x]
     scale = scale_benchmark(spark, sf_dir, factors) if factors else []
 
+    # factor 400 (2M docs) added r9 (r8 directive #4): the minhash /
+    # crossdoc / bm25 plans were structurally rewritten in r8, so their
+    # near-linearity needed re-proving one notch past the 1M point the
+    # OLD plans were measured at.
     doc_factors = [int(x) for x in os.environ.get(
-        "SPARK_GRAFT_DOC_FACTORS", "10,50,200").split(",") if x]
+        "SPARK_GRAFT_DOC_FACTORS", "10,50,200,400").split(",") if x]
     dedup_scale = (dedup_scale_benchmark(spark, sf_dir, doc_factors)
                    if doc_factors else [])
 
@@ -233,6 +250,8 @@ def main() -> None:
         "core_queries": CORE_QUERIES,
         "unit": "sec",
         "queries": timings,
+        # [min, median, max] of each headline query's N_RUNS timings
+        "query_spread": query_spread,
         "params": params,
         "ann": ann,
         "scale": scale,
@@ -342,6 +361,7 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
                              corpus_id="vec_id").collect()
     sec, exact_rows = timed_median(run_exact)
     out["exact_sec"] = round(sec, 4)
+    out["exact_sec_runs"] = timed_median.last_runs
     exact = knn_join_blas(queries, emb, k=10, metric="cosine",
                           corpus_id="vec_id")
     exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
@@ -368,6 +388,7 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
                           dedup_candidates=True).collect()
     sec, ivf_rows = timed_median(run_ivf)
     out["ivf_sec"] = round(sec, 4)
+    out["ivf_sec_runs"] = timed_median.last_runs
     ivf = ivf_search(queries, assigned, centroids=cents, nprobe=nprobe,
                      k=10, metric="cosine", corpus_id="vec_id",
                      corpus_vec="embedding", cluster_col="cluster_id",
@@ -408,6 +429,7 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
                           prebuilt=(Hs, skc)).collect()
     sec, sk_rows = timed_median(run_sk)
     out["sketch_sec"] = round(sec, 4)
+    out["sketch_sec_runs"] = timed_median.last_runs
     sk = sketch_knn(queries, emb, k=10, n_bits=256, L=L, prebuilt=(Hs, skc))
     sk_cached = spark.createDataFrame(sk_rows, sk.schema)
     out["sketch_recall"] = round(
@@ -438,6 +460,7 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
                                 metric="cosine").collect()
     sec, pq_rows = timed_median(run_pq)
     out["pq_sec"] = round(sec, 4)
+    out["pq_sec_runs"] = timed_median.last_runs
     pq = pq_search_rerank(queries, emb, enc, books, k=10,
                           overfetch=overfetch, metric="cosine")
     pq_cached = spark.createDataFrame(pq_rows, pq.schema)
@@ -481,6 +504,7 @@ def ann_benchmark(spark, sf_dir: str) -> dict:
                                k=10).collect()
         sec, hn_rows = timed_median(run_hn)
         out["hnsw_search_sec"] = round(sec, 4)
+        out["hnsw_search_sec_runs"] = timed_median.last_runs
         hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"), k=10)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
@@ -555,6 +579,7 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                                  corpus_id="vec_id").collect()
         sec, exact_rows = timed_median(run_exact)
         entry["exact_sec"] = round(sec, 3)
+        entry["exact_sec_runs"] = timed_median.last_runs
         exact = knn_join_blas(queries, corpus, k=10, metric="cosine",
                               corpus_id="vec_id")
         exact_cached = spark.createDataFrame(exact_rows, exact.schema).cache()
@@ -571,6 +596,7 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                               cluster_col="cluster_id").collect()
         sec, ivf_rows = timed_median(run_ivf)
         entry["ivf_sec"] = round(sec, 3)
+        entry["ivf_sec_runs"] = timed_median.last_runs
         ivf = ivf_search(queries, assigned, centroids=cents, nprobe=nprobe,
                          k=10, metric="cosine", corpus_id="vec_id",
                          cluster_col="cluster_id")
@@ -589,6 +615,7 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                                n_bits=12, prebuilt=(H, cb)).collect()
         sec, lsh_rows = timed_median(run_lsh)
         entry["lsh_sec"] = round(sec, 3)
+        entry["lsh_sec_runs"] = timed_median.last_runs
         lsh = srp_lsh_knn(queries, corpus, k=10, n_tables=8, n_bits=12,
                           prebuilt=(H, cb))
         lsh_df = spark.createDataFrame(lsh_rows, lsh.schema)
@@ -614,6 +641,7 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                               prebuilt=(Hs, skc)).collect()
         sec, sk_rows = timed_median(run_sk)
         entry["sketch_sec"] = round(sec, 3)
+        entry["sketch_sec_runs"] = timed_median.last_runs
         sk = sketch_knn(queries, corpus, k=10, n_bits=256, L=Ls,
                         prebuilt=(Hs, skc))
         sk_df = spark.createDataFrame(sk_rows, sk.schema)
@@ -645,6 +673,7 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                                     metric="cosine").collect()
         sec, pq_rows = timed_median(run_pq)
         entry["pq_sec"] = round(sec, 3)
+        entry["pq_sec_runs"] = timed_median.last_runs
         pq = pq_search_rerank(queries, corpus, enc, books, k=10,
                               overfetch=overfetch, metric="cosine")
         pq_df = spark.createDataFrame(pq_rows, pq.schema)
@@ -678,6 +707,7 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                                    k=10).collect()
             sec, hn_rows = timed_median(run_hn)
             entry["hnsw_search_sec"] = round(sec, 3)
+            entry["hnsw_search_sec_runs"] = timed_median.last_runs
             hn = hnsw_search(queries, hnsw_load(spark, idx_dir + "/g"),
                              k=10)
         finally:
@@ -702,6 +732,7 @@ def scale_benchmark(spark, sf_dir: str, factors) -> list:
                                 overfetch=overfetch).collect()
         sec, ipq_rows = timed_median(run_ipq)
         entry["ivfpq_sec"] = round(sec, 3)
+        entry["ivfpq_sec_runs"] = timed_median.last_runs
         ipq = ivfpq_search(queries, corpus, ea, cents, books,
                            nprobe=nprobe, k=10, overfetch=overfetch)
         ipq_df = spark.createDataFrame(ipq_rows, ipq.schema)
@@ -859,9 +890,10 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
 
         # BM25 retrieval at scale: the two halves of the maintained
         # inverted-index story, timed separately — index BUILD (one
-        # explode + hash aggs over the whole corpus plus the dl-attach
-        # window and the vocab-sized term-df dictionary, amortized
-        # across queries in production) and a 20-query BATCH against
+        # explode + ONE (doc, dl, term) hash agg over the corpus — dl
+        # rides through the explode since r9 — plus the vocab-sized
+        # term-df dictionary, amortized across queries in production)
+        # and a 20-query BATCH against
         # the prebuilt index (ONE postings scan: term equi-join +
         # per-query window; dl rides the postings and df comes from
         # the dictionary, so the batch neither re-joins the
