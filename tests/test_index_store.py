@@ -408,3 +408,38 @@ def test_upsert_replaces_existing_ids(spark, emb):
            for r in hnsw_search(qs, up, k=1).collect()}
     for qid, (vid, score) in top.items():
         assert vid == qid and score > 0.999999
+
+
+def test_tie_dense_truncation_matches_blas(spark):
+    """r8 ADVICE (medium): the per-partition k-truncation must rank by
+    (ROUNDED score DESC, vec_id ASC), not raw float order.  15 vectors
+    whose cosines to the query all round to 1.0 at 6 decimals but whose
+    RAW scores increase with vec_id: raw truncation would keep the
+    HIGHEST ids, the contract (and knn_join_blas) keeps the LOWEST."""
+    from python_vector_db___ai_spark.operators.index_store import (
+        hnsw_connectivity,
+    )
+    from python_vector_db___ai_spark.operators.search import knn_join_blas
+
+    # eps decreasing with id -> raw cosine INCREASING with id; all
+    # eps^2/2 perturbations are < 5e-8, so every rounded score is 1.0.
+    tied = [(i, [1.0, (15 - i) * 1e-5, 0.0, 0.0]) for i in range(15)]
+    far = [(100 + j, [0.0, 0.0, 1.0, j * 0.05]) for j in range(10)]
+    corpus = spark.createDataFrame(tied + far,
+                                   "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                                    "query_id long, query_vec array<double>")
+    idx = hnsw_build_index(corpus, n_partitions=1)
+    aud = hnsw_connectivity(idx).collect()
+    assert all(r.n_reachable == r.n_nodes for r in aud)
+    got = [(r.query_id, r.vec_id, r.score, r.rank)
+           for r in hnsw_search(queries, idx, k=10, ef_search=64)
+           .orderBy("rank").collect()]
+    want = [(r.query_id, r.vec_id, r.score, r.rank)
+            for r in knn_join_blas(queries, corpus, k=10, metric="cosine",
+                                   corpus_id="vec_id")
+            .orderBy("rank").collect()]
+    assert got == want
+    # the tie set is truncated to the LOWEST ids, all at rounded 1.0
+    assert [g[1] for g in got] == list(range(10))
+    assert all(g[2] == 1.0 for g in got)

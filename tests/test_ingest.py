@@ -1,0 +1,81 @@
+"""foreachBatch MERGE ingest (S9/S10): the standing-table reduction is
+associative (so the final state cannot depend on how the engine split
+the stream into micro-batches), and the drained final state equals a
+direct batch computation over the same events."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from python_vector_db___ai_spark.session import load_table
+from python_vector_db___ai_spark.streaming.ingest import (
+    _INGEST_STATE_SCHEMA,
+    _ingest_reduce,
+    ingest_foreachbatch,
+)
+from tests.conftest import SF_DIR
+
+_RAW_SCHEMA = ("user_id long, "
+               "s struct<last_ts_us:long, last_event_id:long, "
+               "last_event_type:string, last_value:double, "
+               "last_e0:double>, n_events long")
+
+
+def _row(u, ts, eid, etype, val, e0, n=1):
+    return (u, (ts, eid, etype, val, e0), n)
+
+
+def test_ingest_reduce_is_batching_invariant(spark):
+    """reduce(reduce(A) ∪ reduce(B)) == reduce(A ∪ B): the property
+    that makes the final table state independent of micro-batch
+    boundaries."""
+    a = [_row(1, 100, 1, "click", 1.0, 0.1),
+         _row(1, 200, 2, "view", 2.0, 0.2),
+         _row(2, 150, 3, "click", 3.0, 0.3)]
+    b = [_row(1, 200, 4, "purchase", 4.0, 0.4),   # ts tie, higher id wins
+         _row(2, 120, 5, "view", 5.0, 0.5),       # older -> loses
+         _row(3, 999, 6, "click", 6.0, 0.6)]
+    fa = spark.createDataFrame(a, _RAW_SCHEMA)
+    fb = spark.createDataFrame(b, _RAW_SCHEMA)
+    split = _ingest_reduce(_ingest_reduce(fa).unionByName(_ingest_reduce(fb)))
+    whole = _ingest_reduce(fa.unionByName(fb))
+    key = lambda r: r["user_id"]  # noqa: E731
+    assert sorted(split.collect(), key=key) == sorted(whole.collect(),
+                                                      key=key)
+    got = {r["user_id"]: r for r in whole.collect()}
+    assert got[1]["s"]["last_event_id"] == 4 and got[1]["n_events"] == 3
+    assert got[2]["s"]["last_event_id"] == 3 and got[2]["n_events"] == 2
+
+
+def test_ingest_final_state_equals_batch(spark):
+    """End-to-end: the drained standing table equals the last-write-
+    wins window + count groupBy computed directly on the batch read —
+    the same replay the DuckDB oracle runs."""
+    from python_vector_db___ai_spark.operators.embedding import mock_embedding
+
+    got = sorted(ingest_foreachbatch(spark, SF_DIR).collect(),
+                 key=lambda r: r["user_id"])
+    ev = load_table(spark, SF_DIR, "events")
+    emb = mock_embedding(F.col("props"), dim=8)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    last = (ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id",
+                    F.unix_micros("ts").alias("last_ts_us"),
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.round("value", 6).alias("last_value"),
+                    F.round(F.element_at(emb, 1), 6).alias("last_e0")))
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    want_df = spark.createDataFrame(
+        last.join(counts, "user_id")
+        .select("user_id", "last_ts_us", "last_event_id",
+                "last_event_type", "last_value", "last_e0",
+                "n_events").collect(),
+        _INGEST_STATE_SCHEMA)
+    want = sorted(want_df.collect(), key=lambda r: r["user_id"])
+    assert got == want
+    assert len(got) > 0
