@@ -112,7 +112,8 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def minhash_signature(df: DataFrame, num_hashes: int = 16,
                       shingle_n: int = 1, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      hashed_shingles: bool = False) -> DataFrame:
     """Per-doc MinHash signature as a MAP-ONLY Arrow pass — zero
     shuffles: ``sig[k] = min over shingles of (a_k * h30(shingle) +
     b_k) mod P`` — ONE md5 per distinct shingle (the 30-bit base
@@ -120,6 +121,17 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
     (``functions/hashing.py: minhash_consts``).  Returns
     ``(_id, shingles, sig)`` (shingles NULL for NULL text, sig
     all-NULL for shingle-less docs, matching the expression form).
+
+    ``hashed_shingles=True`` swaps the string-shingle column for
+    ``sh64`` — the DISTINCT full-64-bit ``stable_hash64`` values of
+    the shingles (sorted) — the lean verify-set representation: at
+    ~100 shingles/doc the column is ~800 B of longs instead of ~2 KB
+    of strings, which shrinks the signature cache AND (the real win)
+    the per-pair shuffle volume of the Jaccard verify join ~2.5×.
+    Jaccard over the hashed sets equals Jaccard over the strings
+    absent 64-bit collisions (same documented trade as
+    ``quality.crossdoc_dup_ngrams``; the md5-derived ``stable_hash64``
+    is DuckDB-replayable if an oracle ever needs the hashed form).
 
     Signing is row-local, so the right 100-TB plan is one corpus scan.
     The r7 family hashed every (shingle, seed) pair with md5 — 16 md5s
@@ -166,15 +178,24 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
             return shingles, [None] * num_hashes
         if len(hash_cache) > cache_max:   # bound worker memory
             hash_cache.clear()
-        hs = np.empty(len(shingles), dtype=np.int64)
+        full = np.empty(len(shingles), dtype=np.int64)
         for i, s in enumerate(shingles):
             h = hash_cache.get(s)
             if h is None:
-                h = hash_cache[s] = stable_hash64_py(s) & MINHASH_MASK
-            hs[i] = h
+                h = hash_cache[s] = stable_hash64_py(s)
+            full[i] = h
+        hs = full & MINHASH_MASK
         # (m, 1) * (k,) -> (m, k); all values < 2^62, exact in int64.
         sig = ((hs[:, None] * A + B) % MINHASH_P).min(axis=0)
+        if hashed_shingles:
+            # FULL 64-bit hashes for the verify-set column: the 30-bit
+            # MinHash base would spuriously intersect at corpus-scale
+            # vocabularies (m^2/2^31 collisions).
+            return [int(x) for x in np.unique(full)], [int(x) for x in sig]
         return shingles, [int(x) for x in sig]
+
+    sh_col = "sh64" if hashed_shingles else "shingles"
+    sh_type = "array<bigint>" if hashed_shingles else "array<string>"
 
     def op(batches):
         for pdf in batches:
@@ -183,11 +204,11 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
             pairs = [one(t) for t in pdf[text_col]]
             yield pd.DataFrame({
                 "_id": pdf[id_col].to_numpy(),
-                "shingles": [p[0] for p in pairs],
+                sh_col: [p[0] for p in pairs],
                 "sig": [p[1] for p in pairs]})
 
     return df.select(id_col, text_col).mapInPandas(
-        op, schema="_id long, shingles array<string>, sig array<long>")
+        op, schema=f"_id long, {sh_col} {sh_type}, sig array<long>")
 
 
 def minhash_signature_expr(df: DataFrame, num_hashes: int = 16,
@@ -360,7 +381,8 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                       verify_threshold: float | None = None,
                       max_bucket: int | None = None,
                       stage_timings: dict | None = None,
-                      prune_candidate_ids: bool = False) -> DataFrame:
+                      prune_candidate_ids: bool = False,
+                      exact_strings: bool = False) -> DataFrame:
     """LSH-banded candidate pairs with estimated and true Jaccard.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
@@ -368,6 +390,19 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     (i < j) sharing any bucket.  Returns
     ``(i, j, est_jaccard, jaccard)``, optionally filtered to
     ``jaccard >= verify_threshold``.
+
+    ``exact_strings``: by default the Jaccard VERIFY join carries each
+    side's shingle set as DISTINCT 64-bit ``stable_hash64`` values
+    (``minhash_signature(hashed_shingles=True)``) — ~2.5× less shuffle
+    volume per candidate pair and long-vs-long set intersection, the
+    knob that matters when candidate pairs grow with duplicate-family
+    size (the 2M-doc sweep's verify stage shuffles millions of pairs).
+    Jaccard values are identical to the string form absent 64-bit
+    collisions (same documented trade, same escape hatch, as
+    ``crossdoc_dup_ngrams``); ``exact_strings=True`` keeps the
+    string-keyed verify for the oracle-gated registered queries, and
+    the two forms are proven pair-identical on the fixture corpus in
+    ``tests/test_dedup.py``.
 
     ``max_bucket`` drops band buckets holding more than that many docs
     BEFORE the self-join — the stop-bucket treatment every
@@ -406,8 +441,10 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     # The signature frame feeds banding AND both sides of the verify
     # join — cache it so the 16 md5 min-hashes run once per doc.  (At
     # cluster scale this would be a checkpoint/table write instead.)
-    sigs = minhash_signature(df, num_hashes, shingle_n, text_col, id_col) \
+    sigs = minhash_signature(df, num_hashes, shingle_n, text_col, id_col,
+                             hashed_shingles=not exact_strings) \
         .cache()
+    sh_col = "shingles" if exact_strings else "sh64"
     if stage_timings is not None:
         t0 = _time.perf_counter()
         sigs.count()
@@ -437,9 +474,9 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                .union(cand.select(F.col("j").alias("_id")))
                .distinct())
         src = sigs.join(ids, "_id", "left_semi")
-    left = src.select(F.col("_id").alias("i"), F.col("shingles").alias("sha"),
+    left = src.select(F.col("_id").alias("i"), F.col(sh_col).alias("sha"),
                       F.col("sig").alias("siga"))
-    right = src.select(F.col("_id").alias("j"), F.col("shingles").alias("shb"),
+    right = src.select(F.col("_id").alias("j"), F.col(sh_col).alias("shb"),
                        F.col("sig").alias("sigb"))
     est = (F.size(F.filter(F.zip_with(F.col("siga"), F.col("sigb"),
                                       lambda x, y: x == y), lambda m: m))

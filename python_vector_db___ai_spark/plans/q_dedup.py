@@ -199,8 +199,12 @@ WHERE len(list_intersect(a.sh, b.sh)) * 1.0
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < _MH_DOCS))
+    # exact_strings=True: the gate compares against the string-keyed
+    # Jaccard oracle, so keep the gated plan collision-free; the bench
+    # sweep exercises the hashed-verify scale default (crossdoc rule).
     out = minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
-                            shingle_n=1, verify_threshold=_MH_VERIFY)
+                            shingle_n=1, verify_threshold=_MH_VERIFY,
+                            exact_strings=True)
     return out.select("i", "j",
                       F.round("est_jaccard", 6).alias("est_jaccard"),
                       F.round("jaccard", 6).alias("jaccard"))
@@ -325,7 +329,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < _MH_DOCS))
     mh = (minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
-                            shingle_n=1, verify_threshold=_MH_VERIFY)
+                            shingle_n=1, verify_threshold=_MH_VERIFY,
+                            exact_strings=True)
           .select("i", "j"))
     # Exact dups as star edges (keep_id -> member): O(n) rows, and the
     # star keeps component diameter at 2 regardless of group size.

@@ -405,3 +405,23 @@ def test_minhash_arrow_plan_is_map_only(spark):
     spark.catalog.clearCache()
     df = minhash_signature(load_table(spark, SF_DIR, "documents"))
     assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_minhash_hashed_verify_equals_exact_strings(spark):
+    """r9 scale knob: the default hashed-shingle verify (sh64 — 64-bit
+    stable_hash64 sets) must produce the SAME pairs with the SAME
+    est/true Jaccard values as the exact string-shingle verify — the
+    hashing is injective on this corpus, so only the shuffle
+    representation changes."""
+    from python_vector_db___ai_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .filter(F.col("doc_id") < 200))
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, verify_threshold=0.5)
+    hashed = {(r.i, r.j): (r.est_jaccard, r.jaccard) for r in
+              minhash_lsh_pairs(docs, **kw).collect()}
+    exact = {(r.i, r.j): (r.est_jaccard, r.jaccard) for r in
+             minhash_lsh_pairs(docs, exact_strings=True, **kw).collect()}
+    assert hashed == exact
+    assert len(hashed) > 0
