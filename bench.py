@@ -792,6 +792,7 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
 
     docs0 = load_table(spark, sf_dir, "documents")
     results = []
+    shuffle0 = spark.conf.get("spark.sql.shuffle.partitions")
     for factor in factors:
         tmp = tempfile.mkdtemp(prefix=f"bench_docs_{factor}_")
         inflate_docs(docs0, factor).write.parquet(tmp, mode="overwrite")
@@ -803,6 +804,16 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         docs = spark.read.parquet(tmp).repartition(par).cache()
         n = docs.count()
         entry = {"factor": factor, "doc_rows": n}
+        # Partition count scales with the data, exactly as a cluster
+        # deployment would size it: at factor 400 the crossdoc explode
+        # is ~94M gram positions, and pushing that through 32 reduce
+        # partitions put ~3M-entry hash-agg maps in 32 concurrent
+        # tasks — marginal at the 8g bench heap (one of seven r9 runs
+        # OOM'd in the crossdoc groupBy).  The 100-TB answer is more,
+        # smaller partitions, not more heap.
+        entry["shuffle_partitions"] = max(32, factor // 2)
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(entry["shuffle_partitions"]))
 
         # 3-word shingles + a hot-bucket cap: the production MinHash
         # configuration.  With unigram shingles the copy-salting moves
@@ -954,6 +965,7 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         docs.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
         results.append(entry)
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
     return results
 
 
