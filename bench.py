@@ -804,16 +804,6 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         docs = spark.read.parquet(tmp).repartition(par).cache()
         n = docs.count()
         entry = {"factor": factor, "doc_rows": n}
-        # Partition count scales with the data, exactly as a cluster
-        # deployment would size it: at factor 400 the crossdoc explode
-        # is ~94M gram positions, and pushing that through 32 reduce
-        # partitions put ~3M-entry hash-agg maps in 32 concurrent
-        # tasks — marginal at the 8g bench heap (one of seven r9 runs
-        # OOM'd in the crossdoc groupBy).  The 100-TB answer is more,
-        # smaller partitions, not more heap.
-        entry["shuffle_partitions"] = max(32, factor // 2)
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(entry["shuffle_partitions"]))
 
         # 3-word shingles + a hot-bucket cap: the production MinHash
         # configuration.  With unigram shingles the copy-salting moves
@@ -873,12 +863,27 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         entry["repetition_sec"] = round(time.perf_counter() - t0, 3)
         entry["avg_dup_5gram_frac"] = round(float(rep["a"]), 4)
 
+        # Reduce-partition count scales with THIS plan's data, exactly
+        # as a cluster deployment would size it: at factor 400 the
+        # crossdoc explode is ~94M gram positions, and pushing that
+        # through 32 reduce partitions put ~3M-entry hash-agg maps in
+        # 32 concurrent tasks — marginal at the 8g bench heap (one of
+        # seven r9 runs OOM'd in this groupBy).  More, smaller
+        # partitions is the 100-TB answer, not more heap — but scoped
+        # to the one gram-key aggregation: raising the session-wide
+        # setting for the whole factor iteration inflated the
+        # ITERATIVE ops 2-4x (components/pagerank run several join
+        # rounds, each paying per-task overhead x partitions).
+        entry["crossdoc_shuffle_partitions"] = max(32, factor // 2)
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(entry["crossdoc_shuffle_partitions"]))
         t0 = time.perf_counter()
         cd = crossdoc_dup_ngrams(docs, n=8).agg(
             F.sum("n_grams").alias("g"),
             F.avg("crossdoc_dup_frac").alias("f")).collect()[0]
         entry["crossdoc_sec"] = round(time.perf_counter() - t0, 3)
         entry["crossdoc_grams"] = int(cd["g"])
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
 
         # span-level exact-substring dedup: same postings shape (one
         # hash agg on the span key + join back), reduced to one row.
