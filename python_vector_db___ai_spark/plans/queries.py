@@ -40,55 +40,55 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver samples the FIRST 50 registry entries (dict order)
 # for its DuckDB correctness gate each round (observed: the checked set
-# of CORRECTNESS_r05..r08 is exactly queries()[:50] of that round's
-# commit).  Round-9 rotation (r8 VERDICT directive #1): the 29 entries
-# whose newest driver evidence is CORRECTNESS_r07 (they sat past slot
-# 50 in round 8) come first, then the entries MODIFIED this round
-# (hnsw tie-semantics fix, bm25_index single-shuffle build, crossdoc
-# exact_strings gate, minhash cache bound, and the rows-only entries
-# upgraded to hash oracles per directive #2), padded to 50 with
-# flagship/core entries green in CORRECTNESS_r08.  After this round
-# every registry entry's driver evidence is at most one round old.
+# of CORRECTNESS_r05..r09 is exactly queries()[:50] of that round's
+# commit).  Round-10 rotation (r9 VERDICT directive #1): the 29 entries
+# whose newest driver evidence is CORRECTNESS_r08 (they sat past slot
+# 50 in round 9) come first, then the entries MODIFIED this round
+# (crossdoc map-side pre-agg, foreachBatch batch-id idempotence,
+# shared EMB_DIM in the LSH oracle, the embedding_pca_variance
+# invariant-hash upgrade, bm25 sub-timing instrumentation), padded to
+# 50 with flagship/core entries green in CORRECTNESS_r09.  After this
+# round every registry entry's driver evidence is at most one round
+# old.
 DRIVER_PRIORITY: list[str] = [
-    # --- newest driver evidence is r07 (past-window in round 8) ---
-    "events_hourly_stream",
-    "events_range_join_counts",
-    "events_value_percentiles",
-    "stream_attribution_join",
-    "events_rollup",
-    "events_moving_avg",
-    "data_mixture_pack",
-    "chunk_chars_fixed",
-    "chunk_sentences_fixed",
-    "chunk_chars_boundary",
-    "embed_cache_hits",
-    "rag_end_to_end",
-    "data_health_report",
-    "dummy_models",
-    "text_profile",
-    "text_repetition",
-    "corpus_source_report",
-    "corpus_filter_funnel",
-    "text_fingerprint_winnow",
-    "doc_keywords_tfidf",
-    "vocab_coverage_topk",
-    "term_cooccurrence_pmi",
-    "corpus_span_dedup",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "pipeline_corpus_to_tokens",
-    "events_approx_distinct",
-    "words_heavy_hitters_cms",
-    "versioned_crud_lifecycle",
+    # --- newest driver evidence is r08 (past-window in round 9) ---
+    "vector_norm_stats",
+    "embedding_outliers",
+    "embedding_covariance",
+    "ivf_centroids",
+    "kmeans_silhouette",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_active_users_rolling",
+    "crud_mutation_stats",
+    "crud_point_lookup",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pruned",
+    "dedup_incremental_minhash",
+    "chunk_tokens_fixed",
+    "chunk_paragraphs",
+    "search_filtered",
+    "chunk_word_coverage",
+    "events_type_stats",
+    "dedup_levenshtein",
+    "chunk_hybrid_checked",
+    "embedding_quantize_int8",
+    "stream_stateful_user_totals",
+    "stream_sessionization",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "events_sessionization",
+    "events_asof_attribution",
     # --- modified / upgraded this round (must be re-checked) ---
-    "hnsw_index_lifecycle",
-    "bm25_rrf_hybrid",
     "crossdoc_dup_ngrams",
-    "dedup_minhash_lsh",
+    "stream_ingest_foreachbatch",
     "lsh_ann_recall",
     "embedding_pca_variance",
-    "stream_ingest_foreachbatch",
-    # --- padding to 50: flagship + core (green in r08) ---
+    "bm25_rrf_hybrid",
+    "hnsw_index_lifecycle",
+    # --- padding to 50: flagship + core (green in r09) ---
     "knn_exact_batch",
     "ivf_search_cosine",
     "ann_recall_ivf",
@@ -103,6 +103,7 @@ DRIVER_PRIORITY: list[str] = [
     "chunk_semantic",
     "crud_upsert",
     "multimodal_decode_stats",
+    "rag_end_to_end",
 ]
 
 
