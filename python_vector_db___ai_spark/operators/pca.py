@@ -215,3 +215,58 @@ def pca_variance_report(df: DataFrame, k: int = 8,
         T.StructField("var_matches_eigen", T.BooleanType(), False),
         T.StructField("orthonormal_ok", T.BooleanType(), False),
     ]))
+
+
+def pca_spectrum_invariants(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            report_k: int = 8,
+                            round_to: int = 6,
+                            tol: float = 1e-6) -> DataFrame:
+    """Hash-checkable eigensolver invariants (r9 VERDICT directive
+    #6a): the spectrum's first three power sums, computed HERE from
+    the LAPACK eigenvalues and reproduced by the DuckDB oracle
+    RELATIONALLY from the raw data (``plans/q_vector.py:
+    embedding_pca_variance``) —
+
+    * ``trace``         = Σλ_i  == Σ_i var_samp(x_i)
+    * ``frobenius_sq``  = Σλ_i² == Σ_ij covar_samp(x_i, x_j)²
+    * ``trace_c3``      = Σλ_i³ == Σ_ijk c_ij · c_jk · c_ki
+
+    Equality of all three power sums at 6 decimals is a differential
+    check that the driver-side eigendecomposition is consistent with
+    the distributed covariance DuckDB recomputes independently —
+    eigenVECTORS stay un-oracle-able (sign/degeneracy ambiguity, no
+    SQL eigensolver), so per-component detail remains in
+    :func:`pca_variance_report`, whose self-validating flags this
+    function HARD-ASSERTS before emitting anything (a violated
+    invariant raises loudly rather than surfacing as an opaque hash
+    mismatch).
+
+    Returns ``(metric string, value double)`` — also carrying
+    ``n_vectors`` and ``dim`` so the hash pins the corpus the
+    invariants were computed over.
+    """
+    import numpy as np
+
+    rep = pca_variance_report(df, k=report_k, vec_col=vec_col,
+                              id_col=id_col, tol=tol).collect()
+    bad = [r for r in rep if not (r.var_matches_eigen and r.orthonormal_ok)]
+    if bad:
+        raise AssertionError(
+            f"pca_spectrum_invariants: per-component self-check failed "
+            f"for components {[r.component for r in bad]} — eigenvalue "
+            "vs projected var_samp or orthonormality violated.")
+
+    n, _, cov = _cov_numpy(df, vec_col)
+    lam = np.linalg.eigvalsh(cov)
+    rows = [
+        ("dim", float(cov.shape[0])),
+        ("frobenius_sq", round(float(np.sum(lam ** 2)), round_to)),
+        ("n_vectors", float(n)),
+        ("trace", round(float(np.sum(lam)), round_to)),
+        ("trace_c3", round(float(np.sum(lam ** 3)), round_to)),
+    ]
+    return df.sparkSession.createDataFrame(rows, T.StructType([
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]))

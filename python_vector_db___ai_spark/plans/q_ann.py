@@ -19,6 +19,12 @@ from python_vector_db___ai_spark.session import load_table
 
 K = 10
 NPROBE = 3
+# Embedding dimensionality shared by the SRP-sketch oracle's
+# hyperplane literal and the Spark side's dim check (r9 ADVICE: the
+# oracle used to hard-code d=64 while sketch_build inferred it from
+# the data — a scale factor shipping a different dim would have
+# regenerated different hyperplanes and hash-mismatched with no hint).
+EMB_DIM = 64
 
 # Shared oracle CTEs: rounded per-label centroids (long + array form),
 # probe ranking, pruned candidate scan — mirrors operators/ivf.py.
@@ -151,7 +157,7 @@ def _lsh_oracle() -> str:
     side does."""
     import numpy as np
 
-    n_bits, d, seed = 256, 64, 42
+    n_bits, d, seed = 256, EMB_DIM, 42
     H = np.random.default_rng(seed).standard_normal((n_bits, d))
     planes = ",\n".join(
         "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in H[i]))
@@ -258,6 +264,14 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
+    # The oracle's hyperplane literal was generated at EMB_DIM; a
+    # corpus with any other dim must fail LOUDLY here, not regenerate
+    # different planes and silently hash-mismatch (r9 ADVICE).
+    actual_dim = len(emb.select("embedding").first()["embedding"])
+    if actual_dim != EMB_DIM:
+        raise AssertionError(
+            f"lsh_ann_recall: corpus dim {actual_dim} != EMB_DIM "
+            f"{EMB_DIM} that the oracle's hyperplanes were drawn at.")
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))

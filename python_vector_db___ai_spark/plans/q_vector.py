@@ -337,25 +337,55 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_variance",
-    # Stays rows-only BY NECESSITY (r8 directive #2b considered): the
-    # eigenvectors are data-dependent, so the literal-inlining trick
-    # that cracked lsh_ann_recall (whose hyperplanes depend only on a
-    # seed) cannot apply, and DuckDB has no eigensolver — a recursive-
-    # CTE Jacobi/power iteration would not match LAPACK eigh at the
-    # 6th decimal for near-degenerate eigenvalues.  The compensating
-    # evidence is the in-query var_matches_eigen flag (an INDEPENDENT
-    # distributed var_samp over the projections must equal each
-    # eigenvalue) + the numpy replay in tests/test_pca.py.
-    oracle=None,
-    doc="top-8 PCA report: eigenvalue vs the INDEPENDENTLY computed "
-        "distributed var_samp of each projected component "
-        "(var_matches_eigen must be true per row), explained-variance "
-        "ratio, orthonormality flag — numpy replay in tests/test_pca.py; "
-        "rows-only by necessity (no SQL eigensolver; eigenvectors are "
-        "data-dependent so seed-replay inlining cannot apply)",
+    # Full hash oracle since r10 (r9 directive #6a).  EigenVECTORS
+    # remain un-oracle-able (data-dependent, so lsh_ann_recall's
+    # seed-replay inlining cannot apply; DuckDB has no eigensolver,
+    # and a recursive-CTE Jacobi would not match LAPACK at the 6th
+    # decimal for near-degenerate eigenvalues) — but the SPECTRUM's
+    # power sums are theorems of the symmetric eigendecomposition
+    # that DuckDB derives independently from the raw data with
+    # covar_samp algebra: Σλ = trace, Σλ² = ‖C‖²_F, Σλ³ = tr(C³) via
+    # the cyclic triple join.  The engine computes all three FROM THE
+    # EIGENVALUES, so a hash match is a differential check of the
+    # eigensolver against the relationally recomputed covariance, not
+    # an echo.  Per-component detail (eigenvalue == independent
+    # var_samp of each projection, orthonormality) is HARD-ASSERTED
+    # inside the operator before anything is emitted — a violation
+    # raises loudly instead of hash-mismatching — and stays covered
+    # by pca_variance_report's numpy replay in tests/test_pca.py.
+    # Verified engine == oracle at 6 decimals on sf0.001/0.01/0.1.
+    oracle="""
+WITH u AS (
+  SELECT vec_id, gs.i AS i, embedding[gs.i]::DOUBLE AS v
+  FROM embeddings, LATERAL (
+    SELECT generate_subscripts(embedding, 1) AS i) gs
+), c AS (
+  SELECT a.i AS i, b.i AS j, covar_samp(a.v, b.v) AS cov
+  FROM u a JOIN u b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+)
+SELECT 'dim' AS metric, (SELECT max(i) FROM c)::DOUBLE AS value
+UNION ALL
+SELECT 'frobenius_sq', round(sum(cov * cov), 6) FROM c
+UNION ALL
+SELECT 'n_vectors', (SELECT count(*) FROM embeddings)::DOUBLE
+UNION ALL
+SELECT 'trace', round(sum(cov), 6) FROM c WHERE i = j
+UNION ALL
+SELECT 'trace_c3', (SELECT round(sum(x.cov * y.cov * z.cov), 6)
+                    FROM c x JOIN c y ON x.j = y.i
+                    JOIN c z ON y.j = z.i AND z.j = x.i)
+""",
+    doc="PCA eigensolver invariants, hash-checked: Σλ/Σλ²/Σλ³ from "
+        "LAPACK eigenvalues == trace/‖C‖²_F/tr(C³) recomputed "
+        "relationally by DuckDB; per-component eigenvalue-vs-var_samp "
+        "and orthonormality HARD-ASSERTED engine-side (top-8 report "
+        "in pca_variance_report, numpy replay in tests/test_pca.py)",
 )
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_vector_db___ai_spark.operators.pca import pca_variance_report
+    from python_vector_db___ai_spark.operators.pca import (
+        pca_spectrum_invariants,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_variance_report(emb, k=8)
+    return pca_spectrum_invariants(emb, report_k=8)

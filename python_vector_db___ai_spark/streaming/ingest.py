@@ -105,6 +105,27 @@ def _ingest_reduce(df: DataFrame) -> DataFrame:
                  F.sum("n_events").cast("long").alias("n_events")))
 
 
+def _fold_batch(spark: SparkSession, state_root: str, state: dict,
+                upd: DataFrame, batch_id: int) -> None:
+    """Idempotent merge of one micro-batch's per-user reduction into
+    the standing table, keyed on ``batch_id`` (r9 ADVICE):
+    ``foreachBatch`` is at-least-once, and the per-user reduction is
+    associative but NOT idempotent — a replayed micro-batch merged a
+    second time would double-count ``n_events``.  A replayed
+    ``batch_id`` finds its generation already durably written (the
+    ``_SUCCESS`` marker only appears on commit, so a torn write is
+    recomputed) and just repoints the state at it."""
+    gen = os.path.join(state_root, f"gen_{batch_id}")
+    if os.path.exists(os.path.join(gen, "_SUCCESS")):
+        state["path"] = gen
+        return
+    if state["path"] is not None:
+        standing = spark.read.parquet(state["path"])
+        upd = _ingest_reduce(standing.unionByName(upd))
+    upd.write.mode("overwrite").parquet(gen)
+    state["path"] = gen
+
+
 def ingest_foreachbatch(spark: SparkSession, sf_dir: str,
                         embed_dim: int = 8) -> DataFrame:
     """S9/S10 streaming ingest: drain the events stream through
@@ -148,13 +169,8 @@ def ingest_foreachbatch(spark: SparkSession, sf_dir: str,
     state: dict = {"path": None}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        upd = batch_update(batch_df)
-        if state["path"] is not None:
-            standing = spark.read.parquet(state["path"])
-            upd = _ingest_reduce(standing.unionByName(upd))
-        gen = os.path.join(state_root, f"gen_{batch_id}")
-        upd.write.mode("overwrite").parquet(gen)
-        state["path"] = gen
+        _fold_batch(spark, state_root, state,
+                    batch_update(batch_df), batch_id)
 
     stream = read_events_stream(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="ckpt_")

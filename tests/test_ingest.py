@@ -79,3 +79,35 @@ def test_ingest_final_state_equals_batch(spark):
     want = sorted(want_df.collect(), key=lambda r: r["user_id"])
     assert got == want
     assert len(got) > 0
+
+
+def test_fold_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a micro-batch whose
+    generation already committed must not re-merge it (the reduction is
+    associative but not idempotent — n_events would double-count)."""
+    from python_vector_db___ai_spark.streaming.ingest import _fold_batch
+
+    def upd(user_id, ts_us, n):
+        return spark.createDataFrame(
+            [(user_id, (ts_us, 1, "click", 1.0, 0.5), n)],
+            "user_id long, s struct<last_ts_us:long, last_event_id:long, "
+            "last_event_type:string, last_value:double, last_e0:double>, "
+            "n_events long")
+
+    root = str(tmp_path)
+    state: dict = {"path": None}
+    _fold_batch(spark, root, state, upd(1, 100, 2), 0)
+    path_after_b0 = state["path"]
+    # replay of batch 0 — generation exists, merge must be skipped
+    _fold_batch(spark, root, state, upd(1, 100, 2), 0)
+    assert state["path"] == path_after_b0
+    got = spark.read.parquet(state["path"]).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 2
+
+    _fold_batch(spark, root, state, upd(1, 200, 3), 1)
+    # replay of batch 1 after its commit
+    _fold_batch(spark, root, state, upd(1, 200, 3), 1)
+    got = spark.read.parquet(state["path"]).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 5
+    assert got[0]["s"]["last_ts_us"] == 200

@@ -132,3 +132,44 @@ def test_bm25_index_builds_with_one_exchange(docs):
     from python_vector_db___ai_spark.operators.bm25 import bm25_index
 
     assert count_exchanges(bm25_index(docs)) == 1
+
+
+def test_crossdoc_gram_exchange_uses_policy_partition_count(docs):
+    """r10 (r9 VERDICT directive #2): the cross-doc gram aggregation
+    sizes its own exchange — repartition(N, gkey) must satisfy the
+    groupBy's required distribution (NO second exchange over the
+    exploded relation appears), and the pinned count must land in the
+    plan verbatim.  The solo-mass reduction per doc and the totals
+    join keep their own (small) session-sized exchanges."""
+    from python_vector_db___ai_spark.operators.quality import (
+        crossdoc_dup_ngrams,
+    )
+
+    out = crossdoc_dup_ngrams(docs, n=8, shuffle_partitions=7)
+    plan = formatted_plan(out)
+    assert "hashpartitioning(gkey" in plan and ", 7)" in plan, plan[:3000]
+    # the gkey relation is exchanged exactly once: only the explicit
+    # repartition, no agg-induced re-shuffle of the gram positions
+    # (formatted plans put the Exchange header and its Arguments on
+    # separate lines, so count the partitioning-spec lines)
+    assert sum(1 for ln in plan.splitlines()
+               if "Arguments: hashpartitioning(gkey" in ln) == 1
+
+
+def test_crossdoc_auto_policy_sizes_from_gram_count(docs, spark):
+    """"auto" counts gram positions once and clamps N to
+    [defaultParallelism, 4096]; plan_info records the decision."""
+    import math
+
+    from python_vector_db___ai_spark.operators.quality import (
+        GRAMS_PER_PARTITION,
+        crossdoc_dup_ngrams,
+    )
+
+    info: dict = {}
+    crossdoc_dup_ngrams(docs, n=8, plan_info=info)
+    par = spark.sparkContext.defaultParallelism
+    want = min(max(par, math.ceil(info["total_grams"]
+                                  / GRAMS_PER_PARTITION)), 4096)
+    assert info["shuffle_partitions"] == want
+    assert info["total_grams"] > 0
