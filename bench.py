@@ -1022,6 +1022,62 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         entry["pagerank_sec"] = round(time.perf_counter() - t0, 3)
         entry["pagerank_rank_sum"] = round(float(pr["s"]), 6)
 
+        # Incremental minhash at the factor's corpus size (r9
+        # directive #7 — never measured above 1M docs): a FIXED-size
+        # 5k increment (the base corpus, id-offset) flagged against
+        # the factor's standing LSH index.  The index build is the
+        # per-corpus-version amortized cost (timed separately); the
+        # incremental flags call is the daily-crawl path whose cost
+        # must scale with the increment + bucket fan-in, never
+        # corpus².
+        from python_vector_db___ai_spark.operators.dedup import (
+            _band_frame,
+            decontaminate,
+            minhash_incremental_flags,
+            minhash_signature,
+        )
+
+        # inflate_docs(docs0, 1) is the copy-0 stratum — textually
+        # EQUAL to the corpus's copy-0 docs, so the increment really
+        # contains duplicates and the verify/is_dup path does real
+        # work (the raw base text would not: copy salting rewrites
+        # every 5th word, putting all base-vs-copy Jaccards below the
+        # 0.9 verify threshold).
+        inc = inflate_docs(docs0, 1).select(
+            (F.col("doc_id") + 10 ** 9).alias("doc_id"),
+            "text", "lang", "source", "n_chars")
+        t0 = time.perf_counter()
+        corp_sigs = minhash_signature(docs, 16, 3).cache()
+        corp_banded = _band_frame(corp_sigs, 16, 4).cache()
+        corp_banded.count()
+        entry["incremental_index_sec"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        inc_row = minhash_incremental_flags(
+            inc, docs, num_hashes=16, bands=4, shingle_n=3,
+            verify_threshold=0.9,
+            corpus_index=(corp_sigs, corp_banded)).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_dup").cast("long")).alias("d")).collect()[0]
+        entry["incremental_sec"] = round(time.perf_counter() - t0, 3)
+        entry["incremental_new_docs"] = int(inc_row["n"])
+        entry["incremental_dups"] = int(inc_row["d"] or 0)
+        corp_sigs.unpersist()
+        corp_banded.unpersist()
+
+        # N-gram decontamination at the factor's corpus size (same
+        # directive): fixed 100-doc benchmark side (eval sets don't
+        # grow with the corpus) — the plan must broadcast the
+        # benchmark postings, so the training side is one explode +
+        # map-side join, cost ∝ training postings.
+        bench_docs = (inflate_docs(docs0, 1).limit(100)
+                      .select((F.col("doc_id") + 2 * 10 ** 9)
+                              .alias("doc_id"), "text"))
+        t0 = time.perf_counter()
+        n_cont = decontaminate(docs, bench_docs, n=5).count()
+        entry["decontam_ngram_sec"] = round(time.perf_counter() - t0, 3)
+        entry["decontam_ngram_hits"] = int(n_cont)
+
         mh.unpersist()
         docs.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)

@@ -455,8 +455,22 @@ def hnsw_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_silhouette",
-    oracle=None,   # iterative MLlib algorithm
-    doc="X7 KMeans k-sweep with silhouette (day_5/day5_complete.py:165-207)",
+    # The registry's ONE permanent rows-only entry (r9 directive #6b,
+    # closed r10): k-means++ is an iterative MLlib algorithm whose
+    # fitted centroids depend on distributed init sampling — no SQL
+    # replay can reproduce them, and (unlike embedding_pca_variance's
+    # spectrum power sums) no data-side identity pins the fitted
+    # objective without re-running the solver.  Compensating
+    # evidence: the in-row invariant columns below, plus
+    # tests/test_ivf.py::test_silhouette_matches_independent_numpy —
+    # the MLlib silhouette is recomputed INDEPENDENTLY from the
+    # assignments with the published squared-Euclidean closed form
+    # and must match to 1e-6.
+    oracle=None,
+    doc="X7 KMeans k-sweep with silhouette (day_5/day5_complete.py:"
+        "165-207); permanent rows-only (iterative MLlib internals) — "
+        "silhouette independently recomputed from assignments in "
+        "pytest, invariant columns self-checked per row",
 )
 def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

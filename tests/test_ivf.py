@@ -77,3 +77,55 @@ def test_kmeans_silhouette_invariants(spark):
     assert all(r.silhouette_in_range for r in rows)
     assert all(r.inertia_non_increasing for r in rows)
     assert all(-1.0 <= r.silhouette <= 1.0 for r in rows)
+
+
+def test_silhouette_matches_independent_numpy(spark):
+    """r10 (r9 directive #6b): the silhouette number the rows-only
+    sweep reports is recomputed INDEPENDENTLY from the cluster
+    assignments with the published squared-Euclidean closed form
+    (a(i)/b(i) as average squared distances expressed through each
+    cluster's count, vector sum and squared-norm sum; s(i) =
+    (b-a)/max(a,b), mean over points) — the strongest check available
+    for an iterative MLlib-internal metric with no SQL oracle."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+    from python_vector_db___ai_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    feats = emb.withColumn(
+        "_features", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=4, seed=42, featuresCol="_features",
+                   predictionCol="_p").fit(feats)
+    pred = model.transform(feats)
+    mllib_sil = float(ClusteringEvaluator(
+        featuresCol="_features", predictionCol="_p",
+        metricName="silhouette").evaluate(pred))
+
+    rows = pred.select("embedding", "_p").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    lab = np.array([r["_p"] for r in rows])
+    ks = np.unique(lab)
+    stats = {int(k): (int((lab == k).sum()),
+                      X[lab == k].sum(axis=0),
+                      float((X[lab == k] ** 2).sum())) for k in ks}
+
+    def avg_sq_dist(x, k):
+        n, y, psi = stats[k]
+        return psi / n - 2.0 * (x @ y) / n + float(x @ x)
+
+    s_vals = []
+    for x, own in zip(X, lab):
+        n_own = stats[int(own)][0]
+        if n_own == 1:
+            s_vals.append(0.0)
+            continue
+        # own-cluster average excludes the point itself: its squared
+        # self-distance is 0, so the average over the OTHER n-1
+        # points is the include-self average rescaled by n/(n-1)
+        a = avg_sq_dist(x, int(own)) * n_own / (n_own - 1)
+        b = min(avg_sq_dist(x, int(k)) for k in ks if k != own)
+        s_vals.append((b - a) / max(a, b))
+    assert abs(float(np.mean(s_vals)) - mllib_sil) < 1e-6, \
+        (float(np.mean(s_vals)), mllib_sil)
