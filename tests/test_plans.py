@@ -173,3 +173,15 @@ def test_crossdoc_auto_policy_sizes_from_gram_count(docs, spark):
                                   / GRAMS_PER_PARTITION)), 4096)
     assert info["shuffle_partitions"] == want
     assert info["total_grams"] > 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(docs):
+    """The n-gram decontamination join must broadcast the (fixed-size)
+    benchmark postings — the training side is then one explode with a
+    map-side join, never a corpus-sized shuffle of training shingles
+    (the 100-TB shape the dedup sweep times per factor)."""
+    from python_vector_db___ai_spark.operators.dedup import decontaminate
+
+    bench = docs.limit(100).select(
+        (F.col("doc_id") + 10 ** 9).alias("doc_id"), "text")
+    assert has_broadcast_join(decontaminate(docs, bench, n=5))
