@@ -284,3 +284,24 @@ def test_repetition_map_only_plan_is_shuffle_free(spark):
     spark.catalog.clearCache()
     df = repetition_metrics(load_table(spark, SF_DIR, "documents"))
     assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_crossdoc_auto_policy_on_empty_corpus(spark):
+    """The 'auto' sizing aggregate sees zero gram positions on an
+    empty/short corpus: N must clamp to defaultParallelism (never 0)
+    and the result must still keep one all-zero row per short doc."""
+    from python_vector_db___ai_spark.operators.quality import (
+        crossdoc_dup_ngrams,
+    )
+
+    docs = spark.createDataFrame([(1, "too short")],
+                                 "doc_id long, text string")
+    info: dict = {}
+    got = crossdoc_dup_ngrams(docs, n=8, plan_info=info).collect()
+    assert info["total_grams"] == 0
+    assert info["shuffle_partitions"] == \
+        spark.sparkContext.defaultParallelism
+    assert len(got) == 1 and got[0].n_grams == 0
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert crossdoc_dup_ngrams(empty, n=8).count() == 0
