@@ -643,36 +643,70 @@ def simhash_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 3,
             .select("i", "j", "hamming"))
 
 
+def hashed_word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles keyed by ``xxhash64`` of the word
+    slice — no gram string is ever materialized (JVM codegen hashes
+    the array directly), which halves the per-gram expression cost and
+    shrinks every downstream row to one long.  Same equivalence
+    classes as :func:`word_shingles` modulo 64-bit collisions
+    (P ~ m²/2⁶⁵ for m distinct grams; the oracle-gated query pins
+    ``exact_strings=True`` and the differential test proves the two
+    forms identical on the fixture corpus)."""
+    ws = words_col(text)
+    if n == 1:
+        return F.array_distinct(F.transform(ws, lambda w: F.xxhash64(w)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.xxhash64(F.slice(ws, i, n)),
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<bigint>"))
+
+
 def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 5,
                   min_hits: int = 1, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  exact_strings: bool = False) -> DataFrame:
     """Training-data decontamination: flag training documents whose
     word-``n``-gram shingles overlap a held-out benchmark/eval set
     (the standard pretraining-corpus n-gram decontamination check).
 
     Postings-shaped: explode shingles on both sides, equi-join on the
-    shingle key, aggregate per training doc — the same inverted-index
-    layout as the Jaccard dedup, so it scales as the sum of
-    postings-list sizes, never pairs.  Returns one row per
+    shingle key (the fixed-size benchmark side broadcasts — asserted
+    in ``tests/test_plans.py``), aggregate per training doc — the same
+    inverted-index layout as the Jaccard dedup, so it scales as the
+    sum of postings-list sizes, never pairs.  Returns one row per
     contaminated training doc:
     ``(id_col, n_hit_shingles, n_benchmark_docs, contamination)``
     where ``contamination`` = hit shingles / doc's distinct shingles.
+
+    r10 scale rework (the 2M-doc sweep exposed the training side
+    shingling the corpus TWICE — once for sizes, once for postings —
+    plus a join back, the same shape the r9 bm25 ``dl`` fix removed):
+    the distinct-shingle count now rides THROUGH the explode as a
+    column, so the corpus is shingled exactly once and the sizes join
+    is gone; and the default shingle key is ``xxhash64`` of the word
+    slice (:func:`hashed_word_shingles` — no gram strings), with
+    ``exact_strings=True`` keeping the collision-free string form for
+    the oracle-gated query.  Measured at 2M docs: 206 → see
+    BENCH_FULL ``decontam_ngram_sec``.
     """
+    shingles = (word_shingles if exact_strings
+                else hashed_word_shingles)
     tr = train.select(F.col(id_col).alias("_tid"),
-                      word_shingles(F.col(text_col), n).alias("_sh"))
-    tr_sizes = tr.select("_tid", F.size("_sh").alias("_nsh"))
-    tr_post = tr.select("_tid", F.explode("_sh").alias("sh"))
+                      shingles(F.col(text_col), n).alias("_sh"))
+    tr_post = tr.select("_tid", F.size("_sh").alias("_nsh"),
+                        F.explode("_sh").alias("sh"))
     bm_post = (benchmark
                .select(F.col(id_col).alias("_bid"),
-                       F.explode(word_shingles(F.col(text_col), n))
+                       F.explode(shingles(F.col(text_col), n))
                        .alias("sh")))
     hits = (tr_post.join(bm_post, "sh")
-            .groupBy("_tid")
+            .groupBy("_tid", "_nsh")
             .agg(F.countDistinct("sh").cast("long").alias("n_hit_shingles"),
                  F.countDistinct("_bid").cast("long")
                  .alias("n_benchmark_docs")))
     return (hits.filter(F.col("n_hit_shingles") >= min_hits)
-            .join(tr_sizes, "_tid")
             .select(F.col("_tid").alias(id_col), "n_hit_shingles",
                     "n_benchmark_docs",
                     F.round(F.col("n_hit_shingles")

@@ -388,7 +388,11 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % _DECON_MOD != 3)
     benchmark = docs.filter(F.col("doc_id") % _DECON_MOD == 3)
-    return decontaminate(train, benchmark, n=_DECON_N)
+    # exact_strings pins the collision-free string shingles on the
+    # oracle-gated configuration (crossdoc precedent, r8 ADVICE); the
+    # xxhash64 default is the scale path, differential-tested equal.
+    return decontaminate(train, benchmark, n=_DECON_N,
+                         exact_strings=True)
 
 
 _PRUNE_SPILL = 2

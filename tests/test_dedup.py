@@ -425,3 +425,23 @@ def test_minhash_hashed_verify_equals_exact_strings(spark):
              minhash_lsh_pairs(docs, exact_strings=True, **kw).collect()}
     assert hashed == exact
     assert len(hashed) > 0
+
+
+def test_decontaminate_hashed_equals_string_keyed(spark):
+    """Differential (r10 scale rework): the xxhash64-keyed default
+    returns exactly the string-keyed (collision-free) rows on the
+    fixture corpus, including the carried-through-explode shingle
+    counts in the contamination denominators."""
+    from python_vector_db___ai_spark.operators.dedup import decontaminate
+    from python_vector_db___ai_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 3)
+    benchmark = docs.filter(F.col("doc_id") % 10 == 3)
+    fast = sorted(map(tuple, decontaminate(train, benchmark,
+                                           n=5).collect()))
+    exact = sorted(map(tuple, decontaminate(train, benchmark, n=5,
+                                            exact_strings=True).collect()))
+    assert fast == exact
+    assert len(fast) > 0
