@@ -290,13 +290,27 @@ def minhash_build_index(corpus: DataFrame, num_hashes: int = 16,
     return sigs, _band_frame(sigs, num_hashes, bands)
 
 
-def save_minhash_index(sigs: DataFrame, banded: DataFrame,
-                       path: str) -> None:
-    """Write the corpus LSH index: bucket table partitioned by band
-    (so an increment probing one band prunes the others' files)."""
+def save_minhash_index(sigs: DataFrame, path: str,
+                       num_hashes: int = 16,
+                       bands: int = 4) -> tuple[DataFrame, DataFrame]:
+    """Write the corpus LSH index: signatures, plus the bucket table
+    partitioned by band (so an increment probing one band prunes the
+    others' files).  The banded table is derived from the PERSISTED
+    signatures (write → reload → band → write), so the signature pass
+    runs exactly once and nothing corpus-sized is cached during the
+    build — r10: caching the two corpus-sized frames on a heap already
+    holding the docs cache made the 2M-doc index build swing 17–77 s
+    run-to-run from eviction/GC pressure; the disk-backed build is
+    stable and IS the production artifact path.  Returns the loaded
+    ``(sigs, banded)`` pair, ready for
+    :func:`minhash_incremental_flags`'s ``corpus_index``."""
     sigs.write.parquet(f"{path}/sigs", mode="overwrite")
-    banded.write.partitionBy("band").parquet(f"{path}/bands",
-                                             mode="overwrite")
+    spark = sigs.sparkSession
+    disk_sigs = spark.read.parquet(f"{path}/sigs")
+    _band_frame(disk_sigs, num_hashes, bands) \
+        .write.partitionBy("band").parquet(f"{path}/bands",
+                                           mode="overwrite")
+    return load_minhash_index(spark, path)
 
 
 def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:

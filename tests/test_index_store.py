@@ -220,11 +220,16 @@ def test_minhash_index_roundtrip_matches_inflight(spark, tmp_path):
 
     inflight = minhash_incremental_flags(new, corpus).collect()
 
-    sigs, banded = minhash_build_index(corpus)
-    save_minhash_index(sigs, banded, str(tmp_path / "mh"))
+    sigs, _ = minhash_build_index(corpus)
+    # save derives the banded table from the persisted signatures
+    # (one signature pass, nothing cached) and returns the loaded pair
+    returned = save_minhash_index(sigs, str(tmp_path / "mh"))
     loaded = load_minhash_index(spark, str(tmp_path / "mh"))
     persisted = minhash_incremental_flags(
         new, corpus, corpus_index=loaded).collect()
+    via_returned = minhash_incremental_flags(
+        new, corpus, corpus_index=returned).collect()
+    assert sorted(map(tuple, persisted)) == sorted(map(tuple, via_returned))
 
     assert sorted(map(tuple, inflight)) == sorted(map(tuple, persisted))
     assert any(r.is_dup for r in persisted)   # non-degenerate fixture
