@@ -44,12 +44,14 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # commit).  Round-10 rotation (r9 VERDICT directive #1): the 29 entries
 # whose newest driver evidence is CORRECTNESS_r08 (they sat past slot
 # 50 in round 9) come first, then the entries MODIFIED this round
-# (crossdoc map-side pre-agg, foreachBatch batch-id idempotence,
-# shared EMB_DIM in the LSH oracle, the embedding_pca_variance
-# invariant-hash upgrade, bm25 sub-timing instrumentation), padded to
-# 50 with flagship/core entries green in CORRECTNESS_r09.  After this
-# round every registry entry's driver evidence is at most one round
-# old.
+# (crossdoc operator-level partition policy, foreachBatch batch-id
+# idempotence, shared EMB_DIM + dim assert in the LSH oracle, the
+# embedding_pca_variance spectrum-invariant hash upgrade, and —
+# landing in the padding block, which already held it —
+# decontam_ngram_overlap's single-pass/hashed-shingle rework), padded
+# to 50 with flagship/core entries green in CORRECTNESS_r09.  After
+# this round every registry entry's driver evidence is at most one
+# round old.
 DRIVER_PRIORITY: list[str] = [
     # --- newest driver evidence is r08 (past-window in round 9) ---
     "vector_norm_stats",
