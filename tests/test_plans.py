@@ -185,3 +185,25 @@ def test_decontaminate_broadcasts_benchmark_side(docs):
     bench = docs.limit(100).select(
         (F.col("doc_id") + 10 ** 9).alias("doc_id"), "text")
     assert has_broadcast_join(decontaminate(docs, bench, n=5))
+
+
+def test_session_excludes_infer_filters_from_generate(spark):
+    """Regression pin for the r10 3x-generator fix: the session factory
+    must keep InferFiltersFromGenerate excluded — reintroducing it
+    makes every computed explode generator (shingles, n-gram keys,
+    postings, chunk structs) evaluate three times per row (the
+    inferred size/isnotnull filter below the Generate, interpreted:
+    lambda expressions don't codegen, so no CSE)."""
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "InferFiltersFromGenerate" in excluded
+
+    from python_vector_db___ai_spark.operators.dedup import (
+        hashed_word_shingles,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h")],
+                                 "doc_id long, text string")
+    out = docs.select(F.explode(
+        hashed_word_shingles(F.col("text"), 5)).alias("sh"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" not in plan.split("Generate")[1], plan[:2000]
