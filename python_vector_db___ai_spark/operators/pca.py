@@ -173,7 +173,8 @@ def pca_project(df: DataFrame, mean, components,
 def pca_variance_report(df: DataFrame, k: int = 8,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
-                        tol: float = 1e-6) -> DataFrame:
+                        tol: float = 1e-6,
+                        cov_stats=None) -> DataFrame:
     """Per-component PCA report with self-validating columns.
 
     One row per component: ``(component, eigenvalue,
@@ -183,10 +184,16 @@ def pca_variance_report(df: DataFrame, k: int = 8,
     projections) — for a correct PCA it must equal the eigenvalue, so
     the flag columns make the query self-checking even without a SQL
     eigensolver oracle.
+
+    ``cov_stats`` optionally supplies an already-computed
+    ``(n, mean, cov)`` triple (the :func:`_cov_numpy` output) so
+    callers that need both the report and the spectrum don't pay the
+    executors × O(d²) covariance pass twice (r10 ADVICE #3).
     """
     import numpy as np
 
-    _, mean, cov = _cov_numpy(df, vec_col)
+    _, mean, cov = cov_stats if cov_stats is not None \
+        else _cov_numpy(df, vec_col)
     comps, eig = _fit_from_cov(cov, k)
     ortho_err = float(np.abs(comps @ comps.T - np.eye(len(comps))).max())
     total_var = float(np.trace(cov))
@@ -248,8 +255,13 @@ def pca_spectrum_invariants(df: DataFrame, vec_col: str = "embedding",
     """
     import numpy as np
 
+    # ONE distributed covariance pass feeds both the hard-asserted
+    # per-component report and the power sums below (r10 ADVICE #3 —
+    # previously the executors × O(d²) collect + eigh ran twice).
+    stats = _cov_numpy(df, vec_col)
     rep = pca_variance_report(df, k=report_k, vec_col=vec_col,
-                              id_col=id_col, tol=tol).collect()
+                              id_col=id_col, tol=tol,
+                              cov_stats=stats).collect()
     bad = [r for r in rep if not (r.var_matches_eigen and r.orthonormal_ok)]
     if bad:
         raise AssertionError(
@@ -257,7 +269,7 @@ def pca_spectrum_invariants(df: DataFrame, vec_col: str = "embedding",
             f"for components {[r.component for r in bad]} — eigenvalue "
             "vs projected var_samp or orthonormality violated.")
 
-    n, _, cov = _cov_numpy(df, vec_col)
+    n, _, cov = stats
     lam = np.linalg.eigvalsh(cov)
     rows = [
         ("dim", float(cov.shape[0])),

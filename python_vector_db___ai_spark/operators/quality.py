@@ -110,8 +110,16 @@ def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
     it is near-free, against cold parquet it is one text-column scan —
     and partitions the exchange at :data:`GRAMS_PER_PARTITION`
     positions per reduce task, clamped to ``[defaultParallelism,
-    4096]``.  An int pins the count (skips the sizing job); ``None``
-    keeps the session ``spark.sql.shuffle.partitions``.  The explicit
+    4096]``.
+
+    .. warning:: ``"auto"`` runs that sizing aggregate EAGERLY, at
+       DataFrame-construction time — a Spark job fires before the
+       returned plan is ever executed (r10 ADVICE #2).  Callers that
+       only build or inspect plans (EXPLAIN tooling, registry
+       enumeration) must pass the plan-only escape hatches instead:
+       an int pins the count (no job), ``None`` keeps the session
+       ``spark.sql.shuffle.partitions`` (no job).  The sizing job is
+       also logged at INFO on the module logger when it fires.  The explicit
     ``repartition(N, gkey)`` satisfies the aggregation's required
     distribution, so no second exchange appears (asserted in
     ``tests/test_plans.py``), and AQE never coalesces a user-specified
@@ -138,8 +146,13 @@ def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
                 .otherwise(F.array().cast("array<bigint>")))
     pos = docs.select(F.col(id_col), F.explode(keys).alias("gkey"))
     if shuffle_partitions == "auto":
+        import logging
         import math
 
+        logging.getLogger(__name__).info(
+            "crossdoc_dup_ngrams: shuffle_partitions='auto' — running "
+            "the gram-count sizing job NOW (construction-time side "
+            "effect; pass an int or None for a plan-only build).")
         total = docs.select(
             F.sum(F.greatest(F.size(words) - (n - 1), F.lit(0)))
             .alias("g")).first()["g"] or 0

@@ -267,7 +267,15 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle's hyperplane literal was generated at EMB_DIM; a
     # corpus with any other dim must fail LOUDLY here, not regenerate
     # different planes and silently hash-mismatch (r9 ADVICE).
-    actual_dim = len(emb.select("embedding").first()["embedding"])
+    dim_row = emb.select("embedding").head()
+    if dim_row is None:
+        # An empty corpus must fail as loudly as a wrong-dim one —
+        # first()[...] on None raised an opaque TypeError here
+        # (r10 ADVICE #4).
+        raise AssertionError(
+            "lsh_ann_recall: embeddings table is empty — no corpus to "
+            "check against EMB_DIM or to build indexes over.")
+    actual_dim = len(dim_row["embedding"])
     if actual_dim != EMB_DIM:
         raise AssertionError(
             f"lsh_ann_recall: corpus dim {actual_dim} != EMB_DIM "

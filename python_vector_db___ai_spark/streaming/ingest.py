@@ -87,6 +87,12 @@ def run_stream_to_completion(streaming_df: DataFrame,
     return streaming_df.sparkSession.table(name)
 
 
+# Explicit per-generation commit marker written by _fold_batch itself;
+# deliberately NOT Hadoop's optional _SUCCESS (r10 ADVICE #1).  On a
+# real cluster this becomes a marker object on the shared store, same
+# protocol.
+_COMMIT_SENTINEL = "_INGEST_COMMITTED"
+
 _INGEST_STATE_SCHEMA = ("user_id long, last_ts_us long, "
                         "last_event_id long, last_event_type string, "
                         "last_value double, last_e0 double, "
@@ -112,17 +118,28 @@ def _fold_batch(spark: SparkSession, state_root: str, state: dict,
     ``foreachBatch`` is at-least-once, and the per-user reduction is
     associative but NOT idempotent — a replayed micro-batch merged a
     second time would double-count ``n_events``.  A replayed
-    ``batch_id`` finds its generation already durably written (the
-    ``_SUCCESS`` marker only appears on commit, so a torn write is
-    recomputed) and just repoints the state at it."""
+    ``batch_id`` finds its generation already durably committed and
+    just repoints the state at it.
+
+    Commit marker: an EXPLICIT sentinel written by this function after
+    ``write.parquet`` returns — not Hadoop's ``_SUCCESS``, which only
+    exists when ``mapreduce.fileoutputcommitter.marksuccessfuljobs``
+    is true (default, but commonly disabled in prod) and whose absence
+    would silently turn every replay into a double-count (r10 ADVICE
+    #1).  A torn write (death between the parquet job and the sentinel
+    write) leaves no sentinel, so the replay recomputes the merge and
+    ``mode("overwrite")`` replaces the torn generation."""
     gen = os.path.join(state_root, f"gen_{batch_id}")
-    if os.path.exists(os.path.join(gen, "_SUCCESS")):
+    sentinel = os.path.join(gen, _COMMIT_SENTINEL)
+    if os.path.exists(sentinel):
         state["path"] = gen
         return
     if state["path"] is not None:
         standing = spark.read.parquet(state["path"])
         upd = _ingest_reduce(standing.unionByName(upd))
     upd.write.mode("overwrite").parquet(gen)
+    with open(sentinel, "w") as fh:
+        fh.write("committed\n")
     state["path"] = gen
 
 

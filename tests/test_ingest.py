@@ -111,3 +111,51 @@ def test_fold_batch_replay_is_idempotent(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["n_events"] == 5
     assert got[0]["s"]["last_ts_us"] == 200
+
+
+def test_fold_batch_idempotence_survives_missing_success_marker(
+        spark, tmp_path):
+    """The replay gate is OUR sentinel, not Hadoop's optional _SUCCESS
+    (r10 ADVICE #1: with marksuccessfuljobs disabled there is no
+    _SUCCESS, and gating on it would re-merge every replay).  Deleting
+    _SUCCESS must not re-open the generation; deleting the sentinel
+    (a torn write) must make the replay recompute the merge."""
+    import os
+
+    from python_vector_db___ai_spark.streaming.ingest import (
+        _COMMIT_SENTINEL,
+        _fold_batch,
+    )
+
+    def upd(user_id, ts_us, n):
+        return spark.createDataFrame(
+            [(user_id, (ts_us, 1, "click", 1.0, 0.5), n)],
+            "user_id long, s struct<last_ts_us:long, last_event_id:long, "
+            "last_event_type:string, last_value:double, last_e0:double>, "
+            "n_events long")
+
+    root = str(tmp_path)
+    state: dict = {"path": None}
+    _fold_batch(spark, root, state, upd(1, 100, 2), 0)
+    gen0 = state["path"]
+    success = os.path.join(gen0, "_SUCCESS")
+    if os.path.exists(success):  # prod configs may disable the marker
+        os.remove(success)
+    _fold_batch(spark, root, state, upd(1, 100, 2), 0)
+    got = spark.read.parquet(state["path"]).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 2  # NOT 4
+
+    # torn write: batch 1's parquet landed but the process died before
+    # the sentinel — the restarted query's state still points at gen0
+    # and the replay must recompute the merge exactly once.
+    _fold_batch(spark, root, state, upd(1, 200, 3), 1)
+    gen1 = state["path"]
+    os.remove(os.path.join(gen1, _COMMIT_SENTINEL))
+    state = {"path": gen0}
+    _fold_batch(spark, root, state, upd(1, 200, 3), 1)
+    assert state["path"] == gen1
+    assert os.path.exists(os.path.join(gen1, _COMMIT_SENTINEL))
+    got = spark.read.parquet(gen1).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 5
+    assert got[0]["s"]["last_ts_us"] == 200
