@@ -234,6 +234,16 @@ def test_minhash_index_roundtrip_matches_inflight(spark, tmp_path):
     assert sorted(map(tuple, inflight)) == sorted(map(tuple, persisted))
     assert any(r.is_dup for r in persisted)   # non-degenerate fixture
 
+    # build split (r10 directive #3): the optional stage_timings dict
+    # carries the sign+write / reload+band+write phases and part-file
+    # counts (a partitionBy small-files explosion must be visible)
+    st: dict = {}
+    save_minhash_index(sigs, str(tmp_path / "mh2"), stage_timings=st)
+    assert set(st) == {"sigs_write_sec", "band_write_sec", "reload_sec",
+                       "sigs_files", "bands_files"}
+    assert st["sigs_write_sec"] > 0 and st["band_write_sec"] > 0
+    assert st["sigs_files"] >= 1 and st["bands_files"] >= 4
+
 
 def _artifact_rows(df):
     return sorted(

@@ -1,0 +1,58 @@
+"""Quiet-machine probe of one registered query under the exact bench
+protocol (rebalanced documents, warm-up, end-to-end build+collect
+timing): ``python tools/probe_query.py <name> [n_runs] [sf_dir]``.
+Prints ordered runs + sorted spread, for attributing driver-run
+timing drift to machine variance vs plan changes (r10 directive #5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault("SPARK_GRAFT_REBALANCE", "1")
+
+
+def main() -> None:
+    name = sys.argv[1]
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.plans.queries import all_queries
+    from python_vector_db___ai_spark.session import get_spark
+
+    spark = get_spark("probe_query")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb.count()
+    emb.limit(64).mapInPandas(lambda it: it, schema=emb.schema).count()
+    (emb.limit(64)
+     .withColumn("_r", F.row_number().over(Window.orderBy("vec_id")))
+     .count())
+    qs["knn_exact_batch"].spark_fn(spark, sf_dir).collect()
+
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        qs[name].spark_fn(spark, sf_dir).collect()
+        runs.append(round(time.perf_counter() - t0, 4))
+    print(json.dumps({
+        "query": name, "sf_dir": sf_dir,
+        "runs_ordered": runs, "spread": sorted(runs),
+        "median": sorted(runs)[len(runs) // 2],
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }))
+
+
+if __name__ == "__main__":
+    main()
