@@ -963,6 +963,15 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         def mh_pre():
             if "mh" in mh_holder:
                 mh_holder["mh"].unpersist(blocking=True)
+            # The operator's internal profile-mode caches (sigs,
+            # candidates) MUST go too: Spark's cache manager matches
+            # by canonicalized plan, so the next rep's rebuilt
+            # pipeline would silently read them (observed: rep 2/3
+            # "signed" 2M docs in 0.06 s and the committed median
+            # collapsed to verify-only cost, 6.3 s vs the honest
+            # ~33 s end-to-end).
+            for f in mh_holder.pop("internals", []):
+                f.unpersist(blocking=True)
 
         def mh_run():
             stages: dict = {}
@@ -973,6 +982,7 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                     .select("i", "j").cache())
             n_pairs = mh_t.count()
             mh_holder["mh"] = mh_t
+            mh_holder["internals"] = stages.pop("_cached_frames", [])
             return {
                 "minhash_pairs": n_pairs,
                 "minhash_timed_includes_profiling_barriers": True,
@@ -989,6 +999,13 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
             entry["minhash_lsh_sec"]
             - (entry.get("minhash_sign_sec") or 0.0)
             - (entry.get("minhash_band_sec") or 0.0), 3)
+        # Only the materialized pairs frame (mh) is consumed downstream
+        # (components, pagerank); free the final rep's corpus-sized
+        # internal caches NOW so the rest of the factor's blocks
+        # (crossdoc's 94M-gram hash agg in particular) don't run under
+        # cache-eviction memory pressure they never asked for.
+        for f in mh_holder.pop("internals", []):
+            f.unpersist(blocking=True)
 
         def components_run():
             hashed = docs.select("doc_id",

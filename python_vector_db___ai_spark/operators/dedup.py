@@ -512,6 +512,14 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         t0 = _time.perf_counter()
         stage_timings["n_candidates"] = cand.count()
         stage_timings["band_sec"] = round(_time.perf_counter() - t0, 3)
+        # Spark's cache manager matches by CANONICALIZED PLAN, not by
+        # DataFrame object — a later rebuild of the same pipeline over
+        # the same input silently reads these entries (r11 finding:
+        # sweep rep 2/3 signed 2M docs in 0.06 s because rep 1's sigs
+        # cache was still resident).  Hand the internal cached frames
+        # to the profiling caller so it can unpersist between reps;
+        # the leading underscore keeps the key out of artifact rows.
+        stage_timings["_cached_frames"] = [sigs, cand]
     src = sigs
     if prune_candidate_ids:
         ids = (cand.select(F.col("i").alias("_id"))
