@@ -117,27 +117,35 @@ def sweep_timed(entry: dict, key: str, fn, reps: int = 1, pre=None):
     never reads rep N-1's materialization).  Non-timing fields come
     from the last rep (the outputs are deterministic across reps)."""
     runs = []
-    fields = None
     for _ in range(reps):
         if pre is not None:
             pre()
         t0 = time.perf_counter()
         fields = fn()
-        runs.append(round(time.perf_counter() - t0, 3))
-    runs.sort()
-    entry[f"{key}_sec"] = runs[len(runs) // 2]
-    if reps > 1:
-        entry[f"{key}_sec_runs"] = runs
+        runs.append((round(time.perf_counter() - t0, 3), fields))
+    # Committed fields come from the MEDIAN-timed rep, not the last one
+    # executed: sub-timings must decompose the committed total (r11
+    # finding: last-rep sign_sec 32.8 s rode next to a 29.0 s median
+    # total and the derived verify remainder went negative).
+    runs.sort(key=lambda r: r[0])
+    sec, fields = runs[len(runs) // 2]
+    entry[f"{key}_sec"] = sec
+    if len(runs) > 1:
+        entry[f"{key}_sec_runs"] = [r[0] for r in runs]
     if fields:
         entry.update(fields)
 
 
 def _top_reps(factor, factors) -> int:
-    """Reps for one sweep notch: the TOP factor gets runs-triples
+    """Reps for one sweep notch: the top TWO factors get runs-triples
     (median-of-3 committed numbers), lower notches stay single-shot —
-    they only sketch the curve the top notch's slope claim rests on.
-    ``SPARK_GRAFT_SWEEP_REPS`` overrides the top-notch count."""
-    if factor != factors[-1]:
+    they only sketch the curve.  Both slope endpoints need medians
+    because the slope of record is the ratio of the top two notches
+    (r11 finding: a single-shot 1M crossdoc reading swung 38.9 → 74.8 s
+    across runs of unchanged code, flipping the 1M→2M slope between
+    1.1× and 2.1×; the 2M medians were tight the whole time).
+    ``SPARK_GRAFT_SWEEP_REPS`` overrides the repeated-notch count."""
+    if factor not in factors[-2:]:
         return 1
     return int(os.environ.get("SPARK_GRAFT_SWEEP_REPS", "3"))
 
