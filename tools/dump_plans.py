@@ -75,6 +75,22 @@ SHOWCASE = [
      "PMI collocations: df-gated postings (cached) self-join on doc_id "
      "- the [min_df, max_df_frac] gate runs BEFORE the quadratic pair "
      "fan-out"),
+    ("crossdoc_dup_ngrams",
+     "cross-doc duplicated n-gram mass: ONE operator-sized exchange "
+     "(repartition(N, gkey) from the rows-based GRAMS_PER_PARTITION "
+     "policy, REPARTITION_BY_NUM in the plan) satisfying the hash "
+     "aggregation's required distribution, solo-mass via min==max - no "
+     "join-back, no second exchange, no inferred filter under the "
+     "Generate.  This registered query pins exact_strings=True "
+     "(collision-free string gram keys, the oracle-gated form); the "
+     "scale default hashes each gram to one xxhash64 long, "
+     "differential-tested pair-identical"),
+    ("decontam_ngram_overlap",
+     "benchmark decontamination: corpus shingled ONCE (doc size rides "
+     "the explode), benchmark postings broadcast - cost scales with "
+     "the training corpus, never the join product.  String shingle "
+     "keys here (exact_strings=True, the oracle-gated form); xxhash64 "
+     "keys are the scale default"),
     ("corpus_span_dedup",
      "exact-substring span dedup: spans built by pure expressions "
      "(sequence+slice, no explode-regroup), keeper chosen by "
