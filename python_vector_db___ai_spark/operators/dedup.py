@@ -47,18 +47,27 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column.
 
     ``n=1`` degenerates to the distinct word set.  Built from
-    ``sequence`` + ``slice`` + ``concat_ws`` — pure expressions.
+    ``sequence`` + ``slice`` + ``concat_ws`` — pure expressions.  The
+    word array is let-bound (``functions/expr.py``) so the slicing
+    lambda reads a bound variable instead of re-tokenizing the text
+    once per gram position (interpreted lambdas have no invariant
+    hoisting — the inline form was O(words²) per doc).
     """
-    ws = words_col(text)
+    from python_vector_db___ai_spark.functions.expr import let
+
     if n == 1:
-        return F.array_distinct(ws)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-    )
-    # Spark sequence(1, x) counts DOWN when x < 1 — guard short texts.
-    return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
-            .otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(words_col(text))
+
+    def build(ws: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+        # sequence(1, x) counts DOWN when x < 1 — guard short texts.
+        return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
+                .otherwise(F.array().cast("array<string>"))
+
+    return let(words_col(text), build)
 
 
 def exact_dedup_flags(df: DataFrame, text_col: str = "text",
@@ -704,15 +713,23 @@ def hashed_word_shingles(text: Column, n: int) -> Column:
     (P ~ m²/2⁶⁵ for m distinct grams; the oracle-gated query pins
     ``exact_strings=True`` and the differential test proves the two
     forms identical on the fixture corpus)."""
-    ws = words_col(text)
+    from python_vector_db___ai_spark.functions.expr import let
+
     if n == 1:
-        return F.array_distinct(F.transform(ws, lambda w: F.xxhash64(w)))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-        lambda i: F.xxhash64(F.slice(ws, i, n)),
-    )
-    return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
-            .otherwise(F.array().cast("array<bigint>"))
+        return F.array_distinct(
+            F.transform(words_col(text), lambda w: F.xxhash64(w)))
+
+    def build(ws: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.xxhash64(F.slice(ws, i, n)),
+        )
+        return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
+                .otherwise(F.array().cast("array<bigint>"))
+
+    # let-bound words: the slicing lambda must not re-tokenize per
+    # gram position (see word_shingles / functions/expr.py).
+    return let(words_col(text), build)
 
 
 def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 5,

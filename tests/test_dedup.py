@@ -445,3 +445,52 @@ def test_decontaminate_hashed_equals_string_keyed(spark):
                                             exact_strings=True).collect()))
     assert fast == exact
     assert len(fast) > 0
+
+
+def test_let_bound_shingles_match_inline_form(spark):
+    """functions/expr.py ``let`` parity: the let-bound shingle/gram
+    builders must return exactly what inline expression substitution
+    returns, including NULL text, empty text, and texts shorter than
+    the shingle width (the O(words**2) fix changes evaluation count,
+    never values)."""
+    from python_vector_db___ai_spark.functions.expr import let
+    from python_vector_db___ai_spark.operators.dedup import (
+        hashed_word_shingles,
+        word_shingles,
+        words_col,
+    )
+
+    rows = [(1, None), (2, ""), (3, "   "), (4, "a b"),
+            (5, "One two THREE four five one two three"),
+            (6, "x " * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n = 3
+    ws = words_col(F.col("text"))
+    inline_str = F.when(
+        F.size(ws) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
+    ).otherwise(F.array().cast("array<string>"))
+    inline_hash = F.when(
+        F.size(ws) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.xxhash64(F.slice(ws, i, n))))
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    got = df.select(
+        "doc_id",
+        word_shingles(F.col("text"), n).alias("s"),
+        hashed_word_shingles(F.col("text"), n).alias("h"),
+        inline_str.alias("s0"), inline_hash.alias("h0")).collect()
+    for r in got:
+        assert r.s == r.s0, r
+        assert r.h == r.h0, r
+
+    # let itself: NULL value flows through as a bound NULL.
+    out = df.select(let(F.col("text"),
+                        lambda t: F.length(t)).alias("n")).collect()
+    ref = df.select(F.length("text").alias("n")).collect()
+    assert out == ref
