@@ -207,3 +207,37 @@ def test_session_excludes_infer_filters_from_generate(spark):
         hashed_word_shingles(F.col("text"), 5)).alias("sh"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Filter" not in plan.split("Generate")[1], plan[:2000]
+
+
+def test_shingle_lambdas_are_let_bound(docs):
+    """r11: interpreted HOF lambdas re-evaluate any referenced
+    computed Column per element, so the n-gram slicing lambdas must
+    read a LET-BOUND word array (functions/expr.py — the plan shows
+    ``transform(array(filter(split(...``) rather than slicing the
+    tokenization expression inline, which is O(words²) per doc
+    (measured 9.9 → 4.3 s on the 250k-doc crossdoc explode alone).
+    Guards word_shingles / hashed_word_shingles / crossdoc's key
+    builder / span_dedup's span builder against a refactor quietly
+    reverting the binding."""
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.dedup import (
+        hashed_word_shingles,
+        word_shingles,
+    )
+    from python_vector_db___ai_spark.operators.quality import (
+        crossdoc_dup_ngrams,
+    )
+    from python_vector_db___ai_spark.operators.substring import span_dedup
+
+    frames = [
+        docs.select(F.explode(word_shingles(F.col("text"), 3)).alias("s")),
+        docs.select(F.explode(hashed_word_shingles(F.col("text"), 5))
+                    .alias("s")),
+        crossdoc_dup_ngrams(docs, n=8, shuffle_partitions=None),
+        span_dedup(docs, window=10),
+    ]
+    for df in frames:
+        plan = formatted_plan(df)
+        assert "transform(array(filter(split(" in plan.replace(" ", ""), \
+            plan[:2000]
