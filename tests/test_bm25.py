@@ -180,3 +180,50 @@ def test_term_cooccurrence_pmi_gating_and_values(spark):
     r = rows[("a", "b")]
     assert (r.n_ab, r.df_a, r.df_b) == (3, 3, 3)
     assert r.pmi == round(math.log(3 * 4 / (3 * 3)), 6)
+
+
+def test_disk_index_serves_identical_topk_batch(spark, tmp_path):
+    """save_bm25_index -> load_bm25_index must serve bm25_topk_batch
+    bit-identically to the in-flight build (same postings algebra,
+    self-consistent dictionary), including a doc with no terms in the
+    lengths table (it shifts N and avgdl)."""
+    from python_vector_db___ai_spark.operators.bm25 import (
+        bm25_topk_batch,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    rows = DOCS + [(5, "   ")]  # term-less doc: in lengths, not postings
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(0, ["spark", "engine"]), (1, ["sql"]), (2, ["nosuchterm"])],
+        "query_id long, terms array<string>")
+
+    fresh = sorted(map(tuple,
+                       bm25_topk_batch(docs, queries, k=3).collect()))
+    idx = save_bm25_index(docs, str(tmp_path / "bm25"))
+    from_disk = sorted(map(tuple,
+                           bm25_topk_batch(docs, queries, k=3,
+                                           prebuilt=idx).collect()))
+    assert from_disk == fresh
+    assert len(from_disk) > 0
+
+    # reload from a fresh reader too (the cross-session path)
+    idx2 = load_bm25_index(spark, str(tmp_path / "bm25"))
+    again = sorted(map(tuple,
+                       bm25_topk_batch(docs, queries, k=3,
+                                       prebuilt=idx2).collect()))
+    assert again == fresh
+
+    # lengths side carries the term-less doc (N=5, not 4)
+    assert idx[1].count() == 5
+
+    # the term filter reaches the postings SCAN as a pushed filter —
+    # the row-group-pruning contract the sorted-by-term layout exists
+    # for (isin renders as In(term, [...]) in PushedFilters)
+    from python_vector_db___ai_spark.plans.explain import formatted_plan
+
+    explained = formatted_plan(
+        idx[0].filter(F.col("term").isin(["spark", "engine"])))
+    assert "PushedFilters" in explained and "In(term" in explained, \
+        explained[:2000]
