@@ -217,6 +217,13 @@ def main() -> None:
     # same-commit BENCH_FULL value).
     qs["knn_exact_batch"].spark_fn(spark, sf_dir).collect()
 
+    # SPARK_GRAFT_SKIP_QUERIES=1 skips the headline-query loop (and
+    # the warm-up already ran, which is cheap) — for targeted sweep
+    # probes (e.g. the 4M crossdoc/decontam notch, r11 directive #6)
+    # whose artifact is a tagged side-sample, never the file of
+    # record.
+    skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1"
+
     timings: dict[str, float] = {}
     # min/median/max of each query's N_RUNS timings (r8 directive #5):
     # lets a >1.3x driver-vs-committed delta be attributed to run
@@ -248,7 +255,7 @@ def main() -> None:
     # comparability).
     query_runs_order: dict[str, list[float]] = {}
     for name in HEADLINE:
-        if name not in qs:
+        if name not in qs or skip_queries:
             continue
         runs = []
         for _ in range(N_RUNS):
@@ -262,7 +269,7 @@ def main() -> None:
         query_spread[name] = [round(r[0], 4) for r in runs]
         query_gc_ms[name] = [r[1] for r in runs]
 
-    ann = ann_benchmark(spark, sf_dir)
+    ann = {} if skip_queries else ann_benchmark(spark, sf_dir)
 
     factors = [int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALE_FACTORS", "10,50,200").split(",") if x]
@@ -297,17 +304,20 @@ def main() -> None:
     # caches in THIS session would flip query_runs_order[bm25][0] from
     # a cold to a warm reading and break round-over-round spreads).
     bm25_first_run: dict
-    try:
-        import subprocess
+    if skip_queries:
+        bm25_first_run = {"skipped": True}
+    else:
+        try:
+            import subprocess
 
-        proc = subprocess.run(
-            [sys.executable,
-             str(Path(__file__).resolve().parent
-                 / "tools" / "probe_bm25_phases.py"), sf_dir],
-            capture_output=True, text=True, timeout=900)
-        bm25_first_run = json.loads(proc.stdout.splitlines()[-1])
-    except Exception as e:  # attribution is evidence, never a bench failure
-        bm25_first_run = {"error": repr(e)}
+            proc = subprocess.run(
+                [sys.executable,
+                 str(Path(__file__).resolve().parent
+                     / "tools" / "probe_bm25_phases.py"), sf_dir],
+                capture_output=True, text=True, timeout=900)
+            bm25_first_run = json.loads(proc.stdout.splitlines()[-1])
+        except Exception as e:  # attribution is evidence, never a failure
+            bm25_first_run = {"error": repr(e)}
 
     # Promote the exact-vs-IVF crossover into the headline table at the
     # LARGEST measured scale (>=100k rows) — the regime where the
@@ -373,8 +383,21 @@ def main() -> None:
     # Only the canonical sf0.1 run may overwrite the committed
     # artifact — a quick sf0.001 smoke must not clobber the numbers
     # README and the judge quote (that exact accident happened once).
+    # Cross-run slope samples must be artifact-backed (r11 directive
+    # #5): SPARK_GRAFT_BENCH_TAG=r12b writes BENCH_FULL_r12b.json so
+    # the second/third HEAD-matched samples behind a "cross-run
+    # median" claim are committed JSON, recomputable by anyone.  A
+    # block-restricted or queries-skipped run is forced onto a tagged
+    # name so a partial run can never shadow the file of record.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    if not tag and (skip_queries
+                    or os.environ.get("SPARK_GRAFT_DEDUP_BLOCKS")):
+        tag = "partial"
     detail_name = ("BENCH_FULL.json" if sf == 0.1
                    else f"BENCH_FULL_sf{sf}.json")
+    if tag:
+        detail_name = detail_name.replace(".json", f"_{tag}.json")
+        full["sample_tag"] = tag
     with open(Path(__file__).resolve().parent / detail_name,
               "w") as f:
         json.dump(full, f, indent=1)
@@ -918,6 +941,7 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
     from python_vector_db___ai_spark.operators.dedup import (
         dedup_components,
         minhash_lsh_pairs,
+        pop_cached_frames,
     )
     from python_vector_db___ai_spark.operators.quality import (
         crossdoc_dup_ngrams,
@@ -925,6 +949,22 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
     )
     from python_vector_db___ai_spark.session import load_table
     from tools.scale_probe import inflate_docs
+
+    # SPARK_GRAFT_DEDUP_BLOCKS: comma list restricting which sweep
+    # blocks run — for targeted extra-notch probes (r11 directive #6:
+    # one 4M-doc reading of crossdoc+decontam should not pay for the
+    # whole family).  Empty/unset = all blocks (the artifact of
+    # record).  Block keys: minhash, components, repetition, crossdoc,
+    # span_dedup, bpe_freq, bm25, pagerank, incremental, decontam.
+    # components/pagerank consume the minhash pairs frame, so asking
+    # for either implies minhash.
+    only = {b.strip() for b in os.environ.get(
+        "SPARK_GRAFT_DEDUP_BLOCKS", "").split(",") if b.strip()}
+    if only & {"components", "pagerank"}:
+        only.add("minhash")
+
+    def want(key: str) -> bool:
+        return not only or key in only
 
     docs0 = load_table(spark, sf_dir, "documents")
     results = []
@@ -990,7 +1030,7 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                     .select("i", "j").cache())
             n_pairs = mh_t.count()
             mh_holder["mh"] = mh_t
-            mh_holder["internals"] = stages.pop("_cached_frames", [])
+            mh_holder["internals"] = pop_cached_frames(stages)
             return {
                 "minhash_pairs": n_pairs,
                 "minhash_timed_includes_profiling_barriers": True,
@@ -999,21 +1039,25 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 "minhash_candidates": stages.get("n_candidates"),
             }
 
-        sweep_timed(entry, "minhash_lsh", mh_run, reps, pre=mh_pre)
-        mh = mh_holder["mh"]
-        # remainder vs the committed median (sign/band are the last
-        # rep's readings — deterministic work, rep-stable)
-        entry["minhash_verify_sec"] = round(
-            entry["minhash_lsh_sec"]
-            - (entry.get("minhash_sign_sec") or 0.0)
-            - (entry.get("minhash_band_sec") or 0.0), 3)
-        # Only the materialized pairs frame (mh) is consumed downstream
-        # (components, pagerank); free the final rep's corpus-sized
-        # internal caches NOW so the rest of the factor's blocks
-        # (crossdoc's 94M-gram hash agg in particular) don't run under
-        # cache-eviction memory pressure they never asked for.
-        for f in mh_holder.pop("internals", []):
-            f.unpersist(blocking=True)
+        mh = None
+        if want("minhash"):
+            sweep_timed(entry, "minhash_lsh", mh_run, reps, pre=mh_pre)
+            mh = mh_holder["mh"]
+            # remainder vs the committed median (sweep_timed commits
+            # sign/band from the SAME median-timed rep as the total,
+            # so the subtraction decomposes one coherent run)
+            entry["minhash_verify_sec"] = round(
+                entry["minhash_lsh_sec"]
+                - (entry.get("minhash_sign_sec") or 0.0)
+                - (entry.get("minhash_band_sec") or 0.0), 3)
+            # Only the materialized pairs frame (mh) is consumed
+            # downstream (components, pagerank); free the final rep's
+            # corpus-sized internal caches NOW so the rest of the
+            # factor's blocks (crossdoc's 94M-gram hash agg in
+            # particular) don't run under cache-eviction memory
+            # pressure they never asked for.
+            for f in mh_holder.pop("internals", []):
+                f.unpersist(blocking=True)
 
         def components_run():
             hashed = docs.select("doc_id",
@@ -1032,7 +1076,8 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
             ).collect()[0]
             return {"kept_docs": int(row["kept"])}
 
-        sweep_timed(entry, "components", components_run, reps)
+        if mh is not None and want("components"):
+            sweep_timed(entry, "components", components_run, reps)
 
         def repetition_run():
             rep = repetition_metrics(docs).agg(
@@ -1040,7 +1085,8 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 F.avg("unigram_entropy").alias("b")).collect()[0]
             return {"avg_dup_5gram_frac": round(float(rep["a"]), 4)}
 
-        sweep_timed(entry, "repetition", repetition_run, reps)
+        if want("repetition"):
+            sweep_timed(entry, "repetition", repetition_run, reps)
 
         # The gram-key exchange is sized by the operator itself since
         # r10 (rows-based policy: GRAMS_PER_PARTITION positions per
@@ -1060,7 +1106,8 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                     "crossdoc_shuffle_partitions":
                         info["shuffle_partitions"]}
 
-        sweep_timed(entry, "crossdoc", crossdoc_run, reps)
+        if want("crossdoc"):
+            sweep_timed(entry, "crossdoc", crossdoc_run, reps)
 
         # span-level exact-substring dedup: same postings shape (one
         # hash agg on the span key + join back), reduced to one row.
@@ -1072,75 +1119,118 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 F.sum("chars_dropped").alias("c")).collect()[0]
             return {"span_dropped": int(sp["d"])}
 
-        sweep_timed(entry, "span_dedup", span_run, reps)
+        if want("span_dedup"):
+            sweep_timed(entry, "span_dedup", span_run, reps)
 
         # BPE's corpus-scale half (the word-frequency pass); the merge
         # loop runs on the bounded vocabulary and doesn't grow with n.
         from python_vector_db___ai_spark.operators.bpe import word_frequencies
 
-        sweep_timed(
-            entry, "bpe_freq",
-            lambda: {"bpe_vocab_rows": word_frequencies(docs).count()},
-            reps)
+        if want("bpe_freq"):
+            sweep_timed(
+                entry, "bpe_freq",
+                lambda: {"bpe_vocab_rows": word_frequencies(docs).count()},
+                reps)
 
-        # BM25 retrieval at scale: the two halves of the maintained
-        # inverted-index story, timed separately — index BUILD (one
-        # explode + ONE (doc, dl, term) hash agg over the corpus — dl
-        # rides through the explode since r9 — plus the vocab-sized
-        # term-df dictionary, amortized across queries in production)
-        # and a 20-query BATCH against
-        # the prebuilt index (ONE postings scan: term equi-join +
-        # per-query window; dl rides the postings and df comes from
-        # the dictionary, so the batch neither re-joins the
-        # corpus-sized lengths table nor re-scans postings for df).
-        # Query terms are the corpus's own top-df terms — the worst
-        # case for the postings join, since every term matches the
-        # maximum number of documents.
-        from python_vector_db___ai_spark.operators.bm25 import (
-            bm25_index,
-            bm25_topk_batch,
-            doc_lengths,
-            term_df,
-        )
+        # BM25 retrieval at scale: the maintained inverted-index
+        # story, timed in three pieces — the in-flight executor-heap
+        # index BUILD (one explode + ONE (doc, dl, term) hash agg over
+        # the corpus, results .cache()d; kept as the comparison
+        # number), a 20-query BATCH against the prebuilt index (ONE
+        # postings scan: term equi-join + per-query window; dl rides
+        # the postings and df comes from the dictionary, so the batch
+        # neither re-joins the corpus-sized lengths table nor re-scans
+        # postings for df), and the DISK standing-index build
+        # (save_bm25_index + one reload-scored batch) — the build
+        # slope OF RECORD since r12 (r11 directive #1: the heap build
+        # was the one robustly super-linear block, 2.35–2.47× at
+        # 1M→2M, because corpus-sized postings pinned on a heap
+        # already holding the docs cache evict/GC-thrash; the
+        # persisted artifact is what a 100-TB corpus maintains
+        # anyway).  Query terms are the corpus's own top-df terms —
+        # the worst case for the postings join, since every term
+        # matches the maximum number of documents.
+        if want("bm25"):
+            from python_vector_db___ai_spark.operators.bm25 import (
+                bm25_index,
+                bm25_topk_batch,
+                doc_lengths,
+                save_bm25_index,
+                term_df,
+            )
 
-        bm_holder: dict = {}
+            bm_holder: dict = {}
 
-        def bm_pre():
-            for key in ("post", "dls", "tdf"):
-                if key in bm_holder:
-                    bm_holder[key].unpersist(blocking=True)
+            def bm_pre():
+                for key in ("post", "dls", "tdf"):
+                    if key in bm_holder:
+                        bm_holder[key].unpersist(blocking=True)
 
-        def bm_index_run():
-            post = bm25_index(docs).cache()
-            dls = doc_lengths(docs).cache()
-            tdf = term_df(post).cache()
-            post.count(), dls.count(), tdf.count()
-            bm_holder.update(post=post, dls=dls, tdf=tdf)
-            return None
+            def bm_index_run():
+                post = bm25_index(docs).cache()
+                dls = doc_lengths(docs).cache()
+                tdf = term_df(post).cache()
+                post.count(), dls.count(), tdf.count()
+                bm_holder.update(post=post, dls=dls, tdf=tdf)
+                return None
 
-        sweep_timed(entry, "bm25_index", bm_index_run, reps, pre=bm_pre)
-        post, dls, tdf = (bm_holder["post"], bm_holder["dls"],
-                          bm_holder["tdf"])
-        top_terms = [r["term"] for r in
-                     (tdf.orderBy(F.col("df").desc(), F.col("term").asc())
-                      .limit(60).collect())]
-        # Cycle modulo the vocabulary so every query carries exactly 3
-        # terms even if the corpus has < 60 distinct terms (a silent
-        # short slice would quietly weaken the stated worst-case
-        # top-df workload).
-        assert top_terms, "bm25 batch: empty vocabulary"
-        qtable = spark.createDataFrame(
-            [(qi, [top_terms[(3 * qi + o) % len(top_terms)]
-                   for o in range(3)]) for qi in range(20)],
-            "query_id long, terms array<string>")
-        sweep_timed(
-            entry, "bm25_batch",
-            lambda: {"bm25_batch_rows": bm25_topk_batch(
-                docs, qtable, k=10, prebuilt=(post, dls, tdf)).count()},
-            reps)
-        post.unpersist()
-        dls.unpersist()
-        tdf.unpersist()
+            sweep_timed(entry, "bm25_index", bm_index_run, reps,
+                        pre=bm_pre)
+            post, dls, tdf = (bm_holder["post"], bm_holder["dls"],
+                              bm_holder["tdf"])
+            top_terms = [r["term"] for r in
+                         (tdf.orderBy(F.col("df").desc(),
+                                      F.col("term").asc())
+                          .limit(60).collect())]
+            # Cycle modulo the vocabulary so every query carries
+            # exactly 3 terms even if the corpus has < 60 distinct
+            # terms (a silent short slice would quietly weaken the
+            # stated worst-case top-df workload).
+            assert top_terms, "bm25 batch: empty vocabulary"
+            qtable = spark.createDataFrame(
+                [(qi, [top_terms[(3 * qi + o) % len(top_terms)]
+                       for o in range(3)]) for qi in range(20)],
+                "query_id long, terms array<string>")
+            sweep_timed(
+                entry, "bm25_batch",
+                lambda: {"bm25_batch_rows": bm25_topk_batch(
+                    docs, qtable, k=10,
+                    prebuilt=(post, dls, tdf)).count()},
+                reps)
+            post.unpersist()
+            dls.unpersist()
+            tdf.unpersist()
+
+            # Disk standing-index build + first reload-scored batch:
+            # nothing cached, nothing on the heap — the timed unit is
+            # write(postings+lengths+term_df) → reload → score the
+            # same worst-case 20-query batch (proves the artifact
+            # usable, and row-group pruning on the term-sorted layout
+            # is what the batch half exercises).  Each rep clears the
+            # artifact directory OUTSIDE the timed window so rep N
+            # never times rep N-1's deletes.
+            bm_disk_dir = tempfile.mkdtemp(
+                prefix=f"bench_bm25idx_{factor}_")
+            bm_disk_stage_runs: list = []
+
+            def bm_disk_pre():
+                shutil.rmtree(bm_disk_dir, ignore_errors=True)
+
+            def bm_disk_run():
+                stages: dict = {}
+                pre3 = save_bm25_index(docs, bm_disk_dir,
+                                       stage_timings=stages)
+                rows = bm25_topk_batch(docs, qtable, k=10,
+                                       prebuilt=pre3).count()
+                bm_disk_stage_runs.append(stages)
+                return {"bm25_disk_batch_rows": rows}
+
+            try:
+                sweep_timed(entry, "bm25_index_disk", bm_disk_run,
+                            reps, pre=bm_disk_pre)
+                entry["bm25_index_disk_stage_runs"] = bm_disk_stage_runs
+            finally:
+                shutil.rmtree(bm_disk_dir, ignore_errors=True)
 
         # PageRank over the MinHash near-dup graph (the canonical-pick
         # refinement): per-round cost is one equi-join + one hash agg
@@ -1157,7 +1247,8 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 F.sum("rank").alias("s")).collect()[0]
             return {"pagerank_rank_sum": round(float(pr["s"]), 6)}
 
-        sweep_timed(entry, "pagerank", pagerank_run, reps)
+        if mh is not None and want("pagerank"):
+            sweep_timed(entry, "pagerank", pagerank_run, reps)
 
         # Incremental minhash at the factor's corpus size (r9
         # directive #7 — never measured above 1M docs): a FIXED-size
@@ -1189,10 +1280,17 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         idx_stage_runs: list = []
 
         def idx_run():
+            # include_shingles=False: the narrow build (r11 directive
+            # #2).  The r11 sigs write persisted corpus-sized shingle
+            # sets next to the signatures — 5× the bytes and ~2 KB of
+            # Python→JVM Arrow traffic per doc — and that write was
+            # where the 2M build's 14.5–31.6 s same-code spread lived.
+            # The probe recomputes candidate shingles from the corpus
+            # instead (minhash_incremental_flags, values identical).
             stages: dict = {}
             idx_holder["index"] = save_minhash_index(
-                minhash_signature(docs, 16, 3), mh_idx,
-                num_hashes=16, bands=4, stage_timings=stages)
+                minhash_signature(docs, 16, 3, include_shingles=False),
+                mh_idx, num_hashes=16, bands=4, stage_timings=stages)
             idx_stage_runs.append(stages)
             return None
 
@@ -1218,33 +1316,37 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
             return {"incremental_new_docs": int(inc_row["n"]),
                     "incremental_dups": int(inc_row["d"] or 0)}
 
-        try:
-            sweep_timed(entry, "incremental_index", idx_run, reps)
-            # Build split per rep (r10 directive #3 — the 2M build
-            # read 16–38 s across runs with no attribution): which of
-            # sign+write / reload+band+write the spread lives in, and
-            # the part-file counts that would expose a partitionBy
-            # small-files explosion.
-            entry["incremental_index_stage_runs"] = idx_stage_runs
-            sweep_timed(entry, "incremental", inc_run, reps)
-        finally:
-            shutil.rmtree(mh_idx, ignore_errors=True)
+        if want("incremental"):
+            try:
+                sweep_timed(entry, "incremental_index", idx_run, reps)
+                # Build split per rep (r10 directive #3 — the 2M build
+                # read 16–38 s across runs with no attribution): which
+                # of sign+write / reload+band+write the spread lives
+                # in, the part-file counts that would expose a
+                # partitionBy small-files explosion, and (since r12)
+                # the on-disk byte sizes proving the narrow layout.
+                entry["incremental_index_stage_runs"] = idx_stage_runs
+                sweep_timed(entry, "incremental", inc_run, reps)
+            finally:
+                shutil.rmtree(mh_idx, ignore_errors=True)
 
         # N-gram decontamination at the factor's corpus size (same
         # directive): fixed 100-doc benchmark side (eval sets don't
         # grow with the corpus) — the plan must broadcast the
         # benchmark postings, so the training side is one explode +
         # map-side join, cost ∝ training postings.
-        bench_docs = (inflate_docs(docs0, 1).limit(100)
-                      .select((F.col("doc_id") + 2 * 10 ** 9)
-                              .alias("doc_id"), "text"))
-        sweep_timed(
-            entry, "decontam_ngram",
-            lambda: {"decontam_ngram_hits": int(
-                decontaminate(docs, bench_docs, n=5).count())},
-            reps)
+        if want("decontam"):
+            bench_docs = (inflate_docs(docs0, 1).limit(100)
+                          .select((F.col("doc_id") + 2 * 10 ** 9)
+                                  .alias("doc_id"), "text"))
+            sweep_timed(
+                entry, "decontam_ngram",
+                lambda: {"decontam_ngram_hits": int(
+                    decontaminate(docs, bench_docs, n=5).count())},
+                reps)
 
-        mh.unpersist()
+        if mh is not None:
+            mh.unpersist()
         docs.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
         results.append(entry)

@@ -137,6 +137,10 @@ def save_bm25_index(docs: DataFrame, path: str,
     if stage_timings is not None:
         import os as _os
 
+        # Local-filesystem probe only: on non-local URIs (hdfs://,
+        # s3a://) the parquet writes above succeed but os.walk sees
+        # nothing, so the *_files counts read 0 (r11 ADVICE).  The
+        # timings are URI-agnostic; only the file counts degrade.
         def _nfiles(root: str) -> int:
             return sum(1 for _, _, fs in _os.walk(root)
                        for f in fs if f.endswith(".parquet"))

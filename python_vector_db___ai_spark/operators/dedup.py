@@ -122,7 +122,8 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, text_col: str = "text",
 def minhash_signature(df: DataFrame, num_hashes: int = 16,
                       shingle_n: int = 1, text_col: str = "text",
                       id_col: str = "doc_id",
-                      hashed_shingles: bool = False) -> DataFrame:
+                      hashed_shingles: bool = False,
+                      include_shingles: bool = True) -> DataFrame:
     """Per-doc MinHash signature as a MAP-ONLY Arrow pass — zero
     shuffles: ``sig[k] = min over shingles of (a_k * h30(shingle) +
     b_k) mod P`` — ONE md5 per distinct shingle (the 30-bit base
@@ -141,6 +142,11 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
     absent 64-bit collisions (same documented trade as
     ``quality.crossdoc_dup_ngrams``; the md5-derived ``stable_hash64``
     is DuckDB-replayable if an oracle ever needs the hashed form).
+
+    ``include_shingles=False`` drops the verify-set column entirely —
+    ``(_id, sig)`` only — for callers that never verify from the
+    signature frame (the narrow standing-index build; see the comment
+    on ``op`` below for why pruning can't do this).
 
     Signing is row-local, so the right 100-TB plan is one corpus scan.
     The r7 family hashed every (shingle, seed) pair with md5 — 16 md5s
@@ -206,18 +212,28 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
     sh_col = "sh64" if hashed_shingles else "shingles"
     sh_type = "array<bigint>" if hashed_shingles else "array<string>"
 
+    # ``include_shingles=False`` emits only (_id, sig) — the narrow
+    # standing-index build (save_minhash_index persists exactly these
+    # two columns anyway, and skipping the shingle column here also
+    # skips Arrow-transferring ~2 KB of strings per doc from the
+    # Python workers: corpus-sized traffic the index build never
+    # needed).  Downstream column pruning can NOT do this — the
+    # mapInPandas schema is fixed, so an unused column is still
+    # computed and serialized by every worker.
     def op(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             pairs = [one(t) for t in pdf[text_col]]
-            yield pd.DataFrame({
-                "_id": pdf[id_col].to_numpy(),
-                sh_col: [p[0] for p in pairs],
-                "sig": [p[1] for p in pairs]})
+            cols = {"_id": pdf[id_col].to_numpy()}
+            if include_shingles:
+                cols[sh_col] = [p[0] for p in pairs]
+            cols["sig"] = [p[1] for p in pairs]
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, text_col).mapInPandas(
-        op, schema=f"_id long, {sh_col} {sh_type}, sig array<long>")
+    schema = (f"_id long, {sh_col} {sh_type}, sig array<long>"
+              if include_shingles else "_id long, sig array<long>")
+    return df.select(id_col, text_col).mapInPandas(op, schema=schema)
 
 
 def minhash_signature_expr(df: DataFrame, num_hashes: int = 16,
@@ -304,9 +320,10 @@ def save_minhash_index(sigs: DataFrame, path: str,
                        bands: int = 4,
                        stage_timings: dict | None = None,
                        ) -> tuple[DataFrame, DataFrame]:
-    """Write the corpus LSH index: signatures, plus the bucket table
-    partitioned by band (so an increment probing one band prunes the
-    others' files).  The banded table is derived from the PERSISTED
+    """Write the corpus LSH index: NARROW signatures (``_id`` + the
+    ``num_hashes``-long ``sig`` array — nothing else), plus the bucket
+    table partitioned by band (so an increment probing one band prunes
+    the others' files).  The banded table is derived from the PERSISTED
     signatures (write → reload → band → write), so the signature pass
     runs exactly once and nothing corpus-sized is cached during the
     build — r10: caching the two corpus-sized frames on a heap already
@@ -316,18 +333,34 @@ def save_minhash_index(sigs: DataFrame, path: str,
     ``(sigs, banded)`` pair, ready for
     :func:`minhash_incremental_flags`'s ``corpus_index``.
 
+    Why narrow (r11 VERDICT directive #2): the r11 index persisted the
+    per-doc SHINGLE SETS next to the signatures so the probe's Jaccard
+    verify could read them back — but the shingle column is
+    corpus-text-sized (≈5× the bytes of the signature array: 52.7 MB
+    vs 10.4 MB at 100k bench docs), and that corpus-sized write was
+    exactly where the 2M build's 14.5–31.6 s same-code spread lived.
+    An index stores signatures; the verify step fetches the FEW
+    candidate docs' text from the corpus at probe time instead
+    (:func:`minhash_incremental_flags` recomputes shingles for
+    candidate ids only — string-exact Jaccard, values identical to the
+    in-flight path, locked by ``tests/test_index_store.py``).  Any
+    extra column on ``sigs`` (``shingles``/``sh64``) is dropped at
+    write time.
+
     ``stage_timings``, when a dict, receives the build split (r10
-    VERDICT directive #3 — the 2M build read 16–38 s across runs with
-    no attribution): ``sigs_write_sec`` (the shingle/sign pass + the
-    signature parquet write), ``band_write_sec`` (reload sigs from
+    VERDICT directive #3): ``sigs_write_sec`` (the shingle/sign pass +
+    the signature parquet write), ``band_write_sec`` (reload sigs from
     disk, band, partitioned bucket-table write), ``reload_sec`` (lazy
     reader construction, ~0), plus ``sigs_files``/``bands_files``
-    part-file counts so a partitionBy small-files explosion (bands ×
-    write tasks) would be visible in the artifact."""
+    part-file counts and ``sigs_bytes``/``bands_bytes`` on-disk sizes
+    (the narrowing claim must be auditable from the artifact).  The
+    file/byte walk assumes a LOCAL filesystem path — on hdfs://s3a://
+    URIs the parquet writes succeed but the os.walk probe reports 0."""
     import time as _time
 
     t0 = _time.perf_counter()
-    sigs.write.parquet(f"{path}/sigs", mode="overwrite")
+    sigs.select("_id", "sig").write.parquet(f"{path}/sigs",
+                                            mode="overwrite")
     t1 = _time.perf_counter()
     spark = sigs.sparkSession
     disk_sigs = spark.read.parquet(f"{path}/sigs")
@@ -344,11 +377,18 @@ def save_minhash_index(sigs: DataFrame, path: str,
             return sum(1 for _, _, fs in _os.walk(root)
                        for f in fs if f.endswith(".parquet"))
 
+        def _nbytes(root: str) -> int:
+            return sum(_os.path.getsize(_os.path.join(r, f))
+                       for r, _, fs in _os.walk(root) for f in fs
+                       if f.endswith(".parquet"))
+
         stage_timings["sigs_write_sec"] = round(t1 - t0, 3)
         stage_timings["band_write_sec"] = round(t2 - t1, 3)
         stage_timings["reload_sec"] = round(t3 - t2, 3)
         stage_timings["sigs_files"] = _nfiles(f"{path}/sigs")
         stage_timings["bands_files"] = _nfiles(f"{path}/bands")
+        stage_timings["sigs_bytes"] = _nbytes(f"{path}/sigs")
+        stage_timings["bands_bytes"] = _nbytes(f"{path}/bands")
     return out
 
 
@@ -381,6 +421,19 @@ def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
     Jaccard-verified on true shingle sets; the per-doc best match
     rounds before ranking with a corpus-id tie-break.
 
+    Verify-set sourcing: a :func:`save_minhash_index` artifact is
+    NARROW (``_id`` + ``sig`` only — r11 directive #2: persisting
+    corpus-sized shingle sets was the index build's variance source),
+    so when the corpus index carries no shingle column the corpus
+    side's shingle sets are recomputed AT PROBE TIME for the candidate
+    ids only — a semi-join of the corpus text down to the (increment-
+    fan-in-sized) candidate set, then the same ``word_shingles``
+    expression the signer tokenizes with.  String-exact Jaccard either
+    way; values are identical to the in-flight path
+    (``tests/test_index_store.py`` roundtrip).  An index frame that
+    DOES carry ``shingles`` (e.g. :func:`minhash_build_index` output
+    passed straight through) is used as-is, skipping the recompute.
+
     Returns one row per new doc: ``(doc_id, n_candidates, n_dups,
     best_match, best_jaccard, is_dup)``.
     """
@@ -397,11 +450,22 @@ def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
                   ["band", "bucket"])
             .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
             .distinct())
+    if "shingles" in corp_sigs.columns:
+        corp_verify = corp_sigs.select(F.col("_id").alias("j"),
+                                       F.col("shingles").alias("shb"))
+    else:
+        # Narrow standing index: fetch candidate docs' text from the
+        # corpus (semi-join — only candidate rows survive the scan)
+        # and re-shingle just those.  Cost ∝ candidates, not corpus.
+        cand_js = cand.select(F.col("j").alias(id_col)).distinct()
+        corp_verify = (corpus.join(cand_js, id_col, "semi")
+                       .select(F.col(id_col).alias("j"),
+                               word_shingles(F.col(text_col), shingle_n)
+                               .alias("shb")))
     verified = (cand
                 .join(new_sigs.select(F.col("_id").alias("i"),
                                       F.col("shingles").alias("sha")), "i")
-                .join(corp_sigs.select(F.col("_id").alias("j"),
-                                       F.col("shingles").alias("shb")), "j")
+                .join(corp_verify, "j")
                 .select("i", "j",
                         F.round(F.size(F.array_intersect("sha", "shb"))
                                 .cast("double")
@@ -426,6 +490,16 @@ def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
                     "best_match", "best_jaccard",
                     F.coalesce(F.col("best_jaccard") >= verify_threshold,
                                F.lit(False)).alias("is_dup")))
+
+
+def pop_cached_frames(stage_timings: dict) -> list[DataFrame]:
+    """Strip the reserved ``_cached_frames`` key (live DataFrame
+    handles :func:`minhash_lsh_pairs` exposes in profile mode so the
+    caller can unpersist them between reps) from a ``stage_timings``
+    dict, returning the frames.  Call this before JSON-serializing the
+    dict — the handles are not serializable and would otherwise pin
+    executor cache memory for as long as the dict lives."""
+    return stage_timings.pop("_cached_frames", [])
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
@@ -526,8 +600,10 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         # the same input silently reads these entries (r11 finding:
         # sweep rep 2/3 signed 2M docs in 0.06 s because rep 1's sigs
         # cache was still resident).  Hand the internal cached frames
-        # to the profiling caller so it can unpersist between reps;
-        # the leading underscore keeps the key out of artifact rows.
+        # to the profiling caller so it can unpersist between reps.
+        # "_cached_frames" is a RESERVED key holding live DataFrame
+        # handles — strip it with :func:`pop_cached_frames` before
+        # JSON-serializing the dict (r11 ADVICE).
         stage_timings["_cached_frames"] = [sigs, cand]
     src = sigs
     if prune_candidate_ids:

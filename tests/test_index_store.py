@@ -234,15 +234,25 @@ def test_minhash_index_roundtrip_matches_inflight(spark, tmp_path):
     assert sorted(map(tuple, inflight)) == sorted(map(tuple, persisted))
     assert any(r.is_dup for r in persisted)   # non-degenerate fixture
 
+    # The persisted artifact is NARROW (r11 directive #2): signatures
+    # only — the corpus-sized shingle column must NOT reach disk (it
+    # was the 2M build's write-variance source); the probe recomputes
+    # candidate shingles from the corpus text instead (verified
+    # identical above).
+    assert set(loaded[0].columns) == {"_id", "sig"}
+
     # build split (r10 directive #3): the optional stage_timings dict
-    # carries the sign+write / reload+band+write phases and part-file
-    # counts (a partitionBy small-files explosion must be visible)
+    # carries the sign+write / reload+band+write phases, part-file
+    # counts (a partitionBy small-files explosion must be visible) and
+    # on-disk byte sizes (the narrowing claim is auditable)
     st: dict = {}
     save_minhash_index(sigs, str(tmp_path / "mh2"), stage_timings=st)
     assert set(st) == {"sigs_write_sec", "band_write_sec", "reload_sec",
-                       "sigs_files", "bands_files"}
+                       "sigs_files", "bands_files",
+                       "sigs_bytes", "bands_bytes"}
     assert st["sigs_write_sec"] > 0 and st["band_write_sec"] > 0
     assert st["sigs_files"] >= 1 and st["bands_files"] >= 4
+    assert st["sigs_bytes"] > 0 and st["bands_bytes"] > 0
 
 
 def _artifact_rows(df):
