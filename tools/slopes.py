@@ -1,0 +1,97 @@
+"""Recompute scale-sweep slopes from committed bench artifacts.
+
+Every "1M→2M slope" / "cross-run slope median" number quoted in
+README/COVERAGE must be re-derivable from committed JSON (r11 VERDICT
+directive #5 — the r11 cross-run medians traced to two uncommitted
+side-runs quoted in prose).  This tool closes the loop mechanically:
+point it at the artifact of record plus any tagged side-samples
+(``SPARK_GRAFT_BENCH_TAG`` runs write ``BENCH_FULL_<tag>.json``) and
+it prints, per dedup-sweep metric, each artifact's top-notch slope and
+the cross-artifact median.
+
+The slope for one artifact is ``median(runs at top factor) /
+median(runs at second factor)`` — when a row carries a
+``<metric>_sec_runs`` triple the median element is used (it equals the
+committed ``<metric>_sec``), otherwise the single committed value.
+Artifacts whose dedup sweep lacks one of the two endpoint factors for
+a metric are skipped for that metric (tagged partial runs may carry
+only the blocks they probed).
+
+Usage::
+
+    python tools/slopes.py BENCH_FULL.json BENCH_FULL_r12b.json ...
+    python tools/slopes.py            # all BENCH_FULL*.json in repo root
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _metric_value(row: dict, metric: str) -> float | None:
+    runs = row.get(f"{metric}_runs")
+    if runs:
+        return sorted(runs)[len(runs) // 2]
+    return row.get(metric)
+
+
+def artifact_slopes(path: Path) -> dict[str, dict]:
+    """{metric: {"slope": x, "lo": sec@second, "hi": sec@top,
+    "factors": (f_lo, f_hi)}} for one artifact's dedup_scale rows."""
+    data = json.loads(path.read_text())
+    rows = data.get("dedup_scale") or []
+    if len(rows) < 2:
+        return {}
+    lo_row, hi_row = rows[-2], rows[-1]
+    if lo_row.get("factor") == hi_row.get("factor"):
+        return {}
+    metrics = sorted(
+        k for k in hi_row
+        if k.endswith("_sec") and k in lo_row)
+    out = {}
+    for m in metrics:
+        lo = _metric_value(lo_row, m)
+        hi = _metric_value(hi_row, m)
+        if not lo or not hi:
+            continue
+        out[m] = {"slope": round(hi / lo, 3),
+                  "lo": lo, "hi": hi,
+                  "factors": (lo_row["factor"], hi_row["factor"])}
+    return out
+
+
+def main() -> None:
+    paths = ([Path(p) for p in sys.argv[1:]]
+             or sorted(ROOT.glob("BENCH_FULL*.json")))
+    per_artifact = {p.name: artifact_slopes(p) for p in paths}
+    per_artifact = {n: s for n, s in per_artifact.items() if s}
+    if not per_artifact:
+        print("no dedup_scale rows found", file=sys.stderr)
+        sys.exit(1)
+
+    metrics = sorted({m for s in per_artifact.values() for m in s})
+    names = list(per_artifact)
+    width = max(len(m) for m in metrics)
+    print(f"{'metric':<{width}}  " + "  ".join(f"{n:>22}" for n in names)
+          + "   cross-run median")
+    for m in metrics:
+        cells, samples = [], []
+        for n in names:
+            e = per_artifact[n].get(m)
+            if e is None:
+                cells.append(f"{'—':>22}")
+            else:
+                cells.append(
+                    f"{e['lo']:>7.2f}→{e['hi']:<7.2f}={e['slope']:.2f}x")
+                samples.append(e["slope"])
+        med = statistics.median(samples) if samples else float("nan")
+        print(f"{m:<{width}}  " + "  ".join(cells) + f"   {med:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
