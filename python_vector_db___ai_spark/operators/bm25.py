@@ -17,6 +17,8 @@ Deterministic (md5-free, plain arithmetic) and fully oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,6 +47,21 @@ def doc_lengths(docs: DataFrame, text_col: str = "text",
                        F.size(words).cast("double").alias("dl"))
 
 
+def _exploded_terms(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, dl, term)`` — one row per token occurrence, with the
+    doc length computed BEFORE the explode and carried through it.
+    The shared tokenize/explode front half of :func:`bm25_index` and
+    :func:`save_bm25_index`."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+    tokenized = docs.select(F.col(id_col), words.alias("_w"))
+    return tokenized.select(
+        F.col(id_col),
+        F.size("_w").cast("double").alias("dl"),
+        F.explode("_w").alias("term"))
+
+
 def bm25_index(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Postings carrying the document length: ``(id_col, term, tf,
@@ -63,14 +80,8 @@ def bm25_index(docs: DataFrame, text_col: str = "text",
     :func:`term_postings` output; the scorers detect the ``dl`` column
     and skip the lengths join (values are bit-identical either way —
     the oracles are unchanged, ``tests/test_bm25.py``)."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                     lambda w: w != "")
-    tokenized = docs.select(F.col(id_col), words.alias("_w"))
-    exploded = tokenized.select(
-        F.col(id_col),
-        F.size("_w").cast("double").alias("dl"),
-        F.explode("_w").alias("term"))
-    return (exploded.groupBy(id_col, "dl", "term")
+    return (_exploded_terms(docs, text_col, id_col)
+            .groupBy(id_col, "dl", "term")
             .agg(F.count("*").cast("long").alias("tf"))
             .select(id_col, "term", "tf", "dl"))
 
@@ -89,9 +100,22 @@ def term_df(postings: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("double").alias("df")))
 
 
+# Exchange sizing for the standing-index build: one reduce task per
+# this many input docs, so per-task aggregation-hash-map and sort
+# volume stay CONSTANT as the corpus grows (the fixed-width exchange
+# was the super-linear signature at 2M: postings bytes grew 1.67x
+# 1M→2M while the fixed-32-partition build leg grew 2.8x).  ~31k docs
+# ≈ 1M postings rows per task at the bench corpus's ~50 terms/doc —
+# comfortably in-memory for an executor core.  Same operator-owned
+# policy pattern as crossdoc's GRAMS_PER_PARTITION.
+BM25_DOCS_PER_PARTITION = int(os.environ.get(
+    "SPARK_GRAFT_BM25_DOCS_PER_PARTITION", "31250"))
+
+
 def save_bm25_index(docs: DataFrame, path: str,
                     text_col: str = "text", id_col: str = "doc_id",
                     stage_timings: dict | None = None,
+                    num_partitions: int | None = None,
                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Persist the maintained inverted index to disk — the production
     artifact a 100-TB corpus maintains across sessions instead of
@@ -103,7 +127,7 @@ def save_bm25_index(docs: DataFrame, path: str,
     Layout under ``path``:
 
     * ``postings/`` — the dl-carrying ``(id_col, term, tf, dl)``
-      postings, repartitioned on the term key and SORTED BY TERM
+      postings, partitioned on the term key and SORTED BY TERM
       within each file: a query batch's ``term isin (...)`` filter
       pushes down to the parquet scan and prunes row groups by the
       term min/max statistics, so a 3-term query reads a sliver of
@@ -114,18 +138,45 @@ def save_bm25_index(docs: DataFrame, path: str,
       computed from the RELOADED postings so the artifact is
       self-consistent by construction.
 
+    Plan shape (r12): ONE corpus-sized exchange.  The exploded token
+    stream is repartitioned on ``term`` BEFORE the (doc, dl, term)
+    aggregation — hash-partitioning on a subset of the grouping keys
+    satisfies the aggregation's required distribution, so Catalyst
+    plans no second exchange and the aggregated output lands already
+    term-partitioned for the sorted write.  The r11 form aggregated
+    first (exchange 1, planner-sized at the session's fixed shuffle
+    width) and then re-partitioned the postings on term (exchange 2);
+    two corpus-sized shuffles and a fixed task width made the build
+    leg super-linear at 2M docs.  The exchange width is sized by the
+    operator: ``max(defaultParallelism, n_docs /
+    BM25_DOCS_PER_PARTITION)`` via one construction-time ``count()``
+    over ``docs`` (cheap on a cached or parquet-backed frame;
+    ``num_partitions`` overrides it and skips the job).
+
     ``stage_timings``, when a dict, receives ``postings_write_sec`` /
-    ``lengths_write_sec`` / ``term_df_write_sec`` and per-directory
-    parquet part-file counts.  Returns :func:`load_bm25_index` output,
-    ready to pass as ``prebuilt``.
+    ``lengths_write_sec`` / ``term_df_write_sec``, per-directory
+    parquet part-file counts, ``postings_bytes``, and the sizing
+    decision (``n_docs``, ``postings_partitions``).  Returns
+    :func:`load_bm25_index` output, ready to pass as ``prebuilt``.
     """
+    import math as _math
     import time as _time
 
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     t0 = _time.perf_counter()
-    (bm25_index(docs, text_col, id_col)
-     .repartition(par, "term").sortWithinPartitions("term")
+    if num_partitions is None:
+        n_docs = docs.count()
+        num_partitions = max(par, _math.ceil(n_docs
+                                             / BM25_DOCS_PER_PARTITION))
+    else:
+        n_docs = None
+    (_exploded_terms(docs, text_col, id_col)
+     .repartition(num_partitions, "term")
+     .groupBy(id_col, "dl", "term")
+     .agg(F.count("*").cast("long").alias("tf"))
+     .select(id_col, "term", "tf", "dl")
+     .sortWithinPartitions("term")
      .write.parquet(f"{path}/postings", mode="overwrite"))
     t1 = _time.perf_counter()
     doc_lengths(docs, text_col, id_col) \
@@ -145,11 +196,20 @@ def save_bm25_index(docs: DataFrame, path: str,
             return sum(1 for _, _, fs in _os.walk(root)
                        for f in fs if f.endswith(".parquet"))
 
+        def _nbytes(root: str) -> int:
+            return sum(_os.path.getsize(_os.path.join(r, f))
+                       for r, _, fs in _os.walk(root) for f in fs
+                       if f.endswith(".parquet"))
+
         stage_timings["postings_write_sec"] = round(t1 - t0, 3)
         stage_timings["lengths_write_sec"] = round(t2 - t1, 3)
         stage_timings["term_df_write_sec"] = round(t3 - t2, 3)
         stage_timings["postings_files"] = _nfiles(f"{path}/postings")
         stage_timings["term_df_files"] = _nfiles(f"{path}/term_df")
+        stage_timings["postings_bytes"] = _nbytes(f"{path}/postings")
+        stage_timings["postings_partitions"] = num_partitions
+        if n_docs is not None:
+            stage_timings["n_docs"] = n_docs
     return load_bm25_index(spark, path)
 
 
@@ -296,6 +356,29 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
               .groupBy(query_id, "term")
               .agg(F.count("*").cast("double").alias("qtf")))
     bterms = qterms.select("term").distinct()
+    # Push the term restriction INTO the postings scan as an isin
+    # literal, not just a broadcast join: a join filters after the
+    # scan reads every row group, while the pushed `In(term, ...)`
+    # predicate prunes row groups by the term min/max statistics the
+    # save_bm25_index sorted-by-term layout maintains — the difference
+    # between scanning a sliver of a 100-TB standing index and
+    # scanning all of it per batch.  The term list is query-sized by
+    # contract (collect_small); a pathological >8k-term batch skips
+    # the literal and keeps the join-only plan.  The broadcast join
+    # stays either way (it attaches nothing here but preserves exact
+    # join semantics for duplicate-free restriction).
+    from python_vector_db___ai_spark.operators._guards import collect_small
+
+    try:
+        qterm_rows = collect_small(
+            bterms, "bm25 batch query terms", cap=8192,
+            hint="an isin literal this large would bloat the plan; "
+                 "falling back to the join-only restriction is "
+                 "automatic")
+        postings = postings.filter(
+            F.col("term").isin([r["term"] for r in qterm_rows]))
+    except ValueError:
+        pass
     matched = postings.join(F.broadcast(bterms), "term")
     if tdf is not None:  # dictionary df: no second pass over postings
         df_counts = tdf.join(F.broadcast(bterms), "term")

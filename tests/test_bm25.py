@@ -233,3 +233,34 @@ def test_disk_index_serves_identical_topk_batch(spark, tmp_path):
     assert "pushedfilters" in lowered, explained[:2000]
     pushed = lowered.split("pushedfilters", 1)[1][:400]
     assert "term" in pushed and "in" in pushed, explained[:2000]
+
+
+def test_save_postings_plan_is_one_exchange(spark):
+    """The standing-index postings build shuffles the corpus exactly
+    once (r12): the exploded token stream is hash-partitioned on the
+    term key BEFORE the (doc, dl, term) aggregation — a subset of the
+    grouping keys, so Catalyst plans partial+final HashAggregate with
+    no second exchange and the sorted write needs none either.  The
+    r11 form paid two corpus-sized shuffles (planner-sized agg, then
+    repartition-on-term) and was the sweep's one robustly super-linear
+    block at 2M docs."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.bm25 import _exploded_terms
+    from python_vector_db___ai_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    build = (_exploded_terms(docs).repartition(4, "term")
+             .groupBy("doc_id", "dl", "term")
+             .agg(F.count("*").cast("long").alias("tf"))
+             .select("doc_id", "term", "tf", "dl")
+             .sortWithinPartitions("term"))
+    plan = build._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange (\w+)\(([^,)]+)", plan)
+    assert len(exchanges) == 1, plan[:2000]
+    assert exchanges[0][0] == "hashpartitioning"
+    assert exchanges[0][1].startswith("term")
+    # and the single exchange feeds a collapsed partial+final agg pair
+    assert plan.count("HashAggregate") == 2, plan[:2000]
