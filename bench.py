@@ -1215,6 +1215,14 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
 
             def bm_disk_pre():
                 shutil.rmtree(bm_disk_dir, ignore_errors=True)
+                # Flush the writeback queue OUTSIDE the timed window:
+                # by the top notches several GB of earlier sweep
+                # output sit dirty in the page cache, and reps that
+                # start behind that backlog time the kernel's flush,
+                # not the operator (observed: same-code disk-build
+                # reps [31.8, 43.7, 56.6] with the spread confined to
+                # write-heavy blocks).
+                os.sync()
 
             def bm_disk_run():
                 stages: dict = {}
@@ -1279,6 +1287,12 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         idx_holder: dict = {}
         idx_stage_runs: list = []
 
+        def idx_pre():
+            # Same writeback flush as bm_disk_pre: the standing-index
+            # build is a corpus-sized parquet write, and its r11 spread
+            # was exactly this dirty-page backlog.
+            os.sync()
+
         def idx_run():
             # include_shingles=False: the narrow build (r11 directive
             # #2).  The r11 sigs write persisted corpus-sized shingle
@@ -1318,7 +1332,8 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
 
         if want("incremental"):
             try:
-                sweep_timed(entry, "incremental_index", idx_run, reps)
+                sweep_timed(entry, "incremental_index", idx_run, reps,
+                            pre=idx_pre)
                 # Build split per rep (r10 directive #3 — the 2M build
                 # read 16–38 s across runs with no attribution): which
                 # of sign+write / reload+band+write the spread lives
