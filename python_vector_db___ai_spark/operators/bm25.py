@@ -217,8 +217,19 @@ def load_bm25_index(spark, path: str
                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Reload a :func:`save_bm25_index` artifact as the 3-tuple
     ``(postings, lengths, term_df)`` accepted by every scoring
-    function's ``prebuilt`` parameter."""
-    return (spark.read.parquet(f"{path}/postings"),
+    function's ``prebuilt`` parameter.
+
+    The postings frame carries a provenance tag
+    (``_bm25_disk_index = True``, a plain Python attribute on the
+    DataFrame handle): the batch scorer pushes its query-term isin
+    literal into the scan ONLY for disk-backed postings, where the
+    sorted-by-term row-group statistics make it prune (on in-flight or
+    cached postings the literal is measured overhead).  The tag rides
+    the handle, so pass these frames — not re-derived ones — as
+    ``prebuilt``."""
+    postings = spark.read.parquet(f"{path}/postings")
+    postings._bm25_disk_index = True
+    return (postings,
             spark.read.parquet(f"{path}/lengths"),
             spark.read.parquet(f"{path}/term_df"))
 
@@ -356,29 +367,36 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
               .groupBy(query_id, "term")
               .agg(F.count("*").cast("double").alias("qtf")))
     bterms = qterms.select("term").distinct()
-    # Push the term restriction INTO the postings scan as an isin
-    # literal, not just a broadcast join: a join filters after the
-    # scan reads every row group, while the pushed `In(term, ...)`
-    # predicate prunes row groups by the term min/max statistics the
-    # save_bm25_index sorted-by-term layout maintains — the difference
-    # between scanning a sliver of a 100-TB standing index and
-    # scanning all of it per batch.  The term list is query-sized by
-    # contract (collect_small); a pathological >8k-term batch skips
-    # the literal and keeps the join-only plan.  The broadcast join
-    # stays either way (it attaches nothing here but preserves exact
-    # join semantics for duplicate-free restriction).
-    from python_vector_db___ai_spark.operators._guards import collect_small
+    # DISK-backed postings only: push the term restriction INTO the
+    # postings scan as an isin literal, not just a broadcast join — a
+    # join filters after the scan reads every row group, while the
+    # pushed `In(term, ...)` predicate prunes row groups by the term
+    # min/max statistics the save_bm25_index sorted-by-term layout
+    # maintains: the difference between scanning a sliver of a 100-TB
+    # standing index and scanning all of it per batch.  The term list
+    # is query-sized by contract (collect_small); a pathological
+    # >8k-term batch skips the literal and keeps the join-only plan.
+    # The broadcast join stays either way.  For IN-FLIGHT or cached
+    # postings the literal is pure overhead (a collect job at plan
+    # construction plus INSET re-evaluation on every branch constraint
+    # propagation copies it to, measured +0.6-0.8 s on the sf0.1
+    # hybrid query with nothing prunable behind it), so it is gated on
+    # the :func:`load_bm25_index` provenance tag.
+    if getattr(postings, "_bm25_disk_index", False):
+        from python_vector_db___ai_spark.operators._guards import (
+            collect_small,
+        )
 
-    try:
-        qterm_rows = collect_small(
-            bterms, "bm25 batch query terms", cap=8192,
-            hint="an isin literal this large would bloat the plan; "
-                 "falling back to the join-only restriction is "
-                 "automatic")
-        postings = postings.filter(
-            F.col("term").isin([r["term"] for r in qterm_rows]))
-    except ValueError:
-        pass
+        try:
+            qterm_rows = collect_small(
+                bterms, "bm25 batch query terms", cap=8192,
+                hint="an isin literal this large would bloat the "
+                     "plan; falling back to the join-only "
+                     "restriction is automatic")
+            postings = postings.filter(
+                F.col("term").isin([r["term"] for r in qterm_rows]))
+        except ValueError:
+            pass
     matched = postings.join(F.broadcast(bterms), "term")
     if tdf is not None:  # dictionary df: no second pass over postings
         df_counts = tdf.join(F.broadcast(bterms), "term")

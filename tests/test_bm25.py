@@ -264,3 +264,36 @@ def test_save_postings_plan_is_one_exchange(spark):
     assert exchanges[0][1].startswith("term")
     # and the single exchange feeds a collapsed partial+final agg pair
     assert plan.count("HashAggregate") == 2, plan[:2000]
+
+
+def test_term_pushdown_gated_on_disk_index(spark, tmp_path):
+    """The batch scorer pushes its query-term isin into the postings
+    scan ONLY for a load_bm25_index-provenance frame (sorted-by-term
+    row groups make it prune there); the in-flight path keeps the
+    r11 join-only plan — the literal was measured pure overhead
+    (+0.6-0.8 s on the sf0.1 hybrid) with nothing prunable behind it."""
+    from python_vector_db___ai_spark.operators.bm25 import (
+        bm25_scores_batch,
+        save_bm25_index,
+    )
+    from python_vector_db___ai_spark.plans.explain import formatted_plan
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    qtable = spark.createDataFrame([(0, ["spark", "engine"])],
+                                   "query_id long, terms array<string>")
+
+    idx = save_bm25_index(docs, str(tmp_path / "bm"))
+    disk_plan = formatted_plan(
+        bm25_scores_batch(docs, qtable, prebuilt=idx)).lower()
+    assert "pushedfilters" in disk_plan
+    pushed = [seg[:200] for seg in disk_plan.split("pushedfilters")[1:]]
+    assert any("term" in seg and "in" in seg for seg in pushed), pushed
+
+    inflight_plan = formatted_plan(bm25_scores_batch(docs, qtable))
+    assert "IN (spark" not in inflight_plan \
+        and "INSET" not in inflight_plan, inflight_plan[:1500]
+    # values identical across the two plans
+    a = sorted(map(tuple, bm25_scores_batch(docs, qtable,
+                                            prebuilt=idx).collect()))
+    b = sorted(map(tuple, bm25_scores_batch(docs, qtable).collect()))
+    assert a == b
