@@ -1037,6 +1037,10 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 "minhash_sign_sec": stages.get("sign_sec"),
                 "minhash_band_sec": stages.get("band_sec"),
                 "minhash_candidates": stages.get("n_candidates"),
+                # explicit alias per r12 VERDICT #2: the pair count
+                # entering the verify join (deterministic for a given
+                # corpus+config — band-hash collisions, not timing)
+                "verify_candidates": stages.get("n_candidates"),
             }
 
         mh = None
@@ -1050,6 +1054,15 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 entry["minhash_lsh_sec"]
                 - (entry.get("minhash_sign_sec") or 0.0)
                 - (entry.get("minhash_band_sec") or 0.0), 3)
+            # normalized verify cost (r12 VERDICT #2): flat-or-falling
+            # µs/candidate across notches re-proves that the verify
+            # SLOPE is candidate-pair growth (quadratic in duplicate-
+            # family size on the copy-salted corpus — a corpus
+            # property), not per-pair cost growth in the verify join.
+            if entry.get("verify_candidates"):
+                entry["minhash_verify_us_per_cand"] = round(
+                    entry["minhash_verify_sec"]
+                    / entry["verify_candidates"] * 1e6, 3)
             # Only the materialized pairs frame (mh) is consumed
             # downstream (components, pagerank); free the final rep's
             # corpus-sized internal caches NOW so the rest of the

@@ -457,6 +457,11 @@ def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
         # Narrow standing index: fetch candidate docs' text from the
         # corpus (semi-join — only candidate rows survive the scan)
         # and re-shingle just those.  Cost ∝ candidates, not corpus.
+        # `cand` is consumed twice on this path (the semi-join's id
+        # list here and the verify join below) — cache it so the
+        # increment-vs-corpus bucket join + distinct runs once (r12
+        # ADVICE; same lifetime convention as new_sigs above).
+        cand = cand.cache()
         cand_js = cand.select(F.col("j").alias(id_col)).distinct()
         corp_verify = (corpus.join(cand_js, id_col, "semi")
                        .select(F.col(id_col).alias("j"),

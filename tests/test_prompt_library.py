@@ -66,7 +66,7 @@ def test_driver_priority_window_covers_unproven_entries():
     assert len(DRIVER_PRIORITY) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
     assert qs[:50] == DRIVER_PRIORITY
-    prev_path = Path(__file__).resolve().parent.parent / "CORRECTNESS_r11.json"
+    prev_path = Path(__file__).resolve().parent.parent / "CORRECTNESS_r12.json"
     prev = set(json.loads(prev_path.read_text()))
     missing = [q for q in qs[50:] if q not in prev]
     assert missing == [], f"tail entries without prior-round proof: {missing}"

@@ -11,11 +11,23 @@ the cross-artifact median.
 
 The slope for one artifact is ``median(runs at top factor) /
 median(runs at second factor)`` — when a row carries a
-``<metric>_sec_runs`` triple the median element is used (it equals the
+``<metric>_sec_runs`` triple the true median is used (it equals the
 committed ``<metric>_sec``), otherwise the single committed value.
 Artifacts whose dedup sweep lacks one of the two endpoint factors for
 a metric are skipped for that metric (tagged partial runs may carry
 only the blocks they probed).
+
+Cross-artifact medians are grouped by the (f_lo, f_hi) factor pair
+(r12 ADVICE): a 2M→4M-notch sample must not be mixed into a 1M→2M
+median — each pair gets its own median column entry, labelled.
+
+A second table normalizes the MinHash verify stage per candidate pair
+(``minhash_verify_sec / minhash_candidates``, in µs/candidate) — the
+r12 VERDICT directive #2 check: the verify SLOPE is super-linear only
+because LSH candidate pairs grow super-linearly in duplicate-family
+size on the copy-salted corpus (a corpus-structure property); flat or
+falling µs/candidate across notches re-proves that attribution under
+the narrowed ``(_id, sig)`` index.
 
 Usage::
 
@@ -36,7 +48,7 @@ ROOT = Path(__file__).resolve().parent.parent
 def _metric_value(row: dict, metric: str) -> float | None:
     runs = row.get(f"{metric}_runs")
     if runs:
-        return sorted(runs)[len(runs) // 2]
+        return float(statistics.median(runs))
     return row.get(metric)
 
 
@@ -57,11 +69,30 @@ def artifact_slopes(path: Path) -> dict[str, dict]:
     for m in metrics:
         lo = _metric_value(lo_row, m)
         hi = _metric_value(hi_row, m)
-        if not lo or not hi:
+        if lo is None or hi is None or lo == 0:
             continue
         out[m] = {"slope": round(hi / lo, 3),
                   "lo": lo, "hi": hi,
                   "factors": (lo_row["factor"], hi_row["factor"])}
+    return out
+
+
+def verify_per_candidate(path: Path) -> list[dict]:
+    """µs/candidate for the MinHash verify stage, one row per notch.
+
+    Candidates are deterministic for a given corpus+config (band-hash
+    collisions, not timing), so every artifact at the same factor
+    reports the same count — only the seconds vary with the run."""
+    data = json.loads(path.read_text())
+    out = []
+    for row in data.get("dedup_scale") or []:
+        cand = row.get("verify_candidates") or row.get("minhash_candidates")
+        sec = _metric_value(row, "minhash_verify_sec")
+        if cand and sec is not None:
+            out.append({"factor": row["factor"],
+                        "candidates": cand,
+                        "verify_sec": sec,
+                        "us_per_cand": round(sec / cand * 1e6, 3)})
     return out
 
 
@@ -78,9 +109,10 @@ def main() -> None:
     names = list(per_artifact)
     width = max(len(m) for m in metrics)
     print(f"{'metric':<{width}}  " + "  ".join(f"{n:>22}" for n in names)
-          + "   cross-run median")
+          + "   cross-run median (per factor pair)")
     for m in metrics:
-        cells, samples = [], []
+        cells: list[str] = []
+        by_pair: dict[tuple, list[float]] = {}
         for n in names:
             e = per_artifact[n].get(m)
             if e is None:
@@ -88,9 +120,22 @@ def main() -> None:
             else:
                 cells.append(
                     f"{e['lo']:>7.2f}→{e['hi']:<7.2f}={e['slope']:.2f}x")
-                samples.append(e["slope"])
-        med = statistics.median(samples) if samples else float("nan")
-        print(f"{m:<{width}}  " + "  ".join(cells) + f"   {med:.2f}x")
+                by_pair.setdefault(tuple(e["factors"]), []).append(e["slope"])
+        meds = "  ".join(
+            f"{f_lo}→{f_hi}: {statistics.median(ss):.2f}x"
+            for (f_lo, f_hi), ss in sorted(by_pair.items()))
+        print(f"{m:<{width}}  " + "  ".join(cells) + f"   {meds}")
+
+    print("\nminhash verify per candidate (µs/cand; flat ⇒ verify slope"
+          " = candidate growth, the corpus-structure attribution):")
+    for n, p in zip(names, paths):
+        rows = verify_per_candidate(Path(p))
+        if not rows:
+            continue
+        cells = "  ".join(
+            f"f{r['factor']}: {r['candidates']:>9,}c {r['us_per_cand']:>7.3f}"
+            for r in rows)
+        print(f"  {n:<24} {cells}")
 
 
 if __name__ == "__main__":
