@@ -28,15 +28,56 @@ from python_vector_db___ai_spark.operators._ranking import (
 )
 
 
-def term_postings(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """(doc, term, tf) postings + per-doc length — one explode + one
-    aggregation."""
+def _doc_term_freqs(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, dl, term, tf)`` — per-doc term frequencies computed
+    as a pure map-side expression, no explode of raw occurrences and
+    no aggregation operator (r13, from r12 ADVICE): sort the token
+    array, locate run starts (``i = 0 or s[i] != s[i-1]``), and zip
+    each start with the next to get the run length.  One row per
+    (doc, DISTINCT term) leaves the scan — the tf-factor volume
+    reduction a shuffle-side combine would buy, bought BEFORE any
+    exchange, entirely JVM-side.  tf is exact because every token of
+    a doc lives in that doc's array; values are bit-identical to the
+    explode + groupBy(id, dl, term) form
+    (``tests/test_bm25.py::test_doc_term_freqs_matches_explode_groupby``
+    pins the differential, empty/null/case/whitespace edges included).
+    Downstream, :func:`bm25_index` becomes map-only (zero exchanges)
+    and :func:`save_bm25_index` shuffles already-aggregated postings
+    exactly once."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                      lambda w: w != "")
-    exploded = docs.select(F.col(id_col), F.explode(words).alias("term"))
-    return (exploded.groupBy(id_col, "term")
-            .agg(F.count("*").cast("long").alias("tf")))
+    tokenized = docs.select(F.col(id_col),
+                            F.array_sort(words).alias("_s"))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("_s") - 1),
+        lambda i: (i == F.lit(0))
+        | (F.get("_s", i) != F.get("_s", i - 1)))
+    # null text / empty token array => _st NULL => zip_with/explode
+    # propagate to zero rows, matching the explode form.
+    staged = tokenized.select(
+        F.col(id_col),
+        F.size("_s").cast("double").alias("dl"),
+        F.col("_s"),
+        F.when(F.size("_s") > 0, starts).alias("_st"))
+    ends = F.concat(
+        F.slice("_st", F.lit(2), F.greatest(F.size("_st") - 1, F.lit(0))),
+        F.array(F.size("_s")))
+    runs = F.zip_with(
+        "_st", ends,
+        lambda a, b: F.struct(F.get("_s", a).alias("term"),
+                              (b - a).cast("long").alias("tf")))
+    return (staged.select(id_col, "dl", F.explode(runs).alias("_r"))
+            .select(id_col, "dl", F.col("_r.term").alias("term"),
+                    F.col("_r.tf").alias("tf")))
+
+
+def term_postings(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, tf) postings — map-only since r13 (run-length
+    encode over the sorted token array, :func:`_doc_term_freqs`)."""
+    return _doc_term_freqs(docs, text_col, id_col) \
+        .select(id_col, "term", "tf")
 
 
 def doc_lengths(docs: DataFrame, text_col: str = "text",
@@ -51,8 +92,9 @@ def _exploded_terms(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """``(id_col, dl, term)`` — one row per token occurrence, with the
     doc length computed BEFORE the explode and carried through it.
-    The shared tokenize/explode front half of :func:`bm25_index` and
-    :func:`save_bm25_index`."""
+    Since r13 this is the DIFFERENTIAL REFERENCE form only (the
+    builders run :func:`_doc_term_freqs`, which pre-aggregates tf on
+    the map side); the tests pin the two forms value-identical."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                      lambda w: w != "")
     tokenized = docs.select(F.col(id_col), words.alias("_w"))
@@ -79,11 +121,15 @@ def bm25_index(docs: DataFrame, text_col: str = "text",
     query batch.  Hand the result to ``prebuilt`` in place of plain
     :func:`term_postings` output; the scorers detect the ``dl`` column
     and skip the lengths join (values are bit-identical either way —
-    the oracles are unchanged, ``tests/test_bm25.py``)."""
-    return (_exploded_terms(docs, text_col, id_col)
-            .groupBy(id_col, "dl", "term")
-            .agg(F.count("*").cast("long").alias("tf"))
-            .select(id_col, "term", "tf", "dl"))
+    the oracles are unchanged, ``tests/test_bm25.py``).
+
+    MAP-ONLY since r13: tf comes from the run-length encode over the
+    sorted token array (:func:`_doc_term_freqs`), so the in-flight
+    build plans ZERO exchanges — the r12 form paid one (doc, dl,
+    term) groupBy shuffle, the r8 form two.  Plan-pinned in
+    ``tests/test_plans.py::test_bm25_index_build_is_map_only``."""
+    return _doc_term_freqs(docs, text_col, id_col) \
+        .select(id_col, "term", "tf", "dl")
 
 
 def term_df(postings: DataFrame) -> DataFrame:
@@ -110,6 +156,34 @@ def term_df(postings: DataFrame) -> DataFrame:
 # policy pattern as crossdoc's GRAMS_PER_PARTITION.
 BM25_DOCS_PER_PARTITION = int(os.environ.get(
     "SPARK_GRAFT_BM25_DOCS_PER_PARTITION", "31250"))
+
+# Zipf guard for the standing-index exchange (r13, from r12 ADVICE):
+# hash-partitioning postings on `term` alone sends EVERY posting of a
+# hot term (stopwords — df ≈ n_docs under Zipf) to one reduce task,
+# whose volume then grows linearly with the corpus while its siblings
+# stay constant — the same super-linear tail the per-task sizing
+# policy exists to prevent.  The exchange key is therefore (term,
+# pmod(xxhash64(id), SALT)): an id-DERIVED salt keeps every (doc,
+# term) pair on one reducer (correctness needs no co-location across
+# docs — the postings are already per-doc aggregates) while spreading
+# any one term over at most SALT tasks.  Each output file stays
+# sorted by term, so term min/max row-group pruning still works — a
+# queried term just matches row groups in <= SALT files instead of 1.
+BM25_TERM_SALT = int(os.environ.get("SPARK_GRAFT_BM25_TERM_SALT", "8"))
+
+
+def _save_postings_frame(docs: DataFrame, text_col: str, id_col: str,
+                         num_partitions: int) -> DataFrame:
+    """The pre-write postings frame of :func:`save_bm25_index`,
+    factored out so the plan test pins the exact frame the writer
+    executes: map-side tf (no aggregate), one salted term-keyed
+    exchange, term-sorted partitions."""
+    return (_doc_term_freqs(docs, text_col, id_col)
+            .repartition(num_partitions, F.col("term"),
+                         F.pmod(F.xxhash64(F.col(id_col)),
+                                F.lit(BM25_TERM_SALT)))
+            .select(id_col, "term", "tf", "dl")
+            .sortWithinPartitions("term"))
 
 
 def save_bm25_index(docs: DataFrame, path: str,
@@ -138,17 +212,21 @@ def save_bm25_index(docs: DataFrame, path: str,
       computed from the RELOADED postings so the artifact is
       self-consistent by construction.
 
-    Plan shape (r12): ONE corpus-sized exchange.  The exploded token
-    stream is repartitioned on ``term`` BEFORE the (doc, dl, term)
-    aggregation — hash-partitioning on a subset of the grouping keys
-    satisfies the aggregation's required distribution, so Catalyst
-    plans no second exchange and the aggregated output lands already
-    term-partitioned for the sorted write.  The r11 form aggregated
-    first (exchange 1, planner-sized at the session's fixed shuffle
-    width) and then re-partitioned the postings on term (exchange 2);
-    two corpus-sized shuffles and a fixed task width made the build
-    leg super-linear at 2M docs.  The exchange width is sized by the
-    operator: ``max(defaultParallelism, n_docs /
+    Plan shape (r13): ONE exchange, of ALREADY-AGGREGATED postings.
+    Per-doc term frequencies come from the map-side run-length encode
+    (:func:`_doc_term_freqs`), so what crosses the wire is one row per
+    (doc, distinct term) — the r12 form shuffled the RAW exploded
+    token stream (no map-side combine: shuffle bytes grew by the tf
+    factor, and under Zipfian skew every occurrence of a hot term
+    landed on one reduce task — r12 ADVICE).  The exchange hashes
+    ``(term, pmod(xxhash64(id), BM25_TERM_SALT))`` so a hot term
+    spreads over at most ``BM25_TERM_SALT`` tasks while each file
+    stays sorted by term for row-group pruning; no aggregate operator
+    appears anywhere in the plan (plan-pinned in
+    ``tests/test_bm25.py``).  The r11 form paid two corpus-sized
+    shuffles and a fixed task width — the sweep's one robustly
+    super-linear block at 2M docs.  The exchange width is sized by
+    the operator: ``max(defaultParallelism, n_docs /
     BM25_DOCS_PER_PARTITION)`` via one construction-time ``count()``
     over ``docs`` (cheap on a cached or parquet-backed frame;
     ``num_partitions`` overrides it and skips the job).
@@ -171,12 +249,7 @@ def save_bm25_index(docs: DataFrame, path: str,
                                              / BM25_DOCS_PER_PARTITION))
     else:
         n_docs = None
-    (_exploded_terms(docs, text_col, id_col)
-     .repartition(num_partitions, "term")
-     .groupBy(id_col, "dl", "term")
-     .agg(F.count("*").cast("long").alias("tf"))
-     .select(id_col, "term", "tf", "dl")
-     .sortWithinPartitions("term")
+    (_save_postings_frame(docs, text_col, id_col, num_partitions)
      .write.parquet(f"{path}/postings", mode="overwrite"))
     t1 = _time.perf_counter()
     doc_lengths(docs, text_col, id_col) \
@@ -335,6 +408,7 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
                       query_id: str = "query_id",
                       terms_col: str = "terms",
                       prebuilt: tuple[DataFrame, ...] | None = None,
+                      disk_backed: bool | None = None,
                       ) -> DataFrame:
     """BM25 over a *table* of queries — the batch form matching the
     reference's per-query evaluation surface (day_13/src/main.py:126-237)
@@ -351,6 +425,13 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
     Returns ``(query_id, id_col, bm25)`` for (query, doc) pairs
     matching >= 1 term.  ``prebuilt`` shares a ``(postings, lengths)``
     pair across searches (see :func:`bm25_scores`).
+
+    ``disk_backed`` makes the pushdown contract explicit in the
+    signature (r12 ADVICE — the provenance attribute silently drops
+    off any transformed/re-read handle): ``True`` forces the
+    term-isin scan restriction, ``False`` disables it, ``None``
+    (default) infers from the :func:`load_bm25_index` provenance tag
+    on the postings handle.
     """
     if prebuilt is not None:
         postings, lengths, tdf = _unpack_prebuilt(prebuilt)
@@ -382,7 +463,8 @@ def bm25_scores_batch(docs: DataFrame, queries: DataFrame,
     # propagation copies it to, measured +0.6-0.8 s on the sf0.1
     # hybrid query with nothing prunable behind it), so it is gated on
     # the :func:`load_bm25_index` provenance tag.
-    if getattr(postings, "_bm25_disk_index", False):
+    if (disk_backed if disk_backed is not None
+            else getattr(postings, "_bm25_disk_index", False)):
         from python_vector_db___ai_spark.operators._guards import (
             collect_small,
         )

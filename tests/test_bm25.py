@@ -235,35 +235,58 @@ def test_disk_index_serves_identical_topk_batch(spark, tmp_path):
     assert "term" in pushed and "in" in pushed, explained[:2000]
 
 
-def test_save_postings_plan_is_one_exchange(spark):
+def test_save_postings_plan_one_exchange_no_aggregate(spark):
     """The standing-index postings build shuffles the corpus exactly
-    once (r12): the exploded token stream is hash-partitioned on the
-    term key BEFORE the (doc, dl, term) aggregation — a subset of the
-    grouping keys, so Catalyst plans partial+final HashAggregate with
-    no second exchange and the sorted write needs none either.  The
-    r11 form paid two corpus-sized shuffles (planner-sized agg, then
-    repartition-on-term) and was the sweep's one robustly super-linear
-    block at 2M docs."""
+    once, and what it shuffles is ALREADY-AGGREGATED postings (r13):
+    per-doc tf comes from the map-side run-length encode, so the one
+    term-keyed exchange carries one row per (doc, distinct term) —
+    the volume a shuffle-side combine would have bought, minus the
+    HashAggregate pair entirely — and the id-derived salt in the
+    exchange key bounds any one term's rows per reduce task under
+    Zipfian skew.  r12 shuffled the RAW token stream (no combine,
+    tf-factor bytes, hot-term hotspot — r12 ADVICE); r11 paid two
+    corpus-sized shuffles."""
     import re
 
-    from pyspark.sql import functions as F
-
-    from python_vector_db___ai_spark.operators.bm25 import _exploded_terms
+    from python_vector_db___ai_spark.operators.bm25 import (
+        _save_postings_frame,
+    )
     from python_vector_db___ai_spark.session import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    build = (_exploded_terms(docs).repartition(4, "term")
-             .groupBy("doc_id", "dl", "term")
-             .agg(F.count("*").cast("long").alias("tf"))
-             .select("doc_id", "term", "tf", "dl")
-             .sortWithinPartitions("term"))
+    build = _save_postings_frame(docs, "text", "doc_id", 4)
     plan = build._jdf.queryExecution().executedPlan().toString()
     exchanges = re.findall(r"Exchange (\w+)\(([^,)]+)", plan)
     assert len(exchanges) == 1, plan[:2000]
     assert exchanges[0][0] == "hashpartitioning"
     assert exchanges[0][1].startswith("term")
-    # and the single exchange feeds a collapsed partial+final agg pair
-    assert plan.count("HashAggregate") == 2, plan[:2000]
+    assert "pmod" in plan, plan[:2000]
+    assert "HashAggregate" not in plan, plan[:2000]
+
+
+def test_doc_term_freqs_matches_explode_groupby(spark):
+    """Differential pin for the r13 run-length-encode postings: the
+    map-only (id, dl, term, tf) frame is value-identical to the
+    explode + groupBy form across the edge cases (repeats, case
+    folding, multi-space, empty string, NULL text, single token)."""
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.bm25 import (
+        _doc_term_freqs,
+        _exploded_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c b a"), (2, "z"), (3, ""), (4, None),
+         (5, "x x x x"), (6, "A a A"), (7, "  b   a  ")],
+        ["doc_id", "text"])
+    got = sorted(tuple(r) for r in _doc_term_freqs(docs).collect())
+    ref = sorted(tuple(r) for r in (
+        _exploded_terms(docs)
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("doc_id", "dl", "term", "tf")).collect())
+    assert got == ref and len(got) == 8
 
 
 def test_term_pushdown_gated_on_disk_index(spark, tmp_path):
@@ -297,3 +320,20 @@ def test_term_pushdown_gated_on_disk_index(spark, tmp_path):
                                             prebuilt=idx).collect()))
     b = sorted(map(tuple, bm25_scores_batch(docs, qtable).collect()))
     assert a == b
+
+    # explicit disk_backed kwarg overrides the provenance inference
+    # both ways (r12 ADVICE: the attribute silently drops off any
+    # transformed handle, so the contract is also in the signature)
+    # (in-flight postings are no parquet scan, so there is nothing to
+    # push INTO — the forced literal appears as a plain filter)
+    forced_on = formatted_plan(bm25_scores_batch(
+        docs, qtable, disk_backed=True))
+    assert "INSET" in forced_on or "IN (spark" in forced_on, \
+        forced_on[:1500]
+    forced_off = formatted_plan(bm25_scores_batch(
+        docs, qtable, prebuilt=idx, disk_backed=False))
+    assert "INSET" not in forced_off \
+        and "IN (spark" not in forced_off, forced_off[:1500]
+    c = sorted(map(tuple, bm25_scores_batch(
+        docs, qtable, prebuilt=idx, disk_backed=False).collect()))
+    assert c == a

@@ -124,14 +124,18 @@ def test_hnsw_merge_is_window_group_limit(emb):
     assert "WindowGroupLimit" in plan, plan[:3000]
 
 
-def test_bm25_index_builds_with_one_exchange(docs):
-    """r9 (r8 VERDICT what's-wrong #1): dl rides through the explode
-    as a column, so the (doc, dl, term) groupBy is the index build's
-    ONLY exchange — the r8 form paid a second corpus-sized shuffle
-    re-exchanging the postings on the doc key for a dl window."""
+def test_bm25_index_build_is_map_only(docs):
+    """r13 (r12 ADVICE): per-doc term frequencies are computed as a
+    pure expression over the sorted token array (run-length encode
+    via sequence/filter/zip_with), so the in-flight dl-carrying index
+    build plans ZERO exchanges and zero aggregates — the tf combine
+    happens before any shuffle would be needed.  The r12 form paid
+    one (doc, dl, term) groupBy exchange; the r8 form two."""
     from python_vector_db___ai_spark.operators.bm25 import bm25_index
 
-    assert count_exchanges(bm25_index(docs)) == 1
+    out = bm25_index(docs)
+    assert count_exchanges(out) == 0
+    assert "HashAggregate" not in formatted_plan(out)
 
 
 def test_crossdoc_gram_exchange_uses_policy_partition_count(docs):
