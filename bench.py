@@ -967,6 +967,7 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         return not only or key in only
 
     docs0 = load_table(spark, sf_dir, "documents")
+    n_base_docs = docs0.count()
     results = []
     for factor in factors:
         tmp = tempfile.mkdtemp(prefix=f"bench_docs_{factor}_")
@@ -974,9 +975,19 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         # The inflated file is small on disk (tens of MB of text), so a
         # size-based parquet split would hand the whole corpus to ONE
         # task; spread it across the executors like a real multi-file
-        # 100-TB table would arrive.
+        # 100-TB table would arrive.  The split count scales with the
+        # corpus past 2M docs (r13): a real table splits by
+        # maxPartitionBytes, so docs-per-split stays constant — a flat
+        # repartition(32) under-split the 4M notch to 125k docs/task,
+        # leaving map-only stages (the MinHash sign pass) zero
+        # scheduling slack: one stalled task stretched the whole stage
+        # (the 4M sigs-write reps read [23.8, 37.6, 34.1] s with
+        # perfectly linear bytes).  62.5k docs/split keeps factors
+        # <= 400 at exactly the r10-r12 width (32), preserving
+        # committed-slope comparability at the 1M->2M notch of record.
         par = spark.sparkContext.defaultParallelism
-        docs = spark.read.parquet(tmp).repartition(par).cache()
+        n_splits = max(par, n_base_docs * factor // 62500)
+        docs = spark.read.parquet(tmp).repartition(n_splits).cache()
         n = docs.count()
         # Top-notch rows carry [min, median, max] runs-triples (r10
         # directive #1); each rep rebuilds its plan per timed_median's
