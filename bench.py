@@ -73,6 +73,13 @@ CORE_QUERIES = [
 # buys round-over-round comparable numbers.
 N_RUNS = 3
 
+# Record-eligibility loadavg gate (r13 directive #3): a run started
+# at or above either threshold is marked calm=false in its artifact
+# and is NOT eligible to carry a level or slope claim of record.
+CALM_LOAD1 = 0.5
+CALM_LOAD15 = 2.0
+_LOADAVG_START: list | None = None
+
 
 def timed_median(build_and_collect, n_runs: int = N_RUNS):
     """Median-of-n wall time; returns ``(median_sec, last_result)``.
@@ -348,6 +355,17 @@ def main() -> None:
         # assembly (dominated by the bench's own work).
         "loadavg_start": globals().get("_LOADAVG_START"),
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # Record-eligibility, asserted by the bench itself (r13
+        # directive #3): a run is "calm" iff it STARTED below the
+        # declared loadavg gate (1-min < 0.5 AND 15-min < 2.0 — the
+        # thresholds the r11-r13 level adjudications converged on).
+        # Record = median core of calm-qualified HEAD-matched runs;
+        # a non-calm run self-documents as ineligible instead of
+        # being relitigated next round.
+        "calm_gate": {"load1_lt": CALM_LOAD1, "load15_lt": CALM_LOAD15},
+        "calm": bool(_LOADAVG_START
+                     and _LOADAVG_START[0] < CALM_LOAD1
+                     and _LOADAVG_START[2] < CALM_LOAD15),
     }
     full = {
         "metric": "headline_total",
@@ -1344,13 +1362,18 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
             inc = inflate_docs(docs0, 1).select(
                 (F.col("doc_id") + off).alias("doc_id"),
                 "text", "lang", "source", "n_chars")
-            inc_row = minhash_incremental_flags(
+            flags = minhash_incremental_flags(
                 inc, docs, num_hashes=16, bands=4, shingle_n=3,
                 verify_threshold=0.9,
-                corpus_index=idx_holder["index"]).agg(
+                corpus_index=idx_holder["index"])
+            inc_row = flags.agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("is_dup").cast("long")).alias("d")
             ).collect()[0]
+            # Drop this rep's internal caches (increment sigs + cand)
+            # so repeated probes don't pin frames across reps.
+            for fr in getattr(flags, "_cached_frames", []):
+                fr.unpersist()
             return {"incremental_new_docs": int(inc_row["n"]),
                     "incremental_dups": int(inc_row["d"] or 0)}
 

@@ -437,13 +437,16 @@ def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
     Returns one row per new doc: ``(doc_id, n_candidates, n_dups,
     best_match, best_jaccard, is_dup)``.
     """
+    cached: list[DataFrame] = []
     new_sigs = minhash_signature(new_docs, num_hashes, shingle_n,
                                  text_col, id_col).cache()
+    cached.append(new_sigs)
     if corpus_index is not None:
         corp_sigs, corp_banded = corpus_index
     else:
         corp_sigs = minhash_signature(corpus, num_hashes, shingle_n,
                                       text_col, id_col).cache()
+        cached.append(corp_sigs)
         corp_banded = _band_frame(corp_sigs, num_hashes, bands)
     cand = (_band_frame(new_sigs, num_hashes, bands).alias("a")
             .join(corp_banded.alias("b"),
@@ -462,6 +465,7 @@ def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
         # increment-vs-corpus bucket join + distinct runs once (r12
         # ADVICE; same lifetime convention as new_sigs above).
         cand = cand.cache()
+        cached.append(cand)
         cand_js = cand.select(F.col("j").alias(id_col)).distinct()
         corp_verify = (corpus.join(cand_js, id_col, "semi")
                        .select(F.col(id_col).alias("j"),
@@ -485,16 +489,25 @@ def minhash_incremental_flags(new_docs: DataFrame, corpus: DataFrame,
             .filter(F.col("_rn") == 1)
             .select("i", F.col("j").alias("best_match"),
                     F.col("jr").alias("best_jaccard")))
-    return (new_sigs.select(F.col("_id").alias("i"))
-            .join(per_doc, "i", "left").join(best, "i", "left")
-            .select(F.col("i").alias(id_col),
-                    F.coalesce("n_candidates", F.lit(0)).cast("long")
-                    .alias("n_candidates"),
-                    F.coalesce("n_dups", F.lit(0)).cast("long")
-                    .alias("n_dups"),
-                    "best_match", "best_jaccard",
-                    F.coalesce(F.col("best_jaccard") >= verify_threshold,
-                               F.lit(False)).alias("is_dup")))
+    out = (new_sigs.select(F.col("_id").alias("i"))
+           .join(per_doc, "i", "left").join(best, "i", "left")
+           .select(F.col("i").alias(id_col),
+                   F.coalesce("n_candidates", F.lit(0)).cast("long")
+                   .alias("n_candidates"),
+                   F.coalesce("n_dups", F.lit(0)).cast("long")
+                   .alias("n_dups"),
+                   "best_match", "best_jaccard",
+                   F.coalesce(F.col("best_jaccard") >= verify_threshold,
+                              F.lit(False)).alias("is_dup")))
+    # Live cache handles (increment sigs, optional in-flight corpus
+    # sigs, optional candidate frame) ride along on the result so a
+    # long-running ingest loop can unpersist them once the returned
+    # frame is materialized — the per-call caches would otherwise
+    # accumulate in executor storage for the session's lifetime (r13
+    # ADVICE; same handle convention as ``_cached_frames`` in
+    # :func:`pop_cached_frames`).
+    out._cached_frames = cached
+    return out
 
 
 def pop_cached_frames(stage_timings: dict) -> list[DataFrame]:

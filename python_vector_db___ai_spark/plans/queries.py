@@ -40,50 +40,49 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver samples the FIRST 50 registry entries (dict order)
 # for its DuckDB correctness gate each round (observed: the checked set
-# of CORRECTNESS_r05..r12 is exactly queries()[:50] of that round's
-# commit).  Round-13 rotation (r12 VERDICT directive #3, same mechanism
-# as r10-r12): the 29 entries whose newest driver evidence is
-# CORRECTNESS_r11 (they sat past slot 50 in round 12) come first, then
-# the entries MODIFIED this round (the cand-cache in the narrow-index
-# incremental verify path, the map-side-combined BM25 standing-index
-# build), padded to 50 with flagship/core entries green in
-# CORRECTNESS_r12.  After this round every registry entry's driver
-# evidence is again at most one round old.
+# of CORRECTNESS_r05..r13 is exactly queries()[:50] of that round's
+# commit).  Round-14 rotation (r13 VERDICT directive #4, same mechanism
+# as r10-r13): the 29 entries whose newest driver evidence is
+# CORRECTNESS_r12 (they sat past slot 50 in round 13 — the exact set
+# `registry − CORRECTNESS_r13` computed at the r13 HEAD) come first,
+# then the entries MODIFIED this round (the incremental-dedup verify
+# path grew cache-handle plumbing), padded to 50 with flagship/core
+# entries green in CORRECTNESS_r13.  After this round every registry
+# entry's driver evidence is again at most one round old.
 DRIVER_PRIORITY: list[str] = [
-    # --- newest driver evidence is r11 (past-window in round 12) ---
-    "bpe_encode_stats",
-    "bpe_train_merges",
-    "chunk_chars_boundary",
-    "chunk_chars_fixed",
-    "chunk_semantic",
-    "chunk_sentences_fixed",
-    "corpus_filter_funnel",
-    "corpus_source_report",
-    "data_health_report",
-    "data_mixture_pack",
-    "doc_keywords_tfidf",
-    "dummy_models",
-    "embed_cache_hits",
-    "embedding_pca_variance",
-    "events_approx_distinct",
-    "events_hourly_stream",
-    "events_moving_avg",
-    "events_range_join_counts",
-    "events_rollup",
-    "events_value_percentiles",
-    "pipeline_corpus_to_tokens",
-    "stream_attribution_join",
-    "stream_ingest_foreachbatch",
-    "term_cooccurrence_pmi",
-    "text_fingerprint_winnow",
-    "text_repetition",
-    "versioned_crud_lifecycle",
-    "vocab_coverage_topk",
-    "words_heavy_hitters_cms",
+    # --- newest driver evidence is r12 (past-window in round 13) ---
+    "chunk_hybrid_checked",
+    "chunk_paragraphs",
+    "chunk_tokens_fixed",
+    "chunk_word_coverage",
+    "crud_mutation_stats",
+    "crud_point_lookup",
+    "dedup_embedding_pruned",
+    "dedup_levenshtein",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "embedding_covariance",
+    "embedding_outliers",
+    "embedding_quantize_int8",
+    "events_active_users_rolling",
+    "events_asof_attribution",
+    "events_retention_cohorts",
+    "events_sessionization",
+    "events_transition_matrix",
+    "events_type_stats",
+    "hnsw_index_lifecycle",
+    "ivf_centroids",
+    "kmeans_silhouette",
+    "multimodal_decode_stats",
+    "search_filtered",
+    "stream_sessionization",
+    "stream_stateful_user_totals",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "vector_norm_stats",
     # --- modified / touched this round (must be re-checked) ---
     "dedup_incremental_minhash",
-    "bm25_rrf_hybrid",
-    # --- padding to 50: flagship + core (green in r12) ---
+    # --- padding to 50: flagship + core (green in r13) ---
     "knn_exact_batch",
     "ivf_search_cosine",
     "ann_recall_ivf",
@@ -103,6 +102,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_profile",
     "crud_upsert",
     "rag_end_to_end",
+    "bm25_rrf_hybrid",
 ]
 
 

@@ -337,3 +337,76 @@ def test_term_pushdown_gated_on_disk_index(spark, tmp_path):
     c = sorted(map(tuple, bm25_scores_batch(
         docs, qtable, prebuilt=idx, disk_backed=False).collect()))
     assert c == a
+
+
+def _zipf_docs(spark, n_docs: int = 2000, hot_share: float = 0.3):
+    """Deterministic Zipf-shaped corpus: the hot term appears in
+    ``hot_share`` of all docs (stopword mass — the df ≈ n_docs shape
+    the uniform bench vocabulary never produces), a mid tier follows
+    a 1/rank-ish document frequency, and a per-doc unique tail keeps
+    token volume comparable to the bench corpus's ~10 terms/doc."""
+    rows = []
+    for i in range(n_docs):
+        toks = []
+        if i % 10 < int(hot_share * 10):          # 30% of docs
+            toks.append("hotterm")
+        toks.append(f"mid{i % 7}")                 # df ~ n/7 each
+        toks.append(f"mid{(i * 3) % 29}")          # df ~ n/29
+        toks.append(f"low{i % 211}")               # df ~ n/211
+        toks += [f"u{i}a", f"u{i}b", f"u{i}c"]     # unique tail
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_save_exchange_salt_bounds_hot_term_under_zipf(spark):
+    """Skew proof for the salted standing-index exchange (r13 VERDICT
+    directive: the bench corpus's uniform vocabulary never exercises
+    the bound).  On a corpus whose top term sits in 30% of docs:
+
+    * UNSALTED term-hash partitioning lands every posting of the hot
+      term on ONE reduce task (the Zipf hotspot the salt exists for);
+    * the salted exchange spreads them over >1 and <= BM25_TERM_SALT
+      tasks with the max task near 1/SALT of the hot term's postings;
+    * the salted frame is value-identical to the map-only postings
+      (the salt only moves rows between files, never changes them).
+    """
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.bm25 import (
+        BM25_TERM_SALT,
+        _doc_term_freqs,
+        _save_postings_frame,
+    )
+
+    docs = _zipf_docs(spark)
+    n_hot = docs.filter(F.col("text").contains("hotterm")).count()
+    assert n_hot == 600                       # 30% of 2000
+
+    # 128 partitions: wide enough that the 8 (term, salt) keys land in
+    # distinct partitions (at narrow widths two salt keys can share a
+    # partition — the per-task max is then 2x the even share, still
+    # bounded, but the clean width shows the per-key bound itself).
+    salted = _save_postings_frame(docs, "text", "doc_id", 128)
+    per_task = (salted.withColumn("_pid", F.spark_partition_id())
+                .filter(F.col("term") == "hotterm")
+                .groupBy("_pid").count().collect())
+    tasks = len(per_task)
+    max_rows = max(r["count"] for r in per_task)
+    assert 1 < tasks <= BM25_TERM_SALT, per_task
+    # near 1/SALT: binomial spread over 8 salts (mean 75, sd ~8) stays
+    # well under 1.6x the even share; one task would read 600.
+    assert max_rows <= (n_hot / BM25_TERM_SALT) * 1.6, per_task
+
+    unsalted = (_doc_term_freqs(docs)
+                .repartition(32, F.col("term"))
+                .select("doc_id", "term", "tf", "dl"))
+    hot_unsalted = (unsalted.withColumn("_pid", F.spark_partition_id())
+                    .filter(F.col("term") == "hotterm")
+                    .groupBy("_pid").count().collect())
+    assert len(hot_unsalted) == 1 and hot_unsalted[0]["count"] == n_hot
+
+    # value identity: the salt is placement-only
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, _doc_term_freqs(docs)
+                   .select("doc_id", "term", "tf", "dl").collect()))
+    assert a == b and len(a) == salted.count()

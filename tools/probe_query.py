@@ -82,9 +82,20 @@ def main() -> None:
     tag = os.environ.get("SPARK_GRAFT_PROBE_TAG", "")
     if tag:
         path = ROOT / f"PROBES_{tag}.json"
-        rows = json.loads(path.read_text()) if path.exists() else []
+        # Tolerate a truncated/corrupt existing file (fall back to
+        # []) and replace atomically so a concurrent or interrupted
+        # probe can't discard this run's appendable result (r13
+        # ADVICE).
+        try:
+            rows = json.loads(path.read_text()) if path.exists() else []
+            if not isinstance(rows, list):
+                rows = []
+        except (json.JSONDecodeError, OSError):
+            rows = []
         rows.append(row)
-        path.write_text(json.dumps(rows, indent=1) + "\n")
+        tmp = path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(rows, indent=1) + "\n")
+        os.replace(tmp, path)
         print(f"appended to {path.name} ({len(rows)} rows)",
               file=sys.stderr)
 

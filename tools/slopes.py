@@ -128,14 +128,18 @@ def main() -> None:
 
     print("\nminhash verify per candidate (µs/cand; flat ⇒ verify slope"
           " = candidate growth, the corpus-structure attribution):")
-    for n, p in zip(names, paths):
+    # Iterate the unfiltered paths directly: per_artifact drops
+    # artifacts with no dedup_scale slopes (single-factor partials),
+    # so zipping its keys against `paths` would mislabel rows (r13
+    # ADVICE).
+    for p in paths:
         rows = verify_per_candidate(Path(p))
         if not rows:
             continue
         cells = "  ".join(
             f"f{r['factor']}: {r['candidates']:>9,}c {r['us_per_cand']:>7.3f}"
             for r in rows)
-        print(f"  {n:<24} {cells}")
+        print(f"  {p.name:<24} {cells}")
 
 
 if __name__ == "__main__":
