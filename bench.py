@@ -81,6 +81,18 @@ CALM_LOAD15 = 2.0
 _LOADAVG_START: list | None = None
 
 
+def _git_head() -> str | None:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except OSError:
+        return None
+
+
 def timed_median(build_and_collect, n_runs: int = N_RUNS):
     """Median-of-n wall time; returns ``(median_sec, last_result)``.
     Every SEARCH timing in the ann/scale sweeps goes through this (r7
@@ -366,6 +378,9 @@ def main() -> None:
         "calm": bool(_LOADAVG_START
                      and _LOADAVG_START[0] < CALM_LOAD1
                      and _LOADAVG_START[2] < CALM_LOAD15),
+        # HEAD-matching is part of record-eligibility — stamp it so
+        # "median of HEAD-matched runs" is checkable from artifacts.
+        "git_head": _git_head(),
     }
     full = {
         "metric": "headline_total",
