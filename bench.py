@@ -443,6 +443,10 @@ def main() -> None:
         "sf": sf,
         "rebalance": params["rebalance"],
         "parallelism": params["default_parallelism"],
+        # record-eligibility self-documents even in the compact line
+        # (a driver run launched on a loaded machine is not a level)
+        "calm": params["calm"],
+        "loadavg_start": params["loadavg_start"],
         "queries": timings,
         "ann": {k: ann[k] for k in (
             "corpus_rows", "exact_sec",

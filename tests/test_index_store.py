@@ -468,3 +468,32 @@ def test_tie_dense_truncation_matches_blas(spark):
     # the tie set is truncated to the LOWEST ids, all at rounded 1.0
     assert [g[1] for g in got] == list(range(10))
     assert all(g[2] == 1.0 for g in got)
+
+
+def test_incremental_flags_expose_cache_handles(spark):
+    """minhash_incremental_flags pins per-call caches (increment
+    sigs; cand on the narrow-index path); a long-running ingest loop
+    must be able to release them once the result is materialized (r13
+    ADVICE).  The handles ride on the returned frame as
+    ``_cached_frames`` and unpersist cleanly."""
+    from pyspark.sql import functions as F
+
+    from python_vector_db___ai_spark.operators.dedup import (
+        minhash_incremental_flags,
+    )
+    from python_vector_db___ai_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    out = minhash_incremental_flags(new, corpus)
+    out.count()                                   # materialize
+    handles = getattr(out, "_cached_frames", None)
+    assert handles, "cache handles missing from returned frame"
+    # in-flight path: increment sigs + corpus sigs both cached
+    assert len(handles) == 2
+    assert any(fr.storageLevel.useMemory for fr in handles)
+    for fr in handles:
+        fr.unpersist()
+    assert all(not fr.storageLevel.useMemory for fr in handles)
