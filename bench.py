@@ -120,7 +120,81 @@ def timed_median(build_and_collect, n_runs: int = N_RUNS):
     timed_median.last_runs = [round(x, 4) for x in sorted(runs)]
     return sorted(runs)[len(runs) // 2], res
 
-def sweep_timed(entry: dict, key: str, fn, reps: int = 1, pre=None):
+def _stage_ids_snapshot(spark):
+    """Cheap snapshot of the (stageId, attemptId) pairs currently in
+    Spark's AppStatusStore — taken OUTSIDE a timed window so
+    :func:`_stage_metrics_since` can attribute a timed region's wall
+    seconds to executor CPU vs GC vs blocked time afterwards.  Uses
+    the status store through py4j (works with the UI disabled);
+    internal API, so fail-soft: any reflection mismatch returns None
+    and the caller records nothing instead of failing the bench."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        empty = jvm.java.util.ArrayList()
+        quantiles = sc._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(empty, False, False, quantiles, empty)
+        return {(stages.apply(i).stageId(), stages.apply(i).attemptId())
+                for i in range(stages.size())}
+    except Exception:
+        return None
+
+
+def _stage_metrics_since(spark, before):
+    """Executor-metric totals over stages that COMPLETED after the
+    ``before`` snapshot, plus the heaviest stage for attribution.
+    Interpretation: ``run_ms`` ~ ``cpu_ms`` x tasks-per-core means the
+    stage was CPU-bound; ``run_ms`` >> ``cpu_ms`` means tasks sat
+    blocked (I/O, allocation stall); ``gc_ms`` is the collector's
+    share.  A slope dispute (is the 2x-data notch >2x wall because of
+    the engine or the machine?) reduces to comparing these per
+    factor: executor totals that scale linearly while wall does not
+    are scheduling/contention, not plan cost."""
+    if before is None:
+        return None
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        empty = jvm.java.util.ArrayList()
+        quantiles = sc._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(empty, False, False, quantiles, empty)
+        new = []
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            if (s.stageId(), s.attemptId()) in before:
+                continue
+            if str(s.status()) != "COMPLETE":
+                continue
+            new.append({
+                "stage_id": s.stageId(),
+                "name": str(s.name())[:72],
+                "tasks": s.numCompleteTasks(),
+                "run_ms": s.executorRunTime(),
+                "cpu_ms": int(s.executorCpuTime() / 1e6),
+                "gc_ms": s.jvmGcTime(),
+                "input_mb": round(s.inputBytes() / 1e6, 1),
+                "output_mb": round(s.outputBytes() / 1e6, 1),
+                "shuffle_write_mb": round(s.shuffleWriteBytes() / 1e6, 1),
+                "spill_disk_mb": round(s.diskBytesSpilled() / 1e6, 1),
+            })
+        if not new:
+            return None
+        tot = {}
+        for f in ("tasks", "run_ms", "cpu_ms", "gc_ms", "input_mb",
+                  "output_mb", "shuffle_write_mb", "spill_disk_mb"):
+            v = sum(s[f] for s in new)
+            tot[f] = round(v, 1) if isinstance(v, float) else v
+        tot["n_stages"] = len(new)
+        tot["top_stage"] = max(new, key=lambda s: s["run_ms"])
+        return tot
+    except Exception:
+        return None
+
+
+def sweep_timed(entry: dict, key: str, fn, reps: int = 1, pre=None,
+                post=None):
     """Scale-sweep timing with optional runs-triples (r10 VERDICT
     directive #1: the committed sweep rows were single samples taken
     at the end of a long run, and disagreed with the driver's own
@@ -133,8 +207,11 @@ def sweep_timed(entry: dict, key: str, fn, reps: int = 1, pre=None):
     median wall time and, when reps > 1, ``<key>_sec_runs`` = the
     sorted [min, median, max] triple.  ``pre`` runs before each rep
     OUTSIDE the timed window (cache teardown between trials, so rep N
-    never reads rep N-1's materialization).  Non-timing fields come
-    from the last rep (the outputs are deterministic across reps)."""
+    never reads rep N-1's materialization).  ``post`` runs after each
+    rep, also OUTSIDE the timed window (stage-metric deltas, which
+    cost py4j round trips that must not pollute the measurement).
+    Non-timing fields come from the last rep (the outputs are
+    deterministic across reps)."""
     runs = []
     for _ in range(reps):
         if pre is not None:
@@ -142,6 +219,8 @@ def sweep_timed(entry: dict, key: str, fn, reps: int = 1, pre=None):
         t0 = time.perf_counter()
         fields = fn()
         runs.append((round(time.perf_counter() - t0, 3), fields))
+        if post is not None:
+            post()
     # Committed fields come from the MEDIAN-timed rep, not the last one
     # executed: sub-timings must decompose the committed total (r11
     # finding: last-rep sign_sec 32.8 s rode next to a 29.0 s median
@@ -1274,6 +1353,8 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 prefix=f"bench_bm25idx_{factor}_")
             bm_disk_stage_runs: list = []
 
+            bm_snap: dict = {}
+
             def bm_disk_pre():
                 shutil.rmtree(bm_disk_dir, ignore_errors=True)
                 # Flush the writeback queue OUTSIDE the timed window:
@@ -1284,6 +1365,7 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 # reps [31.8, 43.7, 56.6] with the spread confined to
                 # write-heavy blocks).
                 os.sync()
+                bm_snap["ids"] = _stage_ids_snapshot(spark)
 
             def bm_disk_run():
                 stages: dict = {}
@@ -1294,9 +1376,14 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
                 bm_disk_stage_runs.append(stages)
                 return {"bm25_disk_batch_rows": rows}
 
+            def bm_disk_post():
+                m = _stage_metrics_since(spark, bm_snap.pop("ids", None))
+                if m is not None and bm_disk_stage_runs:
+                    bm_disk_stage_runs[-1]["spark_stage_metrics"] = m
+
             try:
                 sweep_timed(entry, "bm25_index_disk", bm_disk_run,
-                            reps, pre=bm_disk_pre)
+                            reps, pre=bm_disk_pre, post=bm_disk_post)
                 entry["bm25_index_disk_stage_runs"] = bm_disk_stage_runs
             finally:
                 shutil.rmtree(bm_disk_dir, ignore_errors=True)
@@ -1348,11 +1435,24 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         idx_holder: dict = {}
         idx_stage_runs: list = []
 
+        idx_snap: dict = {}
+
         def idx_pre():
             # Same writeback flush as bm_disk_pre: the standing-index
             # build is a corpus-sized parquet write, and its r11 spread
             # was exactly this dirty-page backlog.
             os.sync()
+            idx_snap["ids"] = _stage_ids_snapshot(spark)
+
+        def idx_post():
+            # Executor-side attribution for the rep that just ran
+            # (r14: the 2M->4M sigs-write wall slope read 1.9-2.4x
+            # across calm runs on identical code and exactly-linear
+            # bytes; run-vs-cpu-vs-gc totals per factor say whether
+            # that is plan cost or machine contention).
+            m = _stage_metrics_since(spark, idx_snap.pop("ids", None))
+            if m is not None and idx_stage_runs:
+                idx_stage_runs[-1]["spark_stage_metrics"] = m
 
         def idx_run():
             # include_shingles=False: the narrow build (r11 directive
@@ -1399,7 +1499,7 @@ def dedup_scale_benchmark(spark, sf_dir: str, factors) -> list:
         if want("incremental"):
             try:
                 sweep_timed(entry, "incremental_index", idx_run, reps,
-                            pre=idx_pre)
+                            pre=idx_pre, post=idx_post)
                 # Build split per rep (r10 directive #3 — the 2M build
                 # read 16–38 s across runs with no attribution): which
                 # of sign+write / reload+band+write the spread lives
