@@ -96,6 +96,37 @@ def verify_per_candidate(path: Path) -> list[dict]:
     return out
 
 
+def build_attribution(path: Path, runs_key: str) -> list[dict]:
+    """Executor-metric attribution for a per-rep instrumented build
+    (``incremental_index_stage_runs`` / ``bm25_index_disk_stage_runs``
+    rows carrying ``spark_stage_metrics`` since r14).  Per factor:
+    median-across-reps executor run/cpu/gc seconds and the blocked
+    share (run − cpu − gc) / run.  Read with the wall slope: executor
+    totals that stay ~linear while wall does not place the excess in
+    scheduling/machine contention, not plan cost; a rising cpu slope
+    is the plan itself."""
+    data = json.loads(path.read_text())
+    out = []
+    for row in data.get("dedup_scale") or []:
+        mets = [r["spark_stage_metrics"] for r in row.get(runs_key) or []
+                if r.get("spark_stage_metrics")]
+        if not mets:
+            continue
+        med = {f: statistics.median(m[f] for m in mets)
+               for f in ("run_ms", "cpu_ms", "gc_ms")}
+        run = med["run_ms"] or 1
+        out.append({
+            "factor": row["factor"],
+            "run_s": round(med["run_ms"] / 1e3, 1),
+            "cpu_s": round(med["cpu_ms"] / 1e3, 1),
+            "gc_s": round(med["gc_ms"] / 1e3, 1),
+            "blocked_pct": round(
+                100 * (med["run_ms"] - med["cpu_ms"] - med["gc_ms"])
+                / run, 1),
+        })
+    return out
+
+
 def main() -> None:
     paths = ([Path(p) for p in sys.argv[1:]]
              or sorted(ROOT.glob("BENCH_FULL*.json")))
@@ -140,6 +171,26 @@ def main() -> None:
             f"f{r['factor']}: {r['candidates']:>9,}c {r['us_per_cand']:>7.3f}"
             for r in rows)
         print(f"  {p.name:<24} {cells}")
+
+    for runs_key, label in (
+            ("incremental_index_stage_runs", "minhash index build"),
+            ("bm25_index_disk_stage_runs", "bm25 disk build")):
+        header = False
+        for p in paths:
+            rows = build_attribution(Path(p), runs_key)
+            if not rows:
+                continue
+            if not header:
+                print(f"\n{label} executor attribution (median/rep; "
+                      "linear exec totals + superlinear wall ⇒ "
+                      "machine, rising cpu_s slope ⇒ plan):")
+                header = True
+            cells = "  ".join(
+                f"f{r['factor']}: run {r['run_s']:>6.1f}s cpu "
+                f"{r['cpu_s']:>6.1f}s gc {r['gc_s']:>5.1f}s blocked "
+                f"{r['blocked_pct']:>4.1f}%"
+                for r in rows)
+            print(f"  {p.name:<24} {cells}")
 
 
 if __name__ == "__main__":
