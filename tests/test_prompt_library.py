@@ -66,7 +66,12 @@ def test_driver_priority_window_covers_unproven_entries():
     assert len(DRIVER_PRIORITY) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
     assert qs[:50] == DRIVER_PRIORITY
-    prev_path = Path(__file__).resolve().parent.parent / "CORRECTNESS_r12.json"
+    root = Path(__file__).resolve().parent.parent
+    # The NEWEST committed correctness artifact is the previous round
+    # (hardcoding one round number broke at the next rotation).
+    prev_path = max(root.glob("CORRECTNESS_r*.json"),
+                    key=lambda p: int(p.stem.split("_r")[1]))
     prev = set(json.loads(prev_path.read_text()))
     missing = [q for q in qs[50:] if q not in prev]
-    assert missing == [], f"tail entries without prior-round proof: {missing}"
+    assert missing == [], (
+        f"tail entries without a green row in {prev_path.name}: {missing}")
