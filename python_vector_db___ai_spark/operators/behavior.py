@@ -23,6 +23,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_vector_db___ai_spark.functions.inline import inline_table
+
 
 def funnel_steps(events: DataFrame, steps: Sequence[str],
                  user_col: str = "user_id", ts_col: str = "ts",
@@ -79,10 +81,12 @@ def funnel_steps(events: DataFrame, steps: Sequence[str],
     got = (reached.groupBy("step_order")
            .agg(F.count("t").cast("long").alias("n_users")))
     # literal step spine: every step appears in the report even when
-    # nobody (or no event at all) reached it
-    spine = events.sparkSession.createDataFrame(
+    # nobody (or no event at all) reached it.  VALUES-inlined (stable
+    # canonicalization, no RDD job) — see functions/inline.py.
+    spine = inline_table(
+        events.sparkSession,
         [(k, s) for k, s in enumerate(steps)],
-        "step_order INT, step STRING")
+        "step_order int, step string")
     counts = (spine.join(got, "step_order", "left")
               .select("step_order", "step",
                       F.coalesce("n_users", F.lit(0)).cast("long")

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_vector_db___ai_spark.functions.inline import inline_table
+
 
 def upsert(base: DataFrame, updates: DataFrame,
            key: str = "doc_id") -> DataFrame:
@@ -46,7 +48,13 @@ def delete_ids(df: DataFrame, ids: DataFrame | Sequence,
     if not isinstance(ids, DataFrame):
         if not ids:
             return df                      # empty deletion list: no-op
-        ids = df.sparkSession.createDataFrame([(i,) for i in ids], [key])
+        # VALUES-inlined LocalRelation (stable canonicalization →
+        # cache/exchange reuse across rebuilds), not an RDD-backed
+        # literal — see functions/inline.py.
+        typ = ("string" if any(isinstance(i, str) for i in ids)
+               else "long")
+        ids = inline_table(df.sparkSession, [(i,) for i in ids],
+                           f"{key} {typ}")
     return df.join(F.broadcast(ids.select(key)), key, "left_anti")
 
 

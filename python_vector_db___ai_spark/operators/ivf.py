@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_vector_db___ai_spark.functions.inline import inline_table
 from python_vector_db___ai_spark.operators.search import score_column
 
 
@@ -364,8 +365,14 @@ def kmeans_centroids(corpus: DataFrame, nlist: int = 10, seed: int = 42,
                    featuresCol="_features", predictionCol="_p").fit(feats)
     rows = [(int(i), [float(x) for x in c])
             for i, c in enumerate(model.clusterCenters())]
-    return corpus.sparkSession.createDataFrame(
-        rows, f"{cluster_col} int, centroid array<double>")
+    # VALUES-inlined LocalRelation: the fitted centroids are
+    # deterministic (fixed seed over the same input), so the inlined
+    # rows canonicalize stably across rebuilds and downstream cached
+    # frames (assignments, search results) stay matchable — an
+    # RDD-backed literal here invalidated every dependent cache on
+    # each rebuild (see functions/inline.py).
+    return inline_table(corpus.sparkSession, rows,
+                        f"{cluster_col} int, centroid array<double>")
 
 
 def assign_clusters(corpus: DataFrame, centroids: DataFrame,

@@ -10,6 +10,7 @@ from python_vector_db___ai_spark.operators.bm25 import (
     bm25_topk_batch,
     rrf_fuse_batch,
 )
+from python_vector_db___ai_spark.functions.inline import inline_table
 from python_vector_db___ai_spark.operators.search import knn_join_blas
 from python_vector_db___ai_spark.plans.q_vector import _cos_sql
 from python_vector_db___ai_spark.plans.queries import register
@@ -201,8 +202,16 @@ def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache())
 
     # --- batch branches (query-table join form) ---
-    qtable = spark.createDataFrame(
-        _BATCH, "query_id long, terms array<string>")
+    # inline_table, not createDataFrame: the RDD-backed literal table
+    # canonicalized fresh on every build, so the cached bmb/rrfb plans
+    # below could never be matched across executions — each run re-ran
+    # the whole batch-scoring subtree (17 AQE stage-jobs) against a
+    # cache that was sitting right there.  A VALUES-inlined
+    # LocalRelation canonicalizes by data, so the cache manager
+    # resolves these frames the same way it already resolves the
+    # parquet-rooted posts/lengths/term_df/vecb caches.
+    qtable = inline_table(
+        spark, _BATCH, "query_id long, terms array<string>")
     bmb = bm25_topk_batch(docs, qtable, k=_K, k1=_K1, b=_B,
                           prebuilt=index).cache()
     rrfb = rrf_fuse_batch(vecb, bmb, k0=_RRF_K0, k=_K).cache()
