@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_vector_db___ai_spark.functions.inline import inline_table
+from python_vector_db___ai_spark.functions.vector import DESCENDING_METRICS
 from python_vector_db___ai_spark.operators.search import score_column
 
 
@@ -56,16 +57,57 @@ def probe_clusters(queries: DataFrame, centroids: DataFrame, nprobe: int = 3,
                    cluster_col: str = "label",
                    round_to: int | None = 6) -> DataFrame:
     """Top-``nprobe`` clusters per query (the IVF coarse quantizer step).
-    Returns ``(query_id, query_vec, cluster_col)`` — tiny, broadcastable."""
-    score, desc = score_column(metric, F.col(query_vec), F.col("centroid"))
-    if round_to is not None:
-        score = F.round(score, round_to)
-    w = Window.partitionBy(query_id).orderBy(
-        score.desc() if desc else score.asc(), F.col(cluster_col).asc())
-    return (queries.crossJoin(F.broadcast(centroids))
-            .withColumn("_cr", F.row_number().over(w))
-            .filter(F.col("_cr") <= nprobe)
-            .select(query_id, query_vec, cluster_col))
+    Returns ``(query_id, query_vec, cluster_col)`` — tiny, broadcastable.
+
+    MAP-ONLY since r14 (guide §2.4): the previous form crossJoined the
+    broadcast centroids and ranked with a ``row_number`` window
+    partitioned by ``query_id`` — an exchange + sort of the whole
+    *queries* side, which at spill-assignment scale (the embedding
+    near-dup pipeline probes the full corpus) is a corpus-sized
+    shuffle that exists only to pick nprobe winners out of ~nlist
+    scored candidates per row.  Folding the centroid table into ONE
+    broadcast array row and taking the per-row top-``nprobe`` with
+    ``array_sort`` + ``slice`` removes that exchange outright.  The
+    score is the same column-expression tree evaluated per array
+    element (bit-identical values), the tie-break is the same
+    (rounded score, then ``cluster_col`` ascending), and null scores
+    order exactly as the window's default null ordering did
+    (descending → nulls last, ascending → nulls first).
+    """
+    desc = metric in DESCENDING_METRICS
+
+    def _scored(c):
+        s, _ = score_column(metric, F.col(query_vec), c["c"])
+        if round_to is not None:
+            s = F.round(s, round_to)
+        return F.struct(s.alias("s"), c["l"].alias("l"))
+
+    def _cmp(a, b):
+        tie = (F.when(a["l"] < b["l"], F.lit(-1))
+               .when(a["l"] > b["l"], F.lit(1))
+               .otherwise(F.lit(0)))
+        better = a["s"] > b["s"] if desc else a["s"] < b["s"]
+        worse = a["s"] < b["s"] if desc else a["s"] > b["s"]
+        # window parity: desc() = nulls last, asc() = nulls first
+        a_null, b_null = a["s"].isNull(), b["s"].isNull()
+        return (F.when(a_null & b_null, tie)
+                .when(a_null, F.lit(1) if desc else F.lit(-1))
+                .when(b_null, F.lit(-1) if desc else F.lit(1))
+                .when(better, F.lit(-1))
+                .when(worse, F.lit(1))
+                .otherwise(tie))
+
+    cents_row = centroids.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(cluster_col).alias("l"),
+            F.col("centroid").alias("c")))).alias("_cents"))
+    top = F.slice(F.array_sort(F.transform(F.col("_cents"), _scored), _cmp),
+                  1, nprobe)
+    return (queries.crossJoin(F.broadcast(cents_row))
+            .select(F.col(query_id), F.col(query_vec),
+                    F.explode(top).alias("_t"))
+            .select(query_id, query_vec,
+                    F.col("_t")["l"].alias(cluster_col)))
 
 
 def ivf_search(queries: DataFrame, corpus: DataFrame,
