@@ -187,30 +187,9 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
     cache_max = int(os.environ.get("SPARK_GRAFT_SHINGLE_CACHE",
                                    str(1 << 18)))
 
-    def one(t: str | None):
-        shingles = word_shingles_py(t, shingle_n)
-        if not shingles:           # NULL text or shingle-less doc
-            return shingles, [None] * num_hashes
-        if len(hash_cache) > cache_max:   # bound worker memory
-            hash_cache.clear()
-        full = np.empty(len(shingles), dtype=np.int64)
-        for i, s in enumerate(shingles):
-            h = hash_cache.get(s)
-            if h is None:
-                h = hash_cache[s] = stable_hash64_py(s)
-            full[i] = h
-        hs = full & MINHASH_MASK
-        # (m, 1) * (k,) -> (m, k); all values < 2^62, exact in int64.
-        sig = ((hs[:, None] * A + B) % MINHASH_P).min(axis=0)
-        if hashed_shingles:
-            # FULL 64-bit hashes for the verify-set column: the 30-bit
-            # MinHash base would spuriously intersect at corpus-scale
-            # vocabularies (m^2/2^31 collisions).
-            return [int(x) for x in np.unique(full)], [int(x) for x in sig]
-        return shingles, [int(x) for x in sig]
-
     sh_col = "sh64" if hashed_shingles else "shingles"
     sh_type = "array<bigint>" if hashed_shingles else "array<string>"
+    none_sig = [None] * num_hashes
 
     # ``include_shingles=False`` emits only (_id, sig) — the narrow
     # standing-index build (save_minhash_index persists exactly these
@@ -220,15 +199,95 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
     # needed).  Downstream column pruning can NOT do this — the
     # mapInPandas schema is fixed, so an unused column is still
     # computed and serialized by every worker.
+    #
+    # BATCHED since r14 (guide §4.2: hand whole batches to vectorized
+    # native code).  The r13 kernel ran one (m, k) affine broadcast +
+    # min + Python-int conversion PER DOC — at ~52 shingles/doc the
+    # numpy call overhead dominated the arithmetic (profiled 176 µs/doc
+    # total, of which only ~58 µs was the md5 loop).  Now the batch's
+    # base hashes go through a CHUNKED (≤8192-shingle) affine pass +
+    # ``minimum.reduceat`` segment-min; list conversions use
+    # ``.tolist()`` (C loop) instead of per-element ``int(x)``.
+    # Chunking matters: a whole-batch (Σm, k) affine allocates
+    # ~70 MB×4 of int64 temporaries per 10k-doc batch, and with 32
+    # concurrent Python workers that thrashed memory so badly the 1M
+    # sweep read sign=62 s (vs 7.9 committed); ≤1 MB chunk temps stay
+    # cache-resident and time at 0.06 s per batch where the per-doc
+    # loop took 0.45 s.  Values are bit-identical: same int64
+    # arithmetic, same per-doc segments (row-equality with the
+    # expression form stays pinned in ``tests/test_dedup.py``).
+    affine_chunk = 8192
+
     def op(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            pairs = [one(t) for t in pdf[text_col]]
+            sh_lists = [word_shingles_py(t, shingle_n)
+                        for t in pdf[text_col]]
+            if len(hash_cache) > cache_max:   # bound worker memory
+                hash_cache.clear()
+            flat: list[int] = []
+            append = flat.append
+            get = hash_cache.get
+            lens = np.empty(len(sh_lists), dtype=np.int64)
+            for i, s_list in enumerate(sh_lists):
+                if s_list:
+                    lens[i] = len(s_list)
+                    for s in s_list:
+                        h = get(s)
+                        if h is None:
+                            h = hash_cache[s] = stable_hash64_py(s)
+                        append(h)
+                else:
+                    lens[i] = 0
+            full = np.array(flat, dtype=np.int64)
+            sigs: list = [none_sig] * len(sh_lists)
+            nz = np.flatnonzero(lens)
+            if nz.size:
+                ends = np.cumsum(lens)
+                starts = (ends - lens)[nz]
+                seg_ends = ends[nz]
+                n_seg = len(nz)
+                mins = np.empty((n_seg, num_hashes), dtype=np.int64)
+                i0 = 0
+                while i0 < n_seg:
+                    # group whole segments until ~affine_chunk shingles
+                    i1 = i0
+                    lim = starts[i0] + affine_chunk
+                    while i1 < n_seg and seg_ends[i1] <= lim:
+                        i1 += 1
+                    if i1 == i0:      # one segment larger than a chunk
+                        i1 = i0 + 1
+                    lo, hi = starts[i0], seg_ends[i1 - 1]
+                    hs = full[lo:hi] & MINHASH_MASK
+                    # (m, 1) * (k,) -> (m, k); values < 2^62: exact
+                    # int64, in-place += / %= to avoid extra temps.
+                    aff = hs[:, None] * A
+                    aff += B
+                    aff %= MINHASH_P
+                    mins[i0:i1] = np.minimum.reduceat(
+                        aff, starts[i0:i1] - lo, axis=0)
+                    i0 = i1
+                mins_l = mins.tolist()
+                for row, j in enumerate(nz):
+                    sigs[j] = mins_l[row]
             cols = {"_id": pdf[id_col].to_numpy()}
             if include_shingles:
-                cols[sh_col] = [p[0] for p in pairs]
-            cols["sig"] = [p[1] for p in pairs]
+                if hashed_shingles:
+                    # FULL 64-bit hashes for the verify-set column:
+                    # the 30-bit MinHash base would spuriously
+                    # intersect at corpus-scale vocabularies
+                    # (m²/2³¹ collisions).
+                    ends_l = ends.tolist() if nz.size else []
+                    sh_out: list = [s_list if s_list is None else []
+                                    for s_list in sh_lists]
+                    for j in nz:
+                        seg = full[ends_l[j] - int(lens[j]):ends_l[j]]
+                        sh_out[j] = np.unique(seg).tolist()
+                    cols[sh_col] = sh_out
+                else:
+                    cols[sh_col] = sh_lists
+            cols["sig"] = sigs
             yield pd.DataFrame(cols)
 
     schema = (f"_id long, {sh_col} {sh_type}, sig array<long>"

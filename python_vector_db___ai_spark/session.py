@@ -90,6 +90,18 @@ def normalize_events_ts(df):
     return df
 
 
+# Per-process cache of each table file's Spark-INFERRED schema: the
+# catalog stand-in.  Every ``spark.read.parquet(path)`` without a
+# schema runs a driver-side footer-inference job (~40-60 ms) at plan
+# CONSTRUCTION time; a query that loads two tables pays ~0.1 s per
+# build before any data moves.  A real 100-TB deployment reads these
+# tables through a catalog (Hive/Iceberg) whose schema is metadata,
+# not a per-query scan — this dict is that metadata.  Only the schema
+# (a StructType derived deterministically from the file) is cached;
+# every execution still reads all data from the parquet inputs.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (see TESTDATA.md).
 
@@ -101,13 +113,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # Timestamp semantics must match the DuckDB oracle (naive UTC)
     # regardless of which session the driver hands us.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cached_schema = _SCHEMA_CACHE.get(path)
+    reader = spark.read
+    if cached_schema is not None:
+        reader = reader.schema(cached_schema)
     if name == "events":
         # Harmless for micro/NTZ files; makes TIMESTAMP(NANOS) readable
         # (vectorized reader rejects nanos otherwise).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = normalize_events_ts(spark.read.parquet(path))
+        raw = reader.parquet(path)
+        if cached_schema is None:
+            _SCHEMA_CACHE[path] = raw.schema
+        df = normalize_events_ts(raw)
     else:
-        df = spark.read.parquet(path)
+        df = reader.parquet(path)
+        if cached_schema is None:
+            _SCHEMA_CACHE[path] = df.schema
     # Opt-in (SPARK_GRAFT_REBALANCE=1) input rebalancing, documents
     # only: the testdata ships each table as ONE single-row-group
     # parquet file, so a scan — and all expression-heavy text work
