@@ -175,34 +175,63 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
     """DAU / trailing-WAU per day with exact distinct counts.
 
     A sliding COUNT(DISTINCT) cannot be windowed directly, and a
-    day-range θ-join explodes; instead each distinct (user, day) pair
-    fans out to the ``window_days`` report days it contributes to — a
-    BOUNDED explode (×7) followed by one hash count-distinct on the
-    day key.  That is the 100-TB shape: linear in distinct user-days,
-    no inequality join, no giant window state.  Report days past the
-    last observed day are clipped via a broadcast 1-row max.
+    day-range θ-join explodes.  Since r14 the plan is ONE user-keyed
+    aggregation feeding two COUNT-free reports (guide §2.3/2.4 — the
+    r13 form exploded every distinct (user, day) pair ×window_days and
+    paid a corpus-sized (report_day, user) distinct-aggregation
+    exchange):
+
+    * per user, ``array_sort(collect_set(day))`` — the only shuffle
+      that carries user-sized data, with map-side set dedup;
+    * each user's contributed report days are a UNION OF INTERVALS
+      ``[d, d+window-1]``; merging overlaps per user in one indexed
+      ``transform`` (start at ``max(d_i, d_{i-1}+window)``) emits each
+      report day AT MOST ONCE per user, so ``wau`` is a plain
+      ``count(*)`` — no second distinct over the ×window fan-out;
+    * ``dau`` is a plain count over the exploded per-user day sets
+      (already distinct by construction).
+
+    Exact same counts as the distinct-based form (COUNT(DISTINCT)
+    ignores NULL users, so NULL users are filtered up front); report
+    days past the last observed day are clipped via a broadcast 1-row
+    max.
 
     Returns ``(day, dau, wau, dau_wau_ratio)`` where ``wau`` counts
     users active in the ``window_days`` ending that day.
     """
-    user_days = (events
-                 .select(F.col(user_col), F.to_date(ts_col).alias("d"))
-                 .distinct())
     bounds = events.agg(F.max(F.to_date(ts_col)).alias("max_d"))
-    contrib = (user_days
-               .select(user_col, "d",
-                       F.explode(F.sequence(F.lit(0),
-                                            F.lit(window_days - 1)))
-                       .alias("off"))
-               .select(user_col,
-                       F.date_add(F.col("d"), F.col("off"))
-                       .alias("report_day")))
-    wau = (contrib.crossJoin(F.broadcast(bounds))
+    day_sets = (events
+                .filter(F.col(user_col).isNotNull())
+                .select(F.col(user_col), F.to_date(ts_col).alias("d"))
+                .filter(F.col("d").isNotNull())
+                .groupBy(user_col)
+                .agg(F.array_sort(F.collect_set("d")).alias("days"))
+                .cache())
+    # merged-interval report days: day i contributes
+    # [max(d_i, d_{i-1} + window), d_i + window - 1]; sorted distinct
+    # days make the start never exceed the end (d_i >= d_{i-1} + 1).
+    days_col = F.col("days")
+    rds = F.flatten(F.transform(
+        days_col,
+        lambda d, i: F.sequence(
+            # greatest(i, 1): ANSI element_at is 1-based and index 0
+            # would throw; at i=0 the when() already decides (same
+            # guard convention as funnel_steps above).
+            F.when(i == 0, d).otherwise(
+                F.greatest(d, F.date_add(
+                    F.element_at(days_col, F.greatest(i, F.lit(1))),
+                    window_days))),
+            F.date_add(d, window_days - 1))))
+    wau = (day_sets
+           .select(F.explode(rds).alias("report_day"))
+           .crossJoin(F.broadcast(bounds))
            .filter(F.col("report_day") <= F.col("max_d"))
            .groupBy("report_day")
-           .agg(F.countDistinct(user_col).alias("wau")))
-    dau = (user_days.groupBy(F.col("d").alias("report_day"))
-           .agg(F.countDistinct(user_col).alias("dau")))
+           .agg(F.count("*").cast("long").alias("wau")))
+    dau = (day_sets
+           .select(F.explode("days").alias("report_day"))
+           .groupBy("report_day")
+           .agg(F.count("*").cast("long").alias("dau")))
     return (wau.join(dau, "report_day", "left")
             .select(F.date_format("report_day", "yyyy-MM-dd").alias("day"),
                     F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from python_vector_db___ai_spark.functions.inline import inline_table
 from python_vector_db___ai_spark.operators._guards import collect_small
 from python_vector_db___ai_spark.operators.dedup import words_col
 
@@ -120,8 +121,13 @@ def bpe_train(spark: SparkSession, word_freq: DataFrame,
     ``weight`` the word-frequency-weighted adjacent-pair count that
     won the round.  Stops early if no adjacent pair remains.
     """
-    return spark.createDataFrame(bpe_merge_list(word_freq, n_merges),
-                                 MERGE_SCHEMA)
+    # VALUES-inlined LocalRelation: deterministic rows (the merge loop
+    # is deterministic for a given frequency table) canonicalize
+    # stably, so downstream cached plans stay matchable across
+    # rebuilds — an RDD-backed literal never does (functions/inline.py).
+    return inline_table(
+        spark, bpe_merge_list(word_freq, n_merges),
+        "round long, pair string, token string, weight long")
 
 
 def bpe_token_count_col(word, merges) -> "F.Column":
