@@ -1582,12 +1582,26 @@ def events_scale_benchmark(spark, sf_dir: str, factors) -> list:
 
         sweep_timed(entry, "funnel", funnel_run, reps)
 
+        # rolling_active_users caches its per-user day-set frame; tear
+        # it down between reps (same rule as the minhash block — the
+        # cache manager matches canonicalized plans, so rep 2 would
+        # otherwise read rep 1's materialization and the committed
+        # median would collapse to cached-read cost).
+        wau_holder: dict = {}
+
+        def wau_pre():
+            for f in wau_holder.pop("c", []):
+                f.unpersist(blocking=True)
+
         def wau_run():
-            wau = rolling_active_users(ev).agg(
-                F.max("wau").alias("m")).collect()[0]
+            df = rolling_active_users(ev)
+            wau = df.agg(F.max("wau").alias("m")).collect()[0]
+            wau_holder["c"] = getattr(df, "_cached_frames", [])
             return {"max_wau": int(wau["m"])}
 
-        sweep_timed(entry, "wau", wau_run, reps)
+        sweep_timed(entry, "wau", wau_run, reps, pre=wau_pre)
+        for f in wau_holder.pop("c", []):
+            f.unpersist(blocking=True)
 
         def transition_run():
             transition_matrix(ev).collect()

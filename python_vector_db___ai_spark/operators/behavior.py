@@ -232,9 +232,15 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
            .select(F.explode("days").alias("report_day"))
            .groupBy("report_day")
            .agg(F.count("*").cast("long").alias("dau")))
-    return (wau.join(dau, "report_day", "left")
-            .select(F.date_format("report_day", "yyyy-MM-dd").alias("day"),
-                    F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
-                    F.col("wau").cast("long").alias("wau"),
-                    F.round(F.coalesce("dau", F.lit(0)) / F.col("wau"), 6)
-                    .alias("dau_wau_ratio")))
+    out = (wau.join(dau, "report_day", "left")
+           .select(F.date_format("report_day", "yyyy-MM-dd").alias("day"),
+                   F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+                   F.col("wau").cast("long").alias("wau"),
+                   F.round(F.coalesce("dau", F.lit(0)) / F.col("wau"), 6)
+                   .alias("dau_wau_ratio")))
+    # Teardown handle (same convention as dedup's _cached_frames): the
+    # cache manager matches canonicalized plans, so a repeated-trial
+    # bench would silently read rep 1's day_sets in reps 2-3 unless it
+    # can unpersist between reps.
+    out._cached_frames = [day_sets]
+    return out
