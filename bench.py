@@ -359,13 +359,39 @@ def main() -> None:
         for _ in range(N_RUNS):
             gc0 = jvm_gc_ms()
             t0 = time.perf_counter()
-            qs[name].spark_fn(spark, sf_dir).collect()
+            df = qs[name].spark_fn(spark, sf_dir)
+            df.collect()
             runs.append((time.perf_counter() - t0, jvm_gc_ms() - gc0))
+            # Teardown OUTSIDE the timed window (r14 VERDICT directive
+            # #2, measurement honesty): operators that .cache() an
+            # intermediate expose it via the `_cached_frames` handle on
+            # the returned frame; without this unpersist, runs 2-3
+            # would read run 1's materialization through the cache
+            # manager (canonicalized-plan match) AND the frames would
+            # leak into every later query's memory budget.  The r14
+            # sweep got this teardown (bench.py wau_pre); the headline
+            # loop now applies the same rule.
+            for f in getattr(df, "_cached_frames", []):
+                f.unpersist(blocking=True)
         query_runs_order[name] = [round(r[0], 4) for r in runs]
         runs.sort()
         timings[name] = round(runs[len(runs) // 2][0], 4)
         query_spread[name] = [round(r[0], 4) for r in runs]
         query_gc_ms[name] = [r[1] for r in runs]
+
+    # Post-loop leak observability (r14 VERDICT directive #2): count
+    # the RDDs still persisted once the headline loop ends.  Queries
+    # that .cache() intermediates WITHOUT exposing a `_cached_frames`
+    # handle (bm25_rrf_hybrid's six, text_profile's scan, ...) have
+    # left their frames registered since the r5 protocol froze — this
+    # records that surface per run instead of silently carrying it.
+    # The `_cached_frames`-exposed frames (WAU day_sets) must NOT be in
+    # here; the teardown above unpersists them blocking.
+    try:
+        cached_rdds_after_headline = (
+            spark.sparkContext._jsc.getPersistentRDDs().size())
+    except Exception:
+        cached_rdds_after_headline = None
 
     ann = {} if skip_queries else ann_benchmark(spark, sf_dir)
 
@@ -460,6 +486,10 @@ def main() -> None:
         # HEAD-matching is part of record-eligibility — stamp it so
         # "median of HEAD-matched runs" is checkable from artifacts.
         "git_head": _git_head(),
+        # RDDs still persisted when the headline loop ended (r14
+        # directive #2): the `_cached_frames`-exposed frames are torn
+        # down per run; this counts the handle-less protocol caches.
+        "cached_rdds_after_headline": cached_rdds_after_headline,
     }
     full = {
         "metric": "headline_total",

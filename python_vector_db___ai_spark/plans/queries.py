@@ -40,69 +40,72 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The round driver samples the FIRST 50 registry entries (dict order)
 # for its DuckDB correctness gate each round (observed: the checked set
-# of CORRECTNESS_r05..r13 is exactly queries()[:50] of that round's
-# commit).  Round-14 rotation (r13 VERDICT directive #4, same mechanism
-# as r10-r13): the 29 entries whose newest driver evidence is
-# CORRECTNESS_r12 (they sat past slot 50 in round 13 — the exact set
-# `registry − CORRECTNESS_r13` computed at the r13 HEAD) come first,
-# then the entries MODIFIED this round (the incremental-dedup verify
-# path grew cache-handle plumbing), padded to 50 with flagship/core
-# entries green in CORRECTNESS_r13.  After this round every registry
-# entry's driver evidence is again at most one round old.
+# of CORRECTNESS_r05..r14 is exactly queries()[:50] of that round's
+# commit).  Round-15 rotation (r14 VERDICT directive #7, same mechanism
+# as r10-r14): FIRST the four entries modified in round 14 after the
+# r14 rotation commit was placed (their only post-change oracle
+# evidence is the builder's local gate — r14 VERDICT "What's wrong"
+# #5), then the remaining 25 entries whose newest driver evidence is
+# CORRECTNESS_r13 (the exact set `registry − CORRECTNESS_r14` computed
+# at the r14 HEAD), padded to 50 with the queries round 15 touches
+# plus flagship/core entries green in CORRECTNESS_r14.  After this
+# round every registry entry's driver evidence is again at most one
+# round old.
 DRIVER_PRIORITY: list[str] = [
-    # --- newest driver evidence is r12 (past-window in round 13) ---
-    "chunk_hybrid_checked",
-    "chunk_paragraphs",
-    "chunk_tokens_fixed",
-    "chunk_word_coverage",
-    "crud_mutation_stats",
-    "crud_point_lookup",
-    "dedup_embedding_pruned",
-    "dedup_levenshtein",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "embedding_covariance",
-    "embedding_outliers",
-    "embedding_quantize_int8",
-    "events_active_users_rolling",
-    "events_asof_attribution",
-    "events_retention_cohorts",
-    "events_sessionization",
-    "events_transition_matrix",
-    "events_type_stats",
-    "hnsw_index_lifecycle",
-    "ivf_centroids",
-    "kmeans_silhouette",
-    "multimodal_decode_stats",
-    "search_filtered",
-    "stream_sessionization",
-    "stream_stateful_user_totals",
-    "tpch_q1_pricing",
-    "tpch_q3_topk",
-    "vector_norm_stats",
-    # --- modified / touched this round (must be re-checked) ---
-    "dedup_incremental_minhash",
-    # --- padding to 50: flagship + core (green in r13) ---
-    "knn_exact_batch",
-    "ivf_search_cosine",
-    "ann_recall_ivf",
-    "lsh_ann_recall",
-    "topk_similar_pairs",
-    "ir_metrics_per_query",
-    "ir_metrics_mean",
-    "dedup_exact_simhash",
-    "dedup_minhash_lsh",
-    "events_funnel_steps",
-    "dedup_components",
+    # --- modified in r14 AFTER the r14 rotation (driver-unproven) ---
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "embed_cache_hits",
+    "versioned_crud_lifecycle",
+    # --- newest driver evidence is r13 (past-window in round 14) ---
+    "chunk_chars_boundary",
+    "chunk_chars_fixed",
+    "chunk_semantic",
+    "chunk_sentences_fixed",
+    "corpus_filter_funnel",
+    "corpus_source_report",
+    "data_health_report",
+    "data_mixture_pack",
+    "doc_keywords_tfidf",
+    "dummy_models",
+    "embedding_pca_variance",
+    "events_approx_distinct",
+    "events_hourly_stream",
+    "events_moving_avg",
+    "events_range_join_counts",
+    "events_rollup",
+    "events_value_percentiles",
+    "pipeline_corpus_to_tokens",
+    "stream_attribution_join",
+    "stream_ingest_foreachbatch",
+    "term_cooccurrence_pmi",
+    "text_fingerprint_winnow",
+    "text_repetition",
+    "vocab_coverage_topk",
+    "words_heavy_hitters_cms",
+    # --- touched / candidate-touched in round 15 (re-check) ---
+    "crossdoc_dup_ngrams",
     "decontam_ngram_overlap",
     "decontam_semantic",
-    "crossdoc_dup_ngrams",
-    "corpus_span_dedup",
-    "graph_pagerank_dups",
-    "text_profile",
-    "crud_upsert",
-    "rag_end_to_end",
+    "dedup_simhash_pairs",
+    "dedup_exact_simhash",
+    "ivf_search_cosine",
+    "ann_recall_ivf",
+    "ivf_centroids",
+    "dedup_embedding_pruned",
+    # --- padding to 50: flagship + core (green in r14) ---
+    "knn_exact_batch",
     "bm25_rrf_hybrid",
+    "rag_end_to_end",
+    "topk_similar_pairs",
+    "ir_metrics_per_query",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_incremental_minhash",
+    "events_funnel_steps",
+    "text_profile",
+    "lsh_ann_recall",
+    "corpus_span_dedup",
 ]
 
 
