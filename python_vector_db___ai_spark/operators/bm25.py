@@ -249,14 +249,24 @@ def save_bm25_index(docs: DataFrame, path: str,
                                              / BM25_DOCS_PER_PARTITION))
     else:
         n_docs = None
+    # zstd for the standing artifact (r14 directive #4, guide §6):
+    # measurably smaller index files at similar read speed — the
+    # term-sorted layout's row-group min/max pruning is codec-agnostic
+    # (the read side decompresses only the row groups the term-isin
+    # filter keeps).  Codec env-tunable; "zstd" is the documented
+    # production default, A/B'd at 2M docs in BENCH_FULL_r15_bm25_*.
+    codec = os.environ.get("SPARK_GRAFT_BM25_INDEX_CODEC", "zstd")
     (_save_postings_frame(docs, text_col, id_col, num_partitions)
-     .write.parquet(f"{path}/postings", mode="overwrite"))
+     .write.option("compression", codec)
+     .parquet(f"{path}/postings", mode="overwrite"))
     t1 = _time.perf_counter()
     doc_lengths(docs, text_col, id_col) \
-        .write.parquet(f"{path}/lengths", mode="overwrite")
+        .write.option("compression", codec) \
+        .parquet(f"{path}/lengths", mode="overwrite")
     t2 = _time.perf_counter()
     term_df(spark.read.parquet(f"{path}/postings")) \
-        .write.parquet(f"{path}/term_df", mode="overwrite")
+        .write.option("compression", codec) \
+        .parquet(f"{path}/term_df", mode="overwrite")
     t3 = _time.perf_counter()
     if stage_timings is not None:
         import os as _os

@@ -816,11 +816,12 @@ def simhash_fingerprints(df: DataFrame, bits: int = 16,
                     i0 = i1
                 out[nz] = ((sums > 0).astype(np.int64)
                            << bit_idx).sum(axis=1)
+            # masked constructor instead of a per-row listcomp (r15:
+            # 4.7 ms -> 0.004 ms per 10k-row batch, bit-equal; the
+            # mask argument marks NA positions)
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(),
-                "simhash": pd.array(
-                    [int(out[i]) if mask[i] else None
-                     for i in range(n_rows)], dtype="Int64")})
+                "simhash": pd.arrays.IntegerArray(out, ~mask)})
 
     return df.select(id_col, text_col).mapInPandas(
         op, schema=f"{id_col} long, simhash long")
@@ -905,31 +906,38 @@ def simhash_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 3,
 
 
 def hashed_word_shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles keyed by ``xxhash64`` of the word
-    slice — no gram string is ever materialized (JVM codegen hashes
-    the array directly), which halves the per-gram expression cost and
-    shrinks every downstream row to one long.  Same equivalence
-    classes as :func:`word_shingles` modulo 64-bit collisions
-    (P ~ m²/2⁶⁵ for m distinct grams; the oracle-gated query pins
-    ``exact_strings=True`` and the differential test proves the two
-    forms identical on the fixture corpus)."""
+    """Distinct word n-gram shingles keyed by ``xxhash64`` — no gram
+    string is ever materialized, which shrinks every downstream row to
+    one long.  Since r15 each word is hashed ONCE (a bound
+    ``transform(words, xxhash64)`` array) and the gram key is
+    ``xxhash64`` of the fixed-width long slice — the r8 string-slice
+    form hashed every word's bytes ~n times and allocated an n-string
+    slice per gram position (guide §2.3/§4.2; measured with the same
+    keying on the crossdoc explode: 37.9 → 34.9 s at 2M docs/94M
+    grams).  Shingle values differ from the r8 keys but the
+    equivalence classes are the same as :func:`word_shingles` modulo
+    64-bit collisions (P ~ m²/2⁶⁵ for m distinct grams; the
+    oracle-gated queries pin ``exact_strings=True`` and the
+    differential test proves the two forms' classes identical on the
+    fixture corpus)."""
     from python_vector_db___ai_spark.functions.expr import let
 
     if n == 1:
         return F.array_distinct(
             F.transform(words_col(text), lambda w: F.xxhash64(w)))
 
-    def build(ws: Column) -> Column:
+    def build(hs: Column) -> Column:
         grams = F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.xxhash64(F.slice(ws, i, n)),
+            F.sequence(F.lit(1), F.size(hs) - (n - 1)),
+            lambda i: F.xxhash64(F.slice(hs, i, n)),
         )
-        return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
+        return F.when(F.size(hs) >= n, F.array_distinct(grams)) \
                 .otherwise(F.array().cast("array<bigint>"))
 
-    # let-bound words: the slicing lambda must not re-tokenize per
-    # gram position (see word_shingles / functions/expr.py).
-    return let(words_col(text), build)
+    # let-bound hashed words: the slicing lambda must not re-tokenize
+    # (or re-hash) per gram position (word_shingles / functions/expr).
+    return let(F.transform(words_col(text), lambda w: F.xxhash64(w)),
+               build)
 
 
 def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 5,

@@ -149,12 +149,23 @@ def crossdoc_dup_ngrams(docs: DataFrame, n: int = 8,
     else:
         from python_vector_db___ai_spark.functions.expr import let
 
-        # let-bound words: O(words) gram construction, not O(words²)
-        # (measured 9.9 → 4.3 s on the 250k-doc explode alone).
-        keys = let(words, lambda ws: F.when(
-            F.size(ws) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                        lambda i: F.xxhash64(F.slice(ws, i, n))))
+        # let-bound HASHED words (r15, guide §2.3/§4.2): each word's
+        # string is xxhash64-hashed ONCE, and the gram key is xxhash64
+        # over the fixed-width long slice — the string-slice form
+        # hashed every word's bytes ~n times (once per gram position
+        # covering it) and allocated an n-string slice per position.
+        # gkey values differ from the r8 string-slice keys, but gkey
+        # is internal (never output) and the collision argument is
+        # unchanged.  Measured at 2M docs/94M grams: 37.9 → 34.9 s
+        # median with a tighter spread (PROBES_r15.json v0 vs v1).
+        # let-bound so the slicing lambda reads a bound array: O(words)
+        # gram construction, not O(words²) (r11; the r15 binding hashes
+        # during that single materialization).
+        hashed = F.transform(words, lambda w: F.xxhash64(w))
+        keys = let(hashed, lambda hs: F.when(
+            F.size(hs) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(hs) - (n - 1)),
+                        lambda i: F.xxhash64(F.slice(hs, i, n))))
             .otherwise(F.array().cast("array<bigint>")))
     pos = docs.select(F.col(id_col), F.explode(keys).alias("gkey"))
     if shuffle_partitions == "auto":

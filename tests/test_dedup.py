@@ -473,11 +473,14 @@ def test_let_bound_shingles_match_inline_form(spark):
             F.sequence(F.lit(1), F.size(ws) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
     ).otherwise(F.array().cast("array<string>"))
+    # r15 keying: words hashed once, gram key = xxhash64 of the long
+    # slice (inline substitution of the same expression tree)
+    hws = F.transform(ws, lambda w: F.xxhash64(w))
     inline_hash = F.when(
-        F.size(ws) >= n,
+        F.size(hws) >= n,
         F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.xxhash64(F.slice(ws, i, n))))
+            F.sequence(F.lit(1), F.size(hws) - (n - 1)),
+            lambda i: F.xxhash64(F.slice(hws, i, n))))
     ).otherwise(F.array().cast("array<bigint>"))
 
     got = df.select(

@@ -242,6 +242,11 @@ def test_shingle_lambdas_are_let_bound(docs):
         span_dedup(docs, window=10),
     ]
     for df in frames:
-        plan = formatted_plan(df)
-        assert "transform(array(filter(split(" in plan.replace(" ", ""), \
+        plan = formatted_plan(df).replace(" ", "")
+        # string-keyed builders bind the word array; hashed-keyed
+        # builders (r15) bind the word-HASH array — either way the
+        # slicing lambda reads a let-bound array, never re-evaluating
+        # the tokenization (or re-hashing words) per gram position.
+        assert ("transform(array(filter(split(" in plan
+                or "transform(array(transform(filter(split(" in plan), \
             plan[:2000]
